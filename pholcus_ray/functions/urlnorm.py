@@ -1,0 +1,127 @@
+"""URL canonicalization and link resolution.
+
+Reference parity (SURVEY.md §2.2 M10/M11/M20):
+
+- ``GetHref`` (app/spider/common/common.go:248-306): resolve relative /
+  absolute hrefs against a base URL, drop ``javascript:`` links, handle
+  ``../`` segments.
+- ``Request.Prepare()`` (app/downloader/request/request.go:64-117): URL
+  normalization via url.Parse + defaults (method GET, priority clamp >= 0).
+
+Our canonical form (documented contract, shared by engine and oracle):
+
+- scheme and host lowercased
+- default ports stripped (``:80`` for http, ``:443`` for https)
+- fragment stripped
+- dot-segments (``.`` / ``..``) resolved
+- empty path -> ``/``
+- query preserved byte-for-byte (no param reordering — reordering would merge
+  URLs the reference treats as distinct)
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin, urlsplit, urlunsplit
+
+import numpy as np
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+# Schemes that are never crawlable links (GetHref drops javascript:).
+_SKIP_PREFIXES = ("javascript:", "mailto:", "tel:", "data:", "about:")
+
+
+def canonicalize(url: str) -> str | None:
+    """Canonical absolute URL, or None if not an http(s) URL."""
+    try:
+        parts = urlsplit(url.strip())
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        return None
+    netloc = parts.netloc.lower()
+    if "@" in netloc:  # userinfo kept as-is, host part lowered
+        userinfo, _, hostport = netloc.rpartition("@")
+        netloc = userinfo + "@" + hostport
+    host, sep, port = netloc.partition(":")
+    if sep and port == _DEFAULT_PORTS.get(scheme):
+        netloc = host
+    path = _resolve_dots(parts.path) or "/"
+    return urlunsplit((scheme, netloc, path, parts.query, ""))
+
+
+def _resolve_dots(path: str) -> str:
+    if "." not in path:
+        return path
+    segments = path.split("/")
+    out: list[str] = []
+    for seg in segments:
+        if seg == ".":
+            continue
+        if seg == "..":
+            if len(out) > 1:
+                out.pop()
+            continue
+        out.append(seg)
+    # preserve trailing slash produced by a final "." / ".."
+    if segments and segments[-1] in (".", "..") and (not out or out[-1] != ""):
+        out.append("")
+    return "/".join(out)
+
+
+def host_of(url: str) -> str:
+    """Lowercased host (no port) of an absolute URL."""
+    netloc = urlsplit(url).netloc.lower()
+    netloc = netloc.rpartition("@")[2]
+    return netloc.partition(":")[0]
+
+
+def get_href(base_url: str, href: str) -> str | None:
+    """Resolve an anchor href against its page URL; None for non-links.
+
+    Mirrors the semantics of the reference's GetHref (common.go:248-306):
+    ``javascript:`` (and other non-fetchable schemes) -> dropped; relative
+    paths (``x``, ``./x``, ``../x``, ``/x``, ``//host/x``) resolved against
+    the base; absolute URLs passed through. Result is canonicalized.
+    """
+    href = href.strip()
+    if not href or href.startswith("#"):
+        return None
+    low = href.lower()
+    for pfx in _SKIP_PREFIXES:
+        if low.startswith(pfx):
+            return None
+    try:
+        resolved = urljoin(base_url, href)
+    except ValueError:
+        return None
+    return canonicalize(resolved)
+
+
+def make_url(base_url: str, path: str) -> str | None:
+    """Path -> absolute URL (reference MakeUrl, common.go:178-196)."""
+    return get_href(base_url, path)
+
+
+def href_sub(url: str, query_suffix: str) -> str:
+    """Append query params to a URL (reference HrefSub, common.go:234-243)."""
+    sep = "&" if "?" in url else "?"
+    return url + sep + query_suffix.lstrip("?&")
+
+
+# --- vectorized wrappers ----------------------------------------------------
+
+
+def canonicalize_array(urls) -> np.ndarray:
+    """Canonicalize an object array of URLs; non-http(s) -> None."""
+    out = np.empty(len(urls), dtype=object)
+    for i, u in enumerate(urls):
+        out[i] = canonicalize(u) if u is not None else None
+    return out
+
+
+def host_array(urls) -> np.ndarray:
+    out = np.empty(len(urls), dtype=object)
+    for i, u in enumerate(urls):
+        out[i] = host_of(u) if u else ""
+    return out

@@ -1,0 +1,121 @@
+"""Arrow schemas and ordering keys for the frontier machinery.
+
+The frontier record mirrors the reference's ``Request``
+(app/downloader/request/request.go:20-43) plus round bookkeeping
+(SURVEY.md §1.7, FIXTURES.md §3).
+
+Ordering (``seq``): the reference pulls highest priority first, FIFO within
+priority (matrix.go:88-124), where FIFO order is enqueue order. Our
+deterministic, distributed-friendly equivalent is a **lexicographic path
+seq**: a seed gets ``%08x(seed_index)``; the k-th request enqueued by a page
+gets ``parent_seq + %08x(k)``. Within a BFS round, enqueue order == sorting
+by ``seq`` (parents were processed in seq order, each parent enqueues in
+document order), so ``sort(priority desc, seq asc)`` reproduces
+priority-then-FIFO without ever assigning a global dense counter — no
+driver-side bottleneck at 10^10 rows.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pyarrow as pa
+
+FRONTIER_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),        # canonical absolute url
+        ("host", pa.string()),
+        ("key", pa.uint64()),        # dedup identity hash64(url\0method\0rule)
+        ("rule", pa.string()),
+        ("method", pa.string()),
+        ("priority", pa.int32()),
+        ("depth", pa.int32()),
+        ("referer", pa.string()),
+        ("anchor", pa.string()),
+        ("seq", pa.string()),        # lexicographic path, 8 hex chars per level
+        ("attempts_done", pa.int32()),
+        ("bypass_dedup", pa.bool_()),
+        ("reloadable", pa.bool_()),
+        ("keyin", pa.string()),
+        ("temp", pa.string()),       # JSON map, mirrors Request.Temp
+    ]
+)
+
+TAGGED_SCHEMA = FRONTIER_SCHEMA.append(pa.field("deferred", pa.bool_()))
+
+LINK_STRUCT = pa.struct(
+    [
+        ("url", pa.string()),
+        ("rule", pa.string()),
+        ("priority", pa.int32()),
+        ("anchor", pa.string()),
+        ("reloadable", pa.bool_()),
+        ("temp", pa.string()),
+    ]
+)
+
+RESULT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("key", pa.uint64()),
+        ("rule", pa.string()),
+        ("method", pa.string()),
+        ("priority", pa.int32()),
+        ("depth", pa.int32()),
+        ("referer", pa.string()),
+        ("seq", pa.string()),
+        ("keyin", pa.string()),
+        ("temp", pa.string()),
+        ("status", pa.int32()),
+        ("ok", pa.bool_()),
+        ("attempts", pa.int32()),
+        ("items", pa.list_(pa.string())),   # JSON-encoded DataCells
+        ("links", pa.list_(LINK_STRUCT)),
+    ]
+)
+
+CRAWL_LOG_SCHEMA = pa.schema(
+    [
+        ("round", pa.int32()),
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("priority", pa.int32()),
+        ("seq", pa.string()),
+        ("depth", pa.int32()),
+        ("ok", pa.bool_()),
+        ("status", pa.int32()),
+        ("attempts", pa.int32()),
+    ]
+)
+
+ITEMS_SCHEMA = pa.schema(
+    [
+        ("rule", pa.string()),
+        ("data", pa.string()),       # JSON object (per-rule dynamic fields)
+        ("url", pa.string()),
+        ("parent_url", pa.string()),
+        ("download_time", pa.string()),
+        ("round", pa.int32()),
+    ]
+)
+
+_VIRTUAL_T0 = datetime(2026, 3, 15)
+
+
+def seed_seq(i: int) -> str:
+    return f"{i:08x}"
+
+
+def child_seq(parent_seq: str, ordinal: int) -> str:
+    return parent_seq + f"{ordinal:08x}"
+
+
+def virtual_download_time(round_idx: int, round_virtual_sec: float) -> str:
+    """Deterministic per-round DownloadTime (replaces wall-clock,
+    data/data.go:37-45's DownloadTime column)."""
+    return (_VIRTUAL_T0 + timedelta(seconds=round_idx * round_virtual_sec)).isoformat()
+
+
+def empty_table(schema: pa.Schema) -> pa.Table:
+    return schema.empty_table()

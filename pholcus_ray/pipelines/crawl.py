@@ -1,0 +1,590 @@
+"""The crawl engine: a deterministic BFS frontier loop over Ray Data.
+
+Reference parity — this is the Ray-Data-native replacement for the whole of
+Pholcus's scheduler/crawler machinery (SURVEY.md §3.1 steps 4-9,
+§2.8 "frontier loop = unbounded stream with quiescence detection"):
+
+- frontier = a Dataset per BFS round (round-based determinism replaces the
+  reference's wall-clock arrival order, SURVEY.md §7.4.2)
+- dedup = groupby(key) winner + sharded seen-set actors (matrix.go:81-86)
+- ordering = (priority desc, seq asc) — matrix.go:88-124 semantics
+- politeness/robots = two-stage salted per-host caps (north_rule upgrade)
+- quota = ``limit`` head of the globally ordered schedule (maxPage,
+  matrix.go:59-61, spider.go:241-249)
+- failure requeue exactly once at drain (matrix.go:172-204), then permanent
+  failures persist (FailureInherit semantics, matrix.go:207-218)
+- quiescence: stop when nothing is scheduled and failures were requeued
+
+Every round writes its outputs (result/items/crawl_log/failures/deferred)
+plus a seen-set delta to ``workdir/rounds/round_NNNNN`` and marks the round
+with ``_COMPLETE.json`` — per-partition lineage. ``resume=True`` restarts
+from the last complete round: incomplete round dirs are discarded, seen
+shards are rebuilt from the deltas, and the loop continues bit-identically
+(tested in tests/test_resume.py).
+
+Scale notes: round state that crosses the loop boundary lives in Parquet,
+never pinned in the object store; the html column exists only inside the
+fused fetch+parse stage; per-round shuffles are groupby(key) (dedup) and
+groupby(host_salt)/groupby(host) (politeness) over slim frontier rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..model import FRONTIER_SCHEMA, RESULT_SCHEMA, virtual_download_time
+from ..spiderapi import DEFAULT_SPIDER, Spider
+from ..stages.dedup import SeenFilter, winner_per_key
+from ..stages.fetchparse import FetchParse, corpus_n_buckets
+from ..stages.normalize import explode_links, seeds_to_frontier
+from ..stages.schedule import RobotsSalt, Stage1Cap, Stage2Cap
+from ..state.hostpolicy import HostPolicy
+from ..state.seen import ShardedSeen
+
+
+@dataclass
+class CrawlConfig:
+    corpus_dir: str
+    workdir: str
+    spider: Spider = field(default_factory=lambda: DEFAULT_SPIDER)
+    keyins: list[str] = field(default_factory=list)
+    seen_mode: str = "exact"          # "exact" | "cuckoo"
+    num_shards: int = 8
+    capacity_per_shard: int = 1 << 20
+    try_times: int = 3                # reference TryTimes default (request.go:48)
+    round_virtual_sec: float = 16.0   # politeness budget per round
+    default_delay_sec: float = 1.0
+    salt_buckets: int = 8
+    limit: int | None = None          # maxPage quota (matrix.go:59-61)
+    max_rounds: int = 10_000
+    max_depth: int | None = None
+    fetch_concurrency: int = 4
+    fetch_batch_size: int = 256
+    obey_robots: bool = True
+    resume: bool = True
+
+
+@dataclass
+class CrawlSummary:
+    rounds: int
+    fetched_ok: int
+    fetched_fail: int
+    items: int
+    seen_total: int
+    deferred_final: int
+    failures_final: int
+    workdir: str
+    per_round: list[dict]
+
+
+# --- parquet helpers (empty-safe) ------------------------------------------
+
+
+def _nrows(path: str) -> int:
+    if not os.path.isdir(path):
+        return 0
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return n
+
+
+def _has_files(path: str) -> bool:
+    return _nrows(path) > 0
+
+
+def _read(path: str, schema: pa.Schema) -> rd.Dataset:
+    if _has_files(path):
+        return rd.read_parquet(path)
+    return rd.from_arrow(schema.empty_table())
+
+
+def _write(ds: rd.Dataset, path: str, schema: pa.Schema) -> int:
+    """Write a dataset to a fresh dir; guarantee at least schema metadata."""
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    ds.write_parquet(path)
+    n = _nrows(path)
+    if n == 0:
+        pq.write_table(schema.empty_table(), os.path.join(path, "empty.parquet"))
+    return n
+
+
+def _read_table(path: str, schema: pa.Schema, columns=None) -> pa.Table:
+    if _has_files(path):
+        return pads.dataset(path).to_table(columns=columns)
+    t = schema.empty_table()
+    return t.select(columns) if columns else t
+
+
+# --- the loop ---------------------------------------------------------------
+
+
+_TAGGED_SCHEMA = FRONTIER_SCHEMA.append(pa.field("host_salt", pa.string())).append(
+    pa.field("deferred", pa.bool_())
+)
+
+
+def _bool_np(col) -> np.ndarray:
+    return col.to_numpy(zero_copy_only=False).astype(bool)
+
+
+def _sched_filter(t: pa.Table) -> pa.Table:
+    if "deferred" not in t.column_names:
+        return FRONTIER_SCHEMA.empty_table()
+    t = t.filter(pa.array(~_bool_np(t["deferred"])))
+    return t.drop_columns(["deferred", "host_salt"]).select(FRONTIER_SCHEMA.names)
+
+
+def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
+    os.makedirs(cfg.workdir, exist_ok=True)
+    rounds_dir = os.path.join(cfg.workdir, "rounds")
+    os.makedirs(rounds_dir, exist_ok=True)
+
+    policy = HostPolicy.from_robots_parquet(
+        os.path.join(cfg.corpus_dir, "robots.parquet"), cfg.default_delay_sec
+    )
+    policy_ref = ray.put(policy)
+    n_buckets = corpus_n_buckets(cfg.corpus_dir)
+
+    seen = ShardedSeen(cfg.num_shards, cfg.seen_mode, cfg.capacity_per_shard)
+
+    # --- resume or cold start ---
+    state = _restore(cfg, seen, rounds_dir)
+    if state is None:
+        seeds_tbl = pq.read_table(os.path.join(cfg.corpus_dir, "seeds.parquet"))
+        seed_frontier = seeds_to_frontier(
+            seeds_tbl, cfg.spider.entry_rule, cfg.keyins or None
+        )
+        state = {
+            "round": 0,
+            "fetched_ok": 0,
+            "fetched_fail": 0,
+            "items": 0,
+            "failures_requeued": False,
+            "failure_rounds": [],
+            "per_round": [],
+            "seed_frontier": seed_frontier,
+        }
+
+    while state["round"] < cfg.max_rounds:
+        r = state["round"]
+
+        # ---- 1. candidates for this round (cheap slim rows: materialize) ----
+        cands = _candidates(cfg, state, rounds_dir).materialize()
+        if cands.count() == 0:
+            # drain: requeue accumulated failures exactly once, else stop
+            if state["failure_rounds"] and not state["failures_requeued"]:
+                state["failures_requeued"] = True
+                state["requeue_now"] = list(state["failure_rounds"])
+                state["failure_rounds"] = []
+                state.pop("seed_frontier", None)
+                continue
+            break
+
+        rdir = os.path.join(rounds_dir, f"round_{r:05d}")
+        if os.path.isdir(rdir):
+            shutil.rmtree(rdir)  # incomplete leftovers from a killed run
+        os.makedirs(rdir)
+
+        # ---- 2. dedup + robots + politeness (tagged frontier) ----
+        _s1 = Stage1Cap(policy_ref, cfg.round_virtual_sec)
+        _s2 = Stage2Cap(policy_ref, cfg.round_virtual_sec)
+
+        def stage1_cap(g, _s1=_s1):
+            return _s1(g)
+
+        def stage2_cap(g, _s2=_s2):
+            return _s2(g)
+
+        tagged = (
+            cands.groupby("key")
+            .map_groups(winner_per_key, batch_format="pandas")
+            .map_batches(
+                SeenFilter(seen), batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
+            )
+            .map_batches(
+                RobotsSalt(policy_ref, cfg.salt_buckets, cfg.obey_robots),
+                batch_format="pyarrow",
+            )
+            .groupby("host_salt")
+            .map_groups(stage1_cap, batch_format="pandas")
+            .groupby("host")
+            .map_groups(stage2_cap, batch_format="pandas")
+        )
+        tagged_dir = os.path.join(rdir, "frontier")
+        _write(tagged, tagged_dir, _TAGGED_SCHEMA)
+
+        sched = _read(tagged_dir, _TAGGED_SCHEMA).map_batches(
+            _sched_filter, batch_format="pyarrow"
+        )
+        # ---- 3. limit quota: head of the global (priority, seq) order ----
+        if cfg.limit is not None:
+            remaining = cfg.limit - state["fetched_ok"] - state["fetched_fail"]
+            if remaining <= 0:
+                shutil.rmtree(rdir)
+                break
+            sched = sched.sort(["priority", "seq"], descending=[True, False]).limit(
+                remaining
+            )
+
+        # ---- 4. fused fetch + parse (actor pool) ----
+        result = sched.map_batches(
+            FetchParse,
+            fn_constructor_kwargs=dict(
+                corpus_dir=cfg.corpus_dir,
+                spider=cfg.spider,
+                n_buckets=n_buckets,
+                try_times=cfg.try_times,
+                download_time=virtual_download_time(r, cfg.round_virtual_sec),
+            ),
+            batch_format="pyarrow",
+            batch_size=cfg.fetch_batch_size,
+            concurrency=cfg.fetch_concurrency,
+        )
+        result_dir = os.path.join(rdir, "result")
+        n_sched = _write(result, result_dir, RESULT_SCHEMA)
+
+        # ---- 5. derive per-round outputs from the result table ----
+        res = _read(result_dir, RESULT_SCHEMA)
+        crawl_log = res.map_batches(
+            _make_crawl_log_fn(r), batch_format="pyarrow"
+        )
+        _write(crawl_log, os.path.join(rdir, "crawl_log"), _crawl_log_schema())
+
+        items = res.map_batches(_make_items_fn(r, cfg), batch_format="pyarrow")
+        n_items = _write(items, os.path.join(rdir, "items"), _items_schema())
+
+        failures = res.map_batches(_failures_fn, batch_format="pyarrow")
+        n_fail = _write(failures, os.path.join(rdir, "failures"), FRONTIER_SCHEMA)
+
+        n_ok = n_sched and _count_ok(result_dir)
+        state["fetched_ok"] += n_ok
+        state["fetched_fail"] += n_fail
+        state["items"] += n_items
+        if n_fail:
+            state["failure_rounds"].append(r)
+
+        n_deferred = _nrows(tagged_dir) and _count_deferred(tagged_dir)
+
+        # ---- 6. checkpoint: seen delta + round meta ----
+        n_new_seen = seen.dump_deltas(os.path.join(rdir, "seen_delta"))
+        meta = {
+            "round": r,
+            "scheduled": n_sched,
+            "ok": n_ok,
+            "fail": n_fail,
+            "items": n_items,
+            "deferred": n_deferred,
+            "new_seen": n_new_seen,
+            "fetched_ok_total": state["fetched_ok"],
+            "fetched_fail_total": state["fetched_fail"],
+            "items_total": state["items"],
+            "failures_requeued": state["failures_requeued"],
+            "failure_rounds": state["failure_rounds"],
+        }
+        state["per_round"].append(meta)
+        with open(os.path.join(rdir, "_COMPLETE.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+
+        state["round"] = r + 1
+        state.pop("seed_frontier", None)
+        state.pop("requeue_now", None)
+
+        # ---- 7. quiescence (CanStop semantics, matrix.go:172-204) ----
+        # scheduled == 0 with candidates present means everything was
+        # dedup/robots-dropped; the next iteration's empty-candidate check
+        # handles drain + failure requeue uniformly.
+        if cfg.limit is not None and state["fetched_ok"] + state["fetched_fail"] >= cfg.limit:
+            break
+
+    return _finalize(cfg, state, seen, rounds_dir)
+
+
+def _candidates(cfg: CrawlConfig, state: dict, rounds_dir: str) -> rd.Dataset:
+    """Build this round's candidate frontier dataset (lazy)."""
+    if "seed_frontier" in state:
+        ds = rd.from_arrow(state["seed_frontier"])
+    elif "requeue_now" in state:
+        # failure requeue-once: all accumulated failures, dedup bypassed
+        paths = [
+            os.path.join(rounds_dir, f"round_{fr:05d}", "failures")
+            for fr in state["requeue_now"]
+        ]
+        parts = [_read_table(p, FRONTIER_SCHEMA) for p in paths]
+        tbl = pa.concat_tables([p for p in parts if p.num_rows > 0] or [FRONTIER_SCHEMA.empty_table()])
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("bypass_dedup"),
+            "bypass_dedup",
+            pa.array([True] * tbl.num_rows, pa.bool_()),
+        )
+        ds = rd.from_arrow(tbl)
+    else:
+        prev = os.path.join(rounds_dir, f"round_{state['round'] - 1:05d}")
+        links = _read(os.path.join(prev, "result"), RESULT_SCHEMA).map_batches(
+            explode_links, batch_format="pyarrow"
+        )
+        if cfg.max_depth is not None:
+            links = links.map_batches(
+                lambda t: t.filter(pa.array(t["depth"].to_numpy(zero_copy_only=False) <= cfg.max_depth)),
+                batch_format="pyarrow",
+            )
+        deferred = _read(os.path.join(prev, "frontier"), FRONTIER_SCHEMA).map_batches(
+            _deferred_carry, batch_format="pyarrow"
+        )
+        ds = links.union(deferred)
+    return ds
+
+
+def _deferred_carry(t: pa.Table) -> pa.Table:
+    if "deferred" not in t.column_names:
+        return FRONTIER_SCHEMA.empty_table()
+    t = t.filter(pa.array(_bool_np(t["deferred"])))
+    t = t.drop_columns(["deferred", "host_salt"]).select(FRONTIER_SCHEMA.names)
+    # deferred rows are already in the seen set: bypass dedup next round
+    idx = t.schema.get_field_index("bypass_dedup")
+    return t.set_column(idx, "bypass_dedup", pa.array([True] * t.num_rows, pa.bool_()))
+
+
+def _count_ok(result_dir: str) -> int:
+    t = _read_table(result_dir, RESULT_SCHEMA, columns=["ok"])
+    return int(_bool_np(t["ok"]).sum()) if t.num_rows else 0
+
+
+def _count_deferred(tagged_dir: str) -> int:
+    ds = pads.dataset(tagged_dir)
+    if "deferred" not in ds.schema.names:
+        return 0
+    t = ds.to_table(columns=["deferred"])
+    return int(_bool_np(t["deferred"]).sum()) if t.num_rows else 0
+
+
+def _crawl_log_schema():
+    from ..model import CRAWL_LOG_SCHEMA
+
+    return CRAWL_LOG_SCHEMA
+
+
+def _items_schema():
+    from ..model import ITEMS_SCHEMA
+
+    return ITEMS_SCHEMA
+
+
+def _make_crawl_log_fn(round_idx: int):
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "round": pa.array(np.full(t.num_rows, round_idx, dtype=np.int32)),
+                "url": t["url"],
+                "host": t["host"],
+                "priority": t["priority"],
+                "seq": t["seq"],
+                "depth": t["depth"],
+                "ok": t["ok"],
+                "status": t["status"],
+                "attempts": t["attempts"],
+            },
+            schema=_crawl_log_schema(),
+        )
+
+    return fn
+
+
+def _make_items_fn(round_idx: int, cfg: CrawlConfig):
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        items = t["items"]
+        if isinstance(items, pa.ChunkedArray):
+            items = items.combine_chunks()
+        flat = pc.list_flatten(items)
+        parents = pc.list_parent_indices(items).to_numpy(zero_copy_only=False)
+        urls = t["url"].to_pylist()
+        refs = t["referer"].to_pylist()
+        rules = t["rule"].to_pylist()
+        dt = virtual_download_time(round_idx, cfg.round_virtual_sec)
+        return pa.table(
+            {
+                "rule": pa.array([rules[p] for p in parents], pa.string()),
+                "data": flat,
+                "url": pa.array([urls[p] for p in parents], pa.string()),
+                "parent_url": pa.array([refs[p] for p in parents], pa.string()),
+                "download_time": pa.array([dt] * len(parents), pa.string()),
+                "round": pa.array(np.full(len(parents), round_idx, dtype=np.int32)),
+            },
+            schema=_items_schema(),
+        )
+
+    return fn
+
+
+def _failures_fn(t: pa.Table) -> pa.Table:
+    """Failed fetches back into frontier shape (attempts carried forward)."""
+    bad = t.filter(pa.array(~_bool_np(t["ok"])))
+    n = bad.num_rows
+    return pa.table(
+        {
+            "url": bad["url"],
+            "host": bad["host"],
+            "key": bad["key"],
+            "rule": bad["rule"],
+            "method": bad["method"],
+            "priority": bad["priority"],
+            "depth": bad["depth"],
+            "referer": bad["referer"],
+            "anchor": pa.array([""] * n, pa.string()),
+            "seq": bad["seq"],
+            "attempts_done": bad["attempts"],
+            "bypass_dedup": pa.array([True] * n, pa.bool_()),
+            "reloadable": pa.array([False] * n, pa.bool_()),
+            "keyin": bad["keyin"],
+            "temp": bad["temp"],
+        },
+        schema=FRONTIER_SCHEMA,
+    )
+
+
+# --- resume -----------------------------------------------------------------
+
+
+def _restore(cfg: CrawlConfig, seen: ShardedSeen, rounds_dir: str) -> dict | None:
+    if not cfg.resume:
+        return None
+    complete = []
+    if os.path.isdir(rounds_dir):
+        for d in sorted(os.listdir(rounds_dir)):
+            if os.path.exists(os.path.join(rounds_dir, d, "_COMPLETE.json")):
+                complete.append(d)
+            else:
+                break  # stop at the first incomplete round
+    if not complete:
+        return None
+    last = complete[-1]
+    with open(os.path.join(rounds_dir, last, "_COMPLETE.json")) as f:
+        meta = json.load(f)
+    seen.restore_deltas(
+        [os.path.join(rounds_dir, d, "seen_delta") for d in complete]
+    )
+    return {
+        "round": meta["round"] + 1,
+        "fetched_ok": meta["fetched_ok_total"],
+        "fetched_fail": meta["fetched_fail_total"],
+        "items": meta["items_total"],
+        "failures_requeued": meta["failures_requeued"],
+        "failure_rounds": list(meta["failure_rounds"]),
+        "per_round": [meta],
+    }
+
+
+# --- finalize ---------------------------------------------------------------
+
+
+def _finalize(cfg: CrawlConfig, state: dict, seen: ShardedSeen,
+              rounds_dir: str) -> CrawlSummary:
+    final_dir = os.path.join(cfg.workdir, "final")
+    os.makedirs(final_dir, exist_ok=True)
+
+    if cfg.seen_mode == "exact":
+        keys = seen.all_keys()
+        pq.write_table(
+            pa.table({"key": pa.array(keys, pa.uint64())}),
+            os.path.join(final_dir, "url_seen.parquet"),
+        )
+    seen_total = seen.total()
+
+    # permanent failures = failure rows of rounds after (or without) requeue
+    fail_tables = [
+        _read_table(os.path.join(rounds_dir, f"round_{fr:05d}", "failures"), FRONTIER_SCHEMA)
+        for fr in state["failure_rounds"]
+    ]
+    fail_tbl = (
+        pa.concat_tables([t for t in fail_tables if t.num_rows] or [FRONTIER_SCHEMA.empty_table()])
+    )
+    pq.write_table(fail_tbl, os.path.join(final_dir, "failures.parquet"))
+
+    deferred_final = 0
+    summary = CrawlSummary(
+        rounds=state["round"],
+        fetched_ok=state["fetched_ok"],
+        fetched_fail=state["fetched_fail"],
+        items=state["items"],
+        seen_total=seen_total,
+        deferred_final=deferred_final,
+        failures_final=fail_tbl.num_rows,
+        workdir=cfg.workdir,
+        per_round=state["per_round"],
+    )
+    with open(os.path.join(final_dir, "summary.json"), "w") as f:
+        json.dump(
+            {k: v for k, v in summary.__dict__.items() if k != "per_round"},
+            f,
+            indent=2,
+        )
+    return summary
+
+
+# --- output readers ---------------------------------------------------------
+
+
+def load_crawl_log(workdir: str) -> pa.Table:
+    from ..model import CRAWL_LOG_SCHEMA
+
+    t = _read_table(os.path.join(workdir, "rounds"), CRAWL_LOG_SCHEMA)
+    return t
+
+
+def crawl_log_table(workdir: str) -> pa.Table:
+    """All rounds' crawl_log in deterministic crawl order."""
+    import glob
+
+    from ..model import CRAWL_LOG_SCHEMA
+
+    parts = []
+    for d in sorted(glob.glob(os.path.join(workdir, "rounds", "round_*", "crawl_log"))):
+        t = _read_table(d, CRAWL_LOG_SCHEMA)
+        if t.num_rows:
+            parts.append(t)
+    if not parts:
+        return CRAWL_LOG_SCHEMA.empty_table()
+    t = pa.concat_tables(parts)
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(
+        t,
+        sort_keys=[("round", "ascending"), ("priority", "descending"), ("seq", "ascending")],
+    )
+    return t.take(order)
+
+
+def items_table(workdir: str) -> pa.Table:
+    import glob
+
+    from ..model import ITEMS_SCHEMA
+
+    parts = []
+    for d in sorted(glob.glob(os.path.join(workdir, "rounds", "round_*", "items"))):
+        t = _read_table(d, ITEMS_SCHEMA)
+        if t.num_rows:
+            parts.append(t)
+    if not parts:
+        return ITEMS_SCHEMA.empty_table()
+    return pa.concat_tables(parts)
+
+
+def url_seen_keys(workdir: str) -> np.ndarray:
+    t = pq.read_table(os.path.join(workdir, "final", "url_seen.parquet"))
+    return t["key"].to_numpy()

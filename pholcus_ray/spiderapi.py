@@ -1,0 +1,211 @@
+"""Spider / Rule / RuleContext — the user-extension surface.
+
+Reference parity (SURVEY.md §1.4, §2.9, §2.10): a Pholcus spider is a named
+pipeline definition — ``RuleTree.Root`` seeds the frontier and
+``Trunk[name].ParseFunc(ctx)`` is the per-page transform; rules enqueue child
+requests tagged with the next rule's name (``ctx.AddQueue``,
+context.go:104-125) and emit items (``ctx.Output``, context.go:214-241) with
+per-rule dynamic schemas; three default columns Url/ParentUrl/DownloadTime
+are appended unless ``NotDefaultField`` (spider.go:34, context.go:236-241).
+
+Here a rule's ``parse(ctx)`` runs per page INSIDE a fetch+parse
+``map_batches`` stage (HTML parsing is inherently per-document; the regex
+machinery underneath is compiled C). The context accumulates
+``(items, requests, files)``, which the stage returns as Arrow list columns —
+no cross-stage mutable state, no channels.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Callable
+
+from .functions import textops, urlnorm
+
+
+@dataclass
+class LinkRequest:
+    """A child request enqueued by a rule (mirrors Request, request.go:20-43)."""
+
+    url: str               # canonical absolute url
+    rule: str = "page"
+    priority: int = 0
+    anchor: str = ""
+    reloadable: bool = False
+    temp: str = ""         # JSON-encoded per-request carry-through state
+
+
+class RuleContext:
+    """Per-page context handed to a rule's parse function.
+
+    Offers the same verbs as the reference's ctx (context.go): GetUrl/
+    GetHost/GetText/GetDom-ish helpers, SetTemp/GetTemp, Output, AddQueue,
+    FileOutput — accumulating outputs instead of pushing to channels.
+    """
+
+    def __init__(self, url: str, referer: str, rule: str, depth: int,
+                 html_bytes: bytes, temp: str = "", keyin: str = "",
+                 download_time: str = ""):
+        self.url = url
+        self.referer = referer
+        self.rule = rule
+        self.depth = depth
+        self.html_bytes = html_bytes
+        self.keyin = keyin
+        self.download_time = download_time
+        self._temp: dict = json.loads(temp) if temp else {}
+        self._text: str | None = None
+        self._doc: str | None = None
+        self.items: list[dict] = []
+        self.requests: list[LinkRequest] = []
+        self.files: list[tuple[str, bytes]] = []
+
+    # --- lazy projections (reference context.go:612-644) ---
+
+    @property
+    def doc(self) -> str:
+        """Decoded html (lazy, cached) — the GetDom/GetText substrate."""
+        if self._doc is None:
+            self._doc = textops.to_text(self.html_bytes)
+        return self._doc
+
+    @property
+    def text(self) -> str:
+        """Extracted text (lazy, cached) — byte-identical invariant."""
+        if self._text is None:
+            self._text = textops.extract_text(self.html_bytes)
+        return self._text
+
+    def title(self) -> str:
+        return textops.extract_title(self.doc)
+
+    def links(self) -> list[tuple[str, str]]:
+        """Resolved, canonicalized (url, anchor) pairs in document order;
+        javascript:/mailto:/fragment-only links dropped (GetHref parity)."""
+        out = []
+        for href, anchor in textops.extract_links(self.doc):
+            u = urlnorm.get_href(self.url, href)
+            if u is not None:
+                out.append((u, anchor))
+        return out
+
+    # --- temp state (context.go:304-307, 542-558) ---
+
+    def set_temp(self, key: str, value) -> None:
+        self._temp[key] = value
+
+    def get_temp(self, key: str, default=None):
+        return self._temp.get(key, default)
+
+    def temp_json(self) -> str:
+        return json.dumps(self._temp, sort_keys=True) if self._temp else ""
+
+    # --- outputs (context.go:214-247) ---
+
+    def output(self, item: dict) -> None:
+        self.items.append(item)
+
+    def file_output(self, name: str, data: bytes) -> None:
+        self.files.append((name, data))
+
+    def add_queue(self, url: str, rule: str | None = None, priority: int = 0,
+                  anchor: str = "", reloadable: bool = False,
+                  temp: dict | None = None) -> None:
+        """Enqueue a child request (ctx.AddQueue, context.go:104-125).
+        Relative urls are resolved against the page url."""
+        resolved = urlnorm.get_href(self.url, url)
+        if resolved is None:
+            return
+        self.requests.append(
+            LinkRequest(
+                url=resolved,
+                rule=rule or self.rule,
+                priority=max(0, int(priority)),
+                anchor=anchor,
+                reloadable=reloadable,
+                temp=json.dumps(temp, sort_keys=True) if temp else "",
+            )
+        )
+
+
+@dataclass
+class Rule:
+    """One parse node (reference Rule, spider.go:43-58)."""
+
+    parse: Callable[[RuleContext], None]
+    item_fields: list[str] = field(default_factory=list)
+
+
+@dataclass
+class Spider:
+    """A named pipeline definition (reference Spider, spider.go:26-59)."""
+
+    name: str
+    rules: dict[str, Rule]
+    entry_rule: str = "page"
+    not_default_field: bool = False  # spider.go:34: suppress Url/ParentUrl/DownloadTime
+
+    def run_rule(self, ctx: RuleContext) -> None:
+        rule = self.rules[ctx.rule]
+        rule.parse(ctx)
+
+    def finalize_item(self, ctx: RuleContext, item: dict) -> str:
+        """Append default columns + stable JSON encoding (context.go:236-241)."""
+        out = dict(item)
+        if not self.not_default_field:
+            out["Url"] = ctx.url
+            out["ParentUrl"] = ctx.referer
+            out["DownloadTime"] = ctx.download_time
+        return json.dumps(out, sort_keys=True, ensure_ascii=False)
+
+
+# --- registry (reference species.go:25-38) ---------------------------------
+
+_REGISTRY: dict[str, Spider] = {}
+
+
+def register(spider: Spider) -> Spider:
+    _REGISTRY[spider.name] = spider
+    return spider
+
+
+def get_spider(name: str) -> Spider:
+    return _REGISTRY[name]
+
+
+def list_spiders() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+# --- the default spider: full-site text+link extraction --------------------
+
+
+def _parse_page(ctx: RuleContext) -> None:
+    """Default rule: emit (title, text, lang-ish stats) and follow all links.
+
+    Link priority mirrors a common hub/detail split: links pointing at a
+    host's root page (/p/0) get priority 1, others 0 — exercising the
+    priority queue (matrix.go:88-124 semantics).
+    """
+    title = ctx.title()
+    text = ctx.text
+    ctx.output(
+        {
+            "title": title,
+            "text": text,
+            "n_chars": len(text),
+            "n_links": 0,  # patched below after links are computed
+        }
+    )
+    links = ctx.links()
+    ctx.items[-1]["n_links"] = len(links)
+    for url, anchor in links:
+        pr = 1 if url.endswith("/p/0") else 0
+        ctx.add_queue(url, rule="page", priority=pr, anchor=anchor)
+
+
+DEFAULT_SPIDER = register(
+    Spider(name="site_text", rules={"page": Rule(parse=_parse_page,
+                                                item_fields=["title", "text", "n_chars", "n_links"])})
+)
