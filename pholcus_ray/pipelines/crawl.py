@@ -72,6 +72,7 @@ class CrawlConfig:
     fetch_batch_size: int = 256
     obey_robots: bool = True
     resume: bool = True
+    fetch_use_actors: bool = False  # True: actor pool (stateful HTTP shape)
 
 
 @dataclass
@@ -153,6 +154,19 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
     os.makedirs(cfg.workdir, exist_ok=True)
     rounds_dir = os.path.join(cfg.workdir, "rounds")
     os.makedirs(rounds_dir, exist_ok=True)
+    with open(os.path.join(cfg.workdir, "run_config.json"), "w") as f:
+        json.dump(
+            {
+                "corpus_dir": cfg.corpus_dir,
+                "round_virtual_sec": cfg.round_virtual_sec,
+                "default_delay_sec": cfg.default_delay_sec,
+                "seen_mode": cfg.seen_mode,
+                "num_shards": cfg.num_shards,
+                "limit": cfg.limit,
+            },
+            f,
+            indent=2,
+        )
 
     policy = HostPolicy.from_robots_parquet(
         os.path.join(cfg.corpus_dir, "robots.parquet"), cfg.default_delay_sec
@@ -241,37 +255,45 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
                 remaining
             )
 
-        # ---- 4. fused fetch + parse (actor pool) ----
-        result = sched.map_batches(
-            FetchParse,
-            fn_constructor_kwargs=dict(
-                corpus_dir=cfg.corpus_dir,
-                spider=cfg.spider,
-                n_buckets=n_buckets,
-                try_times=cfg.try_times,
-                download_time=virtual_download_time(r, cfg.round_virtual_sec),
-            ),
-            batch_format="pyarrow",
-            batch_size=cfg.fetch_batch_size,
-            concurrency=cfg.fetch_concurrency,
+        # ---- 4. fused fetch + parse ----
+        # Default: stateless tasks (the page-bucket cache is process-global,
+        # so worker reuse still amortizes it; no per-round actor-pool
+        # spin-up). Set fetch_use_actors=True for stateful-fetcher shapes
+        # (HTTP client + cookie jar per actor) — same class either way.
+        fp_kwargs = dict(
+            corpus_dir=cfg.corpus_dir,
+            spider=cfg.spider,
+            n_buckets=n_buckets,
+            try_times=cfg.try_times,
+            download_time=virtual_download_time(r, cfg.round_virtual_sec),
         )
+        if cfg.fetch_use_actors:
+            result = sched.map_batches(
+                FetchParse,
+                fn_constructor_kwargs=fp_kwargs,
+                batch_format="pyarrow",
+                batch_size=cfg.fetch_batch_size,
+                concurrency=cfg.fetch_concurrency,
+            )
+        else:
+            _fp = FetchParse(**fp_kwargs)
+
+            def fetch_parse(batch, _fp=_fp):
+                return _fp(batch)
+
+            result = sched.map_batches(
+                fetch_parse, batch_format="pyarrow", batch_size=cfg.fetch_batch_size
+            )
         result_dir = os.path.join(rdir, "result")
         n_sched = _write(result, result_dir, RESULT_SCHEMA)
 
-        # ---- 5. derive per-round outputs from the result table ----
-        res = _read(result_dir, RESULT_SCHEMA)
-        crawl_log = res.map_batches(
-            _make_crawl_log_fn(r), batch_format="pyarrow"
-        )
-        _write(crawl_log, os.path.join(rdir, "crawl_log"), _crawl_log_schema())
-
-        items = res.map_batches(_make_items_fn(r, cfg), batch_format="pyarrow")
-        n_items = _write(items, os.path.join(rdir, "items"), _items_schema())
-
-        failures = res.map_batches(_failures_fn, batch_format="pyarrow")
-        n_fail = _write(failures, os.path.join(rdir, "failures"), FRONTIER_SCHEMA)
-
-        n_ok = n_sched and _count_ok(result_dir)
+        # ---- 5. per-round accounting from the result lineage ----
+        # items / crawl_log / failures are PROJECTIONS of result.parquet —
+        # derived lazily (items_table / crawl_log_table / failure rows at
+        # requeue) instead of three extra dataset executions per round.
+        n_ok = _count_ok(result_dir) if n_sched else 0
+        n_fail = n_sched - n_ok
+        n_items = _count_items(result_dir) if n_sched else 0
         state["fetched_ok"] += n_ok
         state["fetched_fail"] += n_fail
         state["items"] += n_items
@@ -319,18 +341,9 @@ def _candidates(cfg: CrawlConfig, state: dict, rounds_dir: str) -> rd.Dataset:
     if "seed_frontier" in state:
         ds = rd.from_arrow(state["seed_frontier"])
     elif "requeue_now" in state:
-        # failure requeue-once: all accumulated failures, dedup bypassed
-        paths = [
-            os.path.join(rounds_dir, f"round_{fr:05d}", "failures")
-            for fr in state["requeue_now"]
-        ]
-        parts = [_read_table(p, FRONTIER_SCHEMA) for p in paths]
-        tbl = pa.concat_tables([p for p in parts if p.num_rows > 0] or [FRONTIER_SCHEMA.empty_table()])
-        tbl = tbl.set_column(
-            tbl.schema.get_field_index("bypass_dedup"),
-            "bypass_dedup",
-            pa.array([True] * tbl.num_rows, pa.bool_()),
-        )
+        # failure requeue-once: failed rows of the accumulated failure
+        # rounds, re-derived from the result lineage, dedup bypassed
+        tbl = _failure_rows(rounds_dir, state["requeue_now"])
         ds = rd.from_arrow(tbl)
     else:
         prev = os.path.join(rounds_dir, f"round_{state['round'] - 1:05d}")
@@ -364,6 +377,15 @@ def _count_ok(result_dir: str) -> int:
     return int(_bool_np(t["ok"]).sum()) if t.num_rows else 0
 
 
+def _count_items(result_dir: str) -> int:
+    import pyarrow.compute as pc
+
+    t = _read_table(result_dir, RESULT_SCHEMA, columns=["items"])
+    if t.num_rows == 0:
+        return 0
+    return int(pc.sum(pc.list_value_length(t["items"])).as_py() or 0)
+
+
 def _count_deferred(tagged_dir: str) -> int:
     ds = pads.dataset(tagged_dir)
     if "deferred" not in ds.schema.names:
@@ -372,64 +394,50 @@ def _count_deferred(tagged_dir: str) -> int:
     return int(_bool_np(t["deferred"]).sum()) if t.num_rows else 0
 
 
-def _crawl_log_schema():
+def _result_to_crawl_log(t: pa.Table, round_idx: int) -> pa.Table:
     from ..model import CRAWL_LOG_SCHEMA
 
-    return CRAWL_LOG_SCHEMA
+    return pa.table(
+        {
+            "round": pa.array(np.full(t.num_rows, round_idx, dtype=np.int32)),
+            "url": t["url"],
+            "host": t["host"],
+            "priority": t["priority"],
+            "seq": t["seq"],
+            "depth": t["depth"],
+            "ok": t["ok"],
+            "status": t["status"],
+            "attempts": t["attempts"],
+        },
+        schema=CRAWL_LOG_SCHEMA,
+    )
 
 
-def _items_schema():
-    from ..model import ITEMS_SCHEMA
-
-    return ITEMS_SCHEMA
-
-
-def _make_crawl_log_fn(round_idx: int):
-    def fn(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "round": pa.array(np.full(t.num_rows, round_idx, dtype=np.int32)),
-                "url": t["url"],
-                "host": t["host"],
-                "priority": t["priority"],
-                "seq": t["seq"],
-                "depth": t["depth"],
-                "ok": t["ok"],
-                "status": t["status"],
-                "attempts": t["attempts"],
-            },
-            schema=_crawl_log_schema(),
-        )
-
-    return fn
-
-
-def _make_items_fn(round_idx: int, cfg: CrawlConfig):
+def _result_to_items(t: pa.Table, round_idx: int, round_virtual_sec: float) -> pa.Table:
     import pyarrow.compute as pc
 
-    def fn(t: pa.Table) -> pa.Table:
-        items = t["items"]
-        if isinstance(items, pa.ChunkedArray):
-            items = items.combine_chunks()
-        flat = pc.list_flatten(items)
-        parents = pc.list_parent_indices(items).to_numpy(zero_copy_only=False)
-        urls = t["url"].to_pylist()
-        refs = t["referer"].to_pylist()
-        rules = t["rule"].to_pylist()
-        dt = virtual_download_time(round_idx, cfg.round_virtual_sec)
-        return pa.table(
-            {
-                "rule": pa.array([rules[p] for p in parents], pa.string()),
-                "data": flat,
-                "url": pa.array([urls[p] for p in parents], pa.string()),
-                "parent_url": pa.array([refs[p] for p in parents], pa.string()),
-                "download_time": pa.array([dt] * len(parents), pa.string()),
-                "round": pa.array(np.full(len(parents), round_idx, dtype=np.int32)),
-            },
-            schema=_items_schema(),
-        )
+    from ..model import ITEMS_SCHEMA
 
-    return fn
+    items = t["items"]
+    if isinstance(items, pa.ChunkedArray):
+        items = items.combine_chunks()
+    flat = pc.list_flatten(items)
+    parents = pc.list_parent_indices(items).to_numpy(zero_copy_only=False)
+    urls = t["url"].to_pylist()
+    refs = t["referer"].to_pylist()
+    rules = t["rule"].to_pylist()
+    dt = virtual_download_time(round_idx, round_virtual_sec)
+    return pa.table(
+        {
+            "rule": pa.array([rules[p] for p in parents], pa.string()),
+            "data": flat,
+            "url": pa.array([urls[p] for p in parents], pa.string()),
+            "parent_url": pa.array([refs[p] for p in parents], pa.string()),
+            "download_time": pa.array([dt] * len(parents), pa.string()),
+            "round": pa.array(np.full(len(parents), round_idx, dtype=np.int32)),
+        },
+        schema=ITEMS_SCHEMA,
+    )
 
 
 def _failures_fn(t: pa.Table) -> pa.Table:
@@ -456,6 +464,22 @@ def _failures_fn(t: pa.Table) -> pa.Table:
         },
         schema=FRONTIER_SCHEMA,
     )
+
+
+def _failure_rows(rounds_dir: str, failure_rounds: list[int]) -> pa.Table:
+    """Failed frontier rows of the given rounds, from the result lineage."""
+    parts = []
+    for fr in failure_rounds:
+        t = _read_table(
+            os.path.join(rounds_dir, f"round_{fr:05d}", "result"), RESULT_SCHEMA
+        )
+        if t.num_rows:
+            f = _failures_fn(t)
+            if f.num_rows:
+                parts.append(f)
+    if not parts:
+        return FRONTIER_SCHEMA.empty_table()
+    return pa.concat_tables(parts)
 
 
 # --- resume -----------------------------------------------------------------
@@ -506,24 +530,17 @@ def _finalize(cfg: CrawlConfig, state: dict, seen: ShardedSeen,
         )
     seen_total = seen.total()
 
-    # permanent failures = failure rows of rounds after (or without) requeue
-    fail_tables = [
-        _read_table(os.path.join(rounds_dir, f"round_{fr:05d}", "failures"), FRONTIER_SCHEMA)
-        for fr in state["failure_rounds"]
-    ]
-    fail_tbl = (
-        pa.concat_tables([t for t in fail_tables if t.num_rows] or [FRONTIER_SCHEMA.empty_table()])
-    )
+    # permanent failures = failure rows never absorbed by the requeue round
+    fail_tbl = _failure_rows(rounds_dir, state["failure_rounds"])
     pq.write_table(fail_tbl, os.path.join(final_dir, "failures.parquet"))
 
-    deferred_final = 0
     summary = CrawlSummary(
         rounds=state["round"],
         fetched_ok=state["fetched_ok"],
         fetched_fail=state["fetched_fail"],
         items=state["items"],
         seen_total=seen_total,
-        deferred_final=deferred_final,
+        deferred_final=0,
         failures_final=fail_tbl.num_rows,
         workdir=cfg.workdir,
         per_round=state["per_round"],
@@ -537,32 +554,44 @@ def _finalize(cfg: CrawlConfig, state: dict, seen: ShardedSeen,
     return summary
 
 
-# --- output readers ---------------------------------------------------------
+# --- output readers (projections of the per-round result lineage) -----------
 
 
-def load_crawl_log(workdir: str) -> pa.Table:
-    from ..model import CRAWL_LOG_SCHEMA
+def _round_dirs(workdir: str) -> list[tuple[int, str]]:
+    import glob
+    import re
 
-    t = _read_table(os.path.join(workdir, "rounds"), CRAWL_LOG_SCHEMA)
-    return t
+    out = []
+    for d in sorted(glob.glob(os.path.join(workdir, "rounds", "round_*"))):
+        m = re.search(r"round_(\d+)$", d)
+        if m and os.path.exists(os.path.join(d, "_COMPLETE.json")):
+            out.append((int(m.group(1)), d))
+    return out
+
+
+def _run_round_virtual_sec(workdir: str) -> float:
+    cfg_path = os.path.join(workdir, "run_config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            return float(json.load(f).get("round_virtual_sec", 16.0))
+    return 16.0
 
 
 def crawl_log_table(workdir: str) -> pa.Table:
-    """All rounds' crawl_log in deterministic crawl order."""
-    import glob
+    """All rounds crawl_log in deterministic crawl order (driver-side;
+    use crawl_log_dataset for the streaming path at scale)."""
+    import pyarrow.compute as pc
 
     from ..model import CRAWL_LOG_SCHEMA
 
     parts = []
-    for d in sorted(glob.glob(os.path.join(workdir, "rounds", "round_*", "crawl_log"))):
-        t = _read_table(d, CRAWL_LOG_SCHEMA)
+    for r, d in _round_dirs(workdir):
+        t = _read_table(os.path.join(d, "result"), RESULT_SCHEMA)
         if t.num_rows:
-            parts.append(t)
+            parts.append(_result_to_crawl_log(t, r))
     if not parts:
         return CRAWL_LOG_SCHEMA.empty_table()
     t = pa.concat_tables(parts)
-    import pyarrow.compute as pc
-
     order = pc.sort_indices(
         t,
         sort_keys=[("round", "ascending"), ("priority", "descending"), ("seq", "ascending")],
@@ -571,18 +600,42 @@ def crawl_log_table(workdir: str) -> pa.Table:
 
 
 def items_table(workdir: str) -> pa.Table:
-    import glob
-
     from ..model import ITEMS_SCHEMA
 
+    rvs = _run_round_virtual_sec(workdir)
     parts = []
-    for d in sorted(glob.glob(os.path.join(workdir, "rounds", "round_*", "items"))):
-        t = _read_table(d, ITEMS_SCHEMA)
+    for r, d in _round_dirs(workdir):
+        t = _read_table(os.path.join(d, "result"), RESULT_SCHEMA)
         if t.num_rows:
-            parts.append(t)
+            it = _result_to_items(t, r, rvs)
+            if it.num_rows:
+                parts.append(it)
     if not parts:
         return ITEMS_SCHEMA.empty_table()
     return pa.concat_tables(parts)
+
+
+def items_dataset(workdir: str) -> rd.Dataset:
+    """Streaming items projection over all rounds (scale path)."""
+    rvs = _run_round_virtual_sec(workdir)
+    dss = []
+    for r, d in _round_dirs(workdir):
+        res_dir = os.path.join(d, "result")
+        if _has_files(res_dir):
+            dss.append(
+                rd.read_parquet(res_dir).map_batches(
+                    lambda t, _r=r, _v=rvs: _result_to_items(t, _r, _v),
+                    batch_format="pyarrow",
+                )
+            )
+    if not dss:
+        from ..model import ITEMS_SCHEMA
+
+        return rd.from_arrow(ITEMS_SCHEMA.empty_table())
+    ds = dss[0]
+    for other in dss[1:]:
+        ds = ds.union(other)
+    return ds
 
 
 def url_seen_keys(workdir: str) -> np.ndarray:

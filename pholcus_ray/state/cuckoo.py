@@ -108,9 +108,8 @@ class CuckooFilter:
         for _ in range(self.max_kicks):
             slot = int(self._rng.integers(self.bucket_size))
             cur, self.table[idx, slot] = self.table[idx, slot], cur
-            idx = int(
-                (np.uint64(idx) ^ ((np.uint64(cur) * _FP_MUL) & self._mask))
-                & self._mask
+            idx = (int(idx) ^ ((int(cur) * int(_FP_MUL)) & int(self._mask))) & int(
+                self._mask
             )
             row = self.table[idx]
             empty = np.flatnonzero(row == 0)

@@ -1,0 +1,105 @@
+"""Engine vs sequential oracle: crawl ordering, URL-seen set, items,
+failures — the BASELINE.json north_star correctness gate."""
+
+import shutil
+
+import pandas as pd
+import pytest
+
+from pholcus_ray.pipelines.crawl import (
+    CrawlConfig,
+    crawl_log_table,
+    items_table,
+    run_crawl,
+    url_seen_keys,
+)
+from pholcus_ray.pipelines.oracle import run_oracle
+
+RVS = 64.0  # large virtual round budget -> few rounds -> fast tests
+
+
+@pytest.fixture(scope="module")
+def crawl_pair(ray_session, small_corpus, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("crawl"))
+    shutil.rmtree(wd, ignore_errors=True)
+    cfg = CrawlConfig(
+        corpus_dir=small_corpus, workdir=wd, round_virtual_sec=RVS,
+        fetch_concurrency=2, num_shards=4,
+    )
+    summary = run_crawl(cfg)
+    oracle = run_oracle(small_corpus, round_virtual_sec=RVS)
+    return wd, summary, oracle
+
+
+def _oracle_log_df(oracle):
+    return (
+        pd.DataFrame(oracle.crawl_log)
+        .sort_values(["round", "priority", "seq"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+
+
+def test_crawl_order_matches_oracle(crawl_pair):
+    wd, _, oracle = crawl_pair
+    elog = crawl_log_table(wd).to_pandas()
+    olog = _oracle_log_df(oracle)
+    assert len(elog) == len(olog) > 0
+    for c in ["round", "url", "host", "priority", "seq", "depth", "ok", "status", "attempts"]:
+        assert (elog[c].values == olog[c].values).all(), f"column {c} diverges"
+
+
+def test_url_seen_set_matches_oracle(crawl_pair):
+    wd, summary, oracle = crawl_pair
+    ekeys = url_seen_keys(wd)
+    assert len(ekeys) == len(oracle.url_seen) == summary.seen_total
+    assert (ekeys == oracle.url_seen).all()
+
+
+def test_items_match_oracle_byte_identical(crawl_pair):
+    """Items carry the extracted text -> byte-identical text per url."""
+    wd, summary, oracle = crawl_pair
+    ei = items_table(wd).to_pandas().sort_values(["url", "data"]).reset_index(drop=True)
+    oi = pd.DataFrame(oracle.items).sort_values(["url", "data"]).reset_index(drop=True)
+    assert len(ei) == len(oi) == summary.items > 0
+    assert (ei["data"].values == oi["data"].values).all()
+    assert (ei["url"].values == oi["url"].values).all()
+    assert (ei["parent_url"].values == oi["parent_url"].values).all()
+
+
+def test_failure_semantics(crawl_pair):
+    """Transient urls recover within TryTimes; hard ones recover on the one
+    requeue; permanent 404s land in final failures (matrix.go:144-204)."""
+    wd, summary, oracle = crawl_pair
+    elog = crawl_log_table(wd).to_pandas()
+    # attempts > 1 rows exist (transient markers) and succeeded
+    trans = elog[(elog["attempts"] >= 3) & elog["ok"]]
+    assert len(trans) > 0
+    # permanent failures match oracle count
+    import pyarrow.parquet as pq
+    import os
+
+    fail = pq.read_table(os.path.join(wd, "final", "failures.parquet"))
+    assert fail.num_rows == len(oracle.failures)
+    assert summary.failures_final == len(oracle.failures)
+
+
+def test_politeness_caps_respected(crawl_pair, small_corpus):
+    """No host exceeds its crawl-delay budget in any round."""
+    import os
+
+    from pholcus_ray.state.hostpolicy import HostPolicy
+
+    wd, _, _ = crawl_pair
+    pol = HostPolicy.from_robots_parquet(
+        os.path.join(small_corpus, "robots.parquet"), 1.0
+    )
+    elog = crawl_log_table(wd).to_pandas()
+    per = elog.groupby(["round", "host"]).size()
+    for (rnd, host), n in per.items():
+        assert n <= pol.cap_per_round(host, RVS), (rnd, host, n)
+
+
+def test_robots_disallow_never_fetched(crawl_pair):
+    wd, _, _ = crawl_pair
+    elog = crawl_log_table(wd).to_pandas()
+    assert not elog["url"].str.contains("/private/").any()

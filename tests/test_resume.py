@@ -1,0 +1,70 @@
+"""Checkpoint/resume: a crawl interrupted after k rounds and resumed must
+reproduce the one-shot run's final state exactly (per-partition lineage,
+BASELINE.json north_rule "resumable from checkpoint")."""
+
+import shutil
+
+from pholcus_ray.pipelines.crawl import (
+    CrawlConfig,
+    crawl_log_table,
+    run_crawl,
+    url_seen_keys,
+)
+
+RVS = 64.0
+
+
+def test_resume_reproduces_one_shot(ray_session, small_corpus, tmp_path):
+    wd_full = str(tmp_path / "full")
+    wd_part = str(tmp_path / "part")
+
+    cfg_full = CrawlConfig(
+        corpus_dir=small_corpus, workdir=wd_full, round_virtual_sec=RVS,
+        fetch_concurrency=2, num_shards=4,
+    )
+    s_full = run_crawl(cfg_full)
+
+    # interrupted run: stop after 2 rounds, then resume to completion
+    cfg_part = CrawlConfig(
+        corpus_dir=small_corpus, workdir=wd_part, round_virtual_sec=RVS,
+        fetch_concurrency=2, num_shards=4, max_rounds=2,
+    )
+    s_part = run_crawl(cfg_part)
+    assert s_part.rounds == 2 < s_full.rounds
+
+    cfg_part.max_rounds = 10_000
+    s_res = run_crawl(cfg_part)
+    assert s_res.fetched_ok == s_full.fetched_ok
+    assert s_res.seen_total == s_full.seen_total
+
+    lf = crawl_log_table(wd_full).to_pandas()
+    lr = crawl_log_table(wd_part).to_pandas()
+    assert len(lf) == len(lr)
+    for c in lf.columns:
+        assert (lf[c].values == lr[c].values).all(), c
+
+    kf, kr = url_seen_keys(wd_full), url_seen_keys(wd_part)
+    assert len(kf) == len(kr) and (kf == kr).all()
+
+
+def test_resume_discards_incomplete_round(ray_session, small_corpus, tmp_path):
+    """A round dir without _COMPLETE.json is re-run from scratch."""
+    import os
+
+    wd = str(tmp_path / "dirty")
+    cfg = CrawlConfig(
+        corpus_dir=small_corpus, workdir=wd, round_virtual_sec=RVS,
+        fetch_concurrency=2, num_shards=4, max_rounds=2,
+    )
+    run_crawl(cfg)
+    # simulate a crash mid-round-2: partial dir, no _COMPLETE marker
+    dirty = os.path.join(wd, "rounds", "round_00002")
+    os.makedirs(os.path.join(dirty, "result"), exist_ok=True)
+    with open(os.path.join(dirty, "result", "garbage.txt"), "w") as f:
+        f.write("partial")
+
+    cfg.max_rounds = 10_000
+    s = run_crawl(cfg)
+    assert s.fetched_ok > 0
+    assert os.path.exists(os.path.join(dirty, "_COMPLETE.json"))
+    assert not os.path.exists(os.path.join(dirty, "result", "garbage.txt"))

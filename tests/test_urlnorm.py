@@ -1,0 +1,67 @@
+"""URL canonicalization / link resolution (reference GetHref semantics,
+app/spider/common/common.go:248-306; Prepare(), request.go:64-117)."""
+
+from pholcus_ray.functions.urlnorm import (
+    canonicalize,
+    canonicalize_array,
+    get_href,
+    host_of,
+    href_sub,
+    make_url,
+)
+
+
+def test_canonicalize_basic():
+    assert canonicalize("http://Example.COM/a") == "http://example.com/a"
+    assert canonicalize("HTTP://example.com:80/a") == "http://example.com/a"
+    assert canonicalize("https://example.com:443/a") == "https://example.com/a"
+    assert canonicalize("http://example.com:8080/a") == "http://example.com:8080/a"
+    assert canonicalize("http://example.com") == "http://example.com/"
+    assert canonicalize("http://example.com/a#frag") == "http://example.com/a"
+    assert canonicalize("http://example.com/a?b=1&c=2") == "http://example.com/a?b=1&c=2"
+
+
+def test_canonicalize_dot_segments():
+    assert canonicalize("http://e.com/a/../b") == "http://e.com/b"
+    assert canonicalize("http://e.com/a/./b") == "http://e.com/a/b"
+    assert canonicalize("http://e.com/a/b/../../c") == "http://e.com/c"
+    assert canonicalize("http://e.com/../a") == "http://e.com/a"
+
+
+def test_canonicalize_rejects_non_http():
+    assert canonicalize("ftp://e.com/a") is None
+    assert canonicalize("javascript:void(0)") is None
+    assert canonicalize("not a url") is None
+
+
+def test_get_href_resolution():
+    base = "http://h.com/p/5"
+    assert get_href(base, "/p/7") == "http://h.com/p/7"
+    assert get_href(base, "./7") == "http://h.com/p/7"
+    assert get_href(base, "../p/7") == "http://h.com/p/7"
+    assert get_href(base, "x/y") == "http://h.com/p/x/y"
+    assert get_href(base, "//other.com/z") == "http://other.com/z"
+    assert get_href(base, "https://o.com/z") == "https://o.com/z"
+    assert get_href(base, "?q=1") == "http://h.com/p/5?q=1"
+
+
+def test_get_href_drops_non_links():
+    base = "http://h.com/"
+    assert get_href(base, "javascript:void(0)") is None
+    assert get_href(base, "JavaScript:alert(1)") is None
+    assert get_href(base, "mailto:a@b.com") is None
+    assert get_href(base, "tel:+123") is None
+    assert get_href(base, "#top") is None
+    assert get_href(base, "") is None
+
+
+def test_host_of_and_helpers():
+    assert host_of("http://A.B.com:8080/x") == "a.b.com"
+    assert make_url("http://h.com/a/b", "/c") == "http://h.com/c"
+    assert href_sub("http://h.com/a", "k=v") == "http://h.com/a?k=v"
+    assert href_sub("http://h.com/a?x=1", "k=v") == "http://h.com/a?x=1&k=v"
+
+
+def test_canonicalize_array():
+    out = canonicalize_array(["http://E.com/a", "javascript:x", "http://e.com"])
+    assert list(out) == ["http://e.com/a", None, "http://e.com/"]
