@@ -1,44 +1,250 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship crawl pipeline; ``queries()`` exposes one
+callable per implemented operator/pipeline (SURVEY.md §2 + the
+training-data operators); ``oracle_sql()`` gives the DuckDB-equivalent SQL
+for every SQL-expressible query (same column names, integer-cents tricks
+for float-sum determinism). Ray is initialised by the caller — nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+# ---------------------------------------------------------------------------
+# crawl helpers: per-SF synthetic corpus + memoized crawl run
+# ---------------------------------------------------------------------------
+
+_CRAWL_SCALES = {
+    "sf0.001": (400, 6),
+    "sf0.01": (1500, 12),
+    "sf0.1": (6000, 24),
+}
+
+
+def _sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def _corpus_for(sf_dir: str) -> str:
+    from pholcus_ray.sources.pages import cached_corpus
+
+    n_pages, n_hosts = _CRAWL_SCALES.get(_sf_name(sf_dir), (400, 6))
+    return cached_corpus(n_pages=n_pages, n_hosts=n_hosts)
+
+
+def _crawl_workdir(sf_dir: str) -> str:
+    """Run (or reuse — run_crawl resumes to a no-op on a complete workdir)
+    the crawl for this SF scale and return its workdir."""
+    from pholcus_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    corpus = _corpus_for(sf_dir)
+    wd = os.path.join("/tmp/pholcus_ray_runs", _sf_name(sf_dir))
+    cfg = CrawlConfig(
+        corpus_dir=corpus,
+        workdir=wd,
+        round_virtual_sec=256.0,
+        num_shards=8,
+        fetch_batch_size=512,
+    )
+    run_crawl(cfg)
+    return wd
+
+
+def _q_crawl_log(sf_dir: str):
+    from pholcus_ray.pipelines.crawl import crawl_log_table
+
+    return crawl_log_table(_crawl_workdir(sf_dir))
+
+
+def _q_crawl_items(sf_dir: str):
+    from pholcus_ray.pipelines.crawl import items_table
+
+    t = items_table(_crawl_workdir(sf_dir))
+    # drop the free-text JSON blob ordering sensitivity: stable sort
+    import pyarrow.compute as pc
+
+    return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending"), ("data", "ascending")]))
+
+
+def _q_crawl_url_seen(sf_dir: str):
+    import pyarrow as pa
+
+    from pholcus_ray.pipelines.crawl import url_seen_keys
+
+    return pa.table({"key": pa.array(url_seen_keys(_crawl_workdir(sf_dir)))})
+
+
+def _q_extract_identity(sf_dir: str):
+    """Byte-identity of extract_text over the whole corpus, as a Dataset op."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pholcus_ray.functions.textops import extract_text
+
+    corpus = _corpus_for(sf_dir)
+
+    def check(t: pa.Table) -> pa.Table:
+        ok = sum(
+            1
+            for hb, txt in zip(t["html"].to_pylist(), t["text"].to_pylist())
+            if extract_text(hb) == txt
+        )
+        return pa.table(
+            {"n": pa.array([t.num_rows]), "n_identical": pa.array([ok])}
+        )
+
+    parts = (
+        rd.read_parquet(os.path.join(corpus, "pages"))
+        .map_batches(check, batch_format="pyarrow")
+        .take_all()
+    )
+    n = sum(p["n"] for p in parts)
+    ok = sum(p["n_identical"] for p in parts)
+    return pa.table({"n_pages": pa.array([n]), "n_identical": pa.array([ok])})
+
+
+def _q_multimodal(sf_dir: str):
+    import ray.data as rd
+
+    from pholcus_ray.stages.multimodal import DecodeImage, synth_image_table
+
+    n = 200 if _sf_name(sf_dir) != "sf0.1" else 1000
+    ds = rd.from_arrow(synth_image_table(n))
+    return ds.map_batches(
+        DecodeImage, batch_format="pyarrow", batch_size=32, concurrency=2
+    ).sort("image_id")
+
+
+# ---------------------------------------------------------------------------
+# the driver contract
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full crawl of the sf0.001-scale synthetic web; returns the
+    extracted items dataset (rule, data JSON, url, parent_url, ...)."""
+    from pholcus_ray.pipelines.crawl import items_table
+
+    wd = _crawl_workdir("/root/testdata/sf0.001")
+    return items_table(wd).to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pholcus_ray.pipelines import relational as R
+    from pholcus_ray.pipelines import similarity as S
+    from pholcus_ray.pipelines import textdata as T
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operator breadth (SQL-oracled)
+        "q1_pricing": R.q1_pricing,
+        "top_orders": R.top_orders,
+        "revenue_by_nation": R.revenue_by_nation,
+        "events_window": R.events_window,
+        "distinct_users": R.distinct_users,
+        "filter_revenue": R.filter_revenue,
+        # training-data text ops
+        "dedup_exact": T.dedup_exact,
+        "token_stats": T.token_stats,
+        "doc_fingerprint": T.doc_fingerprint,
+        "text_quality": T.text_quality,
+        "lang_id": T.lang_id,
+        "dedup_minhash_lsh": T.dedup_minhash_lsh,
+        "simhash_docs": T.simhash_docs,
+        "simhash_near_dups": T.simhash_near_dups,
+        "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
+        # similarity search
+        "ann_topk": S.ann_topk,
+        "knn_batch": S.knn_batch,
+        "ann_ivf": S.ann_ivf,
+        # the crawl engine itself (non-SQL: rows-only checks)
+        "crawl_log": _q_crawl_log,
+        "crawl_items": _q_crawl_items,
+        "crawl_url_seen": _q_crawl_url_seen,
+        "extract_text_identity": _q_extract_identity,
+        # multimodal plumbing (deterministic fake decode backend)
+        "multimodal_decode": _q_multimodal,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity) AS sum_qty,
+                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
+                   SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_cents,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "top_orders": """
+            SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
+            FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 10
+        """,
+        "revenue_by_nation": """
+            SELECT n.n_name AS n_name,
+                   SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS revenue_cents,
+                   COUNT(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "events_window": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+                   event_type,
+                   COUNT(*) AS n,
+                   SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_cents
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "distinct_users": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "filter_revenue": """
+            SELECT COUNT(*) AS n,
+                   SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_cents
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01'
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "token_stats": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   SUM(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS sum_tokens,
+                   SUM(length(text)) AS sum_chars
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos
+            FROM embeddings e, q
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, e.vec_id
+            LIMIT 10
+        """,
+        "knn_batch": """
+            WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cos,
+                   CAST(row_number() OVER (
+                        PARTITION BY a.vec_id
+                        ORDER BY list_cosine_similarity(a.emb, b.emb) DESC, b.vec_id
+                   ) AS BIGINT) AS rank
+            FROM e2 a, e2 b
+            WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+            QUALIFY rank <= 3
+            ORDER BY query_id, rank
+        """,
+    }

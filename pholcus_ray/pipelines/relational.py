@@ -1,0 +1,227 @@
+"""Relational operator breadth over the TPC-H-ish test tables.
+
+These pipelines exist to demonstrate the engine's general Ray-Data operator
+coverage (groupby/aggregate, sort/limit, broadcast join, windowed aggregate,
+distinct) with DuckDB-verifiable semantics. Monetary sums use an
+integer-cents trick (``floor(x*100 + 0.5)``, = round-half-away for positive
+x) so double summation order can never flip the value hash.
+
+Scale notes per pipeline are in each docstring.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+def _cents(arr: np.ndarray) -> np.ndarray:
+    return np.floor(arr * 100.0 + 0.5).astype(np.int64)
+
+
+def q1_pricing(sf_dir: str) -> rd.Dataset:
+    """TPC-H-Q1-style pricing summary.
+
+    read_parquet with column pruning -> vectorized cents derivation in
+    map_batches -> multi-key groupby aggregate (the only shuffle) -> sort.
+    """
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        t = t.append_column("base_cents", pa.array(_cents(price)))
+        t = t.append_column("disc_cents", pa.array(_cents(price * (1.0 - disc))))
+        return t.drop_columns(["l_extendedprice", "l_discount"])
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Count(alias_name="n"),
+        )
+    )
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+def top_orders(sf_dir: str) -> rd.Dataset:
+    """Top-10 orders by total price (sort + limit; distributed top-k)."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "price_cents": pa.array(
+                    _cents(t["o_totalprice"].to_numpy(zero_copy_only=False))
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .sort([("price_cents"), ("o_orderkey")], descending=[True, False])
+        .limit(10)
+    )
+
+
+def revenue_by_nation(sf_dir: str) -> rd.Dataset:
+    """orders ⋈ customer ⋈ nation revenue rollup.
+
+    Both dimension sides are broadcast once via ``ray.put`` (customer is a
+    dimension at these SFs; at TB scale switch the customer side to a
+    bucketed hash join — see SURVEY.md §2.4 J-table). The fact scan
+    pre-aggregates per batch before the tiny final groupby.
+    """
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    cust_to_nation = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    )
+    nation_name = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+    lookup_ref = ray.put((cust_to_nation, nation_name))
+
+    def partial(t: pa.Table) -> pa.Table:
+        c2n, nname = ray.get(lookup_ref)
+        custkeys = t["o_custkey"].to_pylist()
+        cents = _cents(t["o_totalprice"].to_numpy(zero_copy_only=False))
+        agg: dict[str, list[int]] = {}
+        for ck, cts in zip(custkeys, cents):
+            name = nname[c2n[ck]]
+            cur = agg.get(name)
+            if cur is None:
+                agg[name] = [int(cts), 1]
+            else:
+                cur[0] += int(cts)
+                cur[1] += 1
+        names = sorted(agg)
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "revenue_cents": pa.array([agg[n][0] for n in names], pa.int64()),
+                "n_orders": pa.array([agg[n][1] for n in names], pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+        .sort("n_name")
+    )
+
+
+def events_window(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1-hour windowed aggregate per event_type.
+
+    Ray Data has no event-time windows (SURVEY.md §2.8); a tumbling window
+    over a bounded log IS a groupby on the floored timestamp — fully
+    shuffle-parallel, no per-key ordering assumption needed.
+    """
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        epoch = ts.astype("datetime64[s]").astype(np.int64)
+        win = (epoch // 3600) * 3600
+        return pa.table(
+            {
+                "window_start": pa.array(win, pa.int64()),
+                "event_type": t["event_type"],
+                "value_cents": pa.array(
+                    _cents(t["value"].to_numpy(zero_copy_only=False))
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
+        .sort(["window_start", "event_type"])
+    )
+
+
+def distinct_users(sf_dir: str) -> rd.Dataset:
+    """Exact count-distinct users per event_type.
+
+    Two-level: per-batch local dedup (combiner) -> groupby both keys ->
+    count per event_type. The first shuffle moves only the locally
+    deduped pairs.
+    """
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+
+    def local_unique(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = (
+        ds.map_batches(local_unique, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c", "user_id"])
+    )
+    return (
+        pairs.groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+        .sort("event_type")
+    )
+
+
+def filter_revenue(sf_dir: str) -> pa.Table:
+    """Predicate pushdown + vectorized projection + global aggregate."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") < pa.scalar(np.datetime64("1995-06-01", "us"))),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = _cents(price * (1.0 - disc))
+        return pa.table(
+            {
+                "n": pa.array([len(rev)], pa.int64()),
+                "revenue_cents": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(p["n"] for p in parts)
+    rev = sum(p["revenue_cents"] for p in parts)
+    return pa.table({"n": pa.array([n], pa.int64()),
+                     "revenue_cents": pa.array([rev], pa.int64())})
