@@ -90,7 +90,6 @@ def bench_crawl() -> dict:
         round_virtual_sec=1024.0,   # politeness budget per round (bench shape)
         num_shards=8,
         fetch_batch_size=512,
-        salt_buckets=8,
     )
     t0 = time.time()
     s = run_crawl(cfg)

@@ -119,3 +119,37 @@ def virtual_download_time(round_idx: int, round_virtual_sec: float) -> str:
 
 def empty_table(schema: pa.Schema) -> pa.Table:
     return schema.empty_table()
+
+
+# --- ordering ranks for the two-phase claim/resolve protocol ----------------
+# A row's rank is a byte string whose lexicographic order equals the
+# scheduling order (bypass first / priority desc / seq asc). Ranks are unique
+# per row (they end in the unique seq), so "min rank per key" and "cap
+# smallest ranks per host" have unique, order-independent answers — the
+# property that makes the distributed claim/resolve fold byte-equal to the
+# sequential oracle.
+
+_PRIO_MAX = 0x7FFFFFFF
+
+
+def dedup_rank(bypass: bool, priority: int, seq: str) -> bytes:
+    return (
+        (b"\x00" if bypass else b"\x01")
+        + (_PRIO_MAX - int(priority)).to_bytes(4, "big")
+        + seq.encode()
+    )
+
+
+def cap_rank(priority: int, seq: str) -> bytes:
+    return (_PRIO_MAX - int(priority)).to_bytes(4, "big") + seq.encode()
+
+
+def dedup_rank_column(bypass_arr, priority_arr, seq_arr) -> list[bytes]:
+    return [
+        dedup_rank(bool(b), int(p), s)
+        for b, p, s in zip(bypass_arr, priority_arr, seq_arr)
+    ]
+
+
+def cap_rank_column(priority_arr, seq_arr) -> list[bytes]:
+    return [cap_rank(int(p), s) for p, s in zip(priority_arr, seq_arr)]

@@ -42,12 +42,23 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from ..model import FRONTIER_SCHEMA, RESULT_SCHEMA, virtual_download_time
+from ..model import (
+    FRONTIER_SCHEMA,
+    RESULT_SCHEMA,
+    cap_rank_column,
+    dedup_rank_column,
+    virtual_download_time,
+)
 from ..spiderapi import DEFAULT_SPIDER, Spider
-from ..stages.dedup import SeenFilter, winner_per_key
 from ..stages.fetchparse import FetchParse, corpus_n_buckets
 from ..stages.normalize import explode_links, seeds_to_frontier
-from ..stages.schedule import RobotsSalt, Stage1Cap, Stage2Cap
+from ..stages.schedule import (
+    ClaimSeen,
+    ResolveCapSpill,
+    ResolveSeenRobotsCapClaim,
+    spill_deferred,
+)
+from ..state.hostbudget import HostBudget
 from ..state.hostpolicy import HostPolicy
 from ..state.seen import ShardedSeen
 
@@ -64,7 +75,8 @@ class CrawlConfig:
     try_times: int = 3                # reference TryTimes default (request.go:48)
     round_virtual_sec: float = 16.0   # politeness budget per round
     default_delay_sec: float = 1.0
-    salt_buckets: int = 8
+    budget_shards: int = 4            # host-budget actor pool size
+    local_round_threshold: int = 1500  # rounds smaller than this run driver-local
     limit: int | None = None          # maxPage quota (matrix.go:59-61)
     max_rounds: int = 10_000
     max_depth: int | None = None
@@ -134,20 +146,8 @@ def _read_table(path: str, schema: pa.Schema, columns=None) -> pa.Table:
 # --- the loop ---------------------------------------------------------------
 
 
-_TAGGED_SCHEMA = FRONTIER_SCHEMA.append(pa.field("host_salt", pa.string())).append(
-    pa.field("deferred", pa.bool_())
-)
-
-
 def _bool_np(col) -> np.ndarray:
     return col.to_numpy(zero_copy_only=False).astype(bool)
-
-
-def _sched_filter(t: pa.Table) -> pa.Table:
-    if "deferred" not in t.column_names:
-        return FRONTIER_SCHEMA.empty_table()
-    t = t.filter(pa.array(~_bool_np(t["deferred"])))
-    return t.drop_columns(["deferred", "host_salt"]).select(FRONTIER_SCHEMA.names)
 
 
 def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
@@ -194,16 +194,26 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
             "seed_frontier": seed_frontier,
         }
 
+    budget = HostBudget(policy, cfg.round_virtual_sec, cfg.budget_shards)
+    fp_base = dict(
+        corpus_dir=cfg.corpus_dir,
+        spider=cfg.spider,
+        n_buckets=n_buckets,
+        try_times=cfg.try_times,
+    )
+
     while state["round"] < cfg.max_rounds:
         r = state["round"]
 
-        # ---- 1. candidates for this round (cheap slim rows: materialize) ----
-        cands = _candidates(cfg, state, rounds_dir).materialize()
-        if cands.count() == 0:
+        # ---- 1. candidate-size estimate (parquet metadata; no execution) ----
+        est = _estimate_candidates(cfg, state, rounds_dir)
+        if est == 0:
             # drain: requeue accumulated failures exactly once, else stop
             if state["failure_rounds"] and not state["failures_requeued"]:
                 state["failures_requeued"] = True
-                state["requeue_now"] = list(state["failure_rounds"])
+                state["requeue_table"] = _failure_rows(
+                    rounds_dir, state["failure_rounds"]
+                )
                 state["failure_rounds"] = []
                 state.pop("seed_frontier", None)
                 continue
@@ -214,78 +224,34 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
             shutil.rmtree(rdir)  # incomplete leftovers from a killed run
         os.makedirs(rdir)
 
-        # ---- 2. dedup + robots + politeness (tagged frontier) ----
-        _s1 = Stage1Cap(policy_ref, cfg.round_virtual_sec)
-        _s2 = Stage2Cap(policy_ref, cfg.round_virtual_sec)
-
-        def stage1_cap(g, _s1=_s1):
-            return _s1(g)
-
-        def stage2_cap(g, _s2=_s2):
-            return _s2(g)
-
-        tagged = (
-            cands.groupby("key")
-            .map_groups(winner_per_key, batch_format="pandas")
-            .map_batches(
-                SeenFilter(seen), batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
-            )
-            .map_batches(
-                RobotsSalt(policy_ref, cfg.salt_buckets, cfg.obey_robots),
-                batch_format="pyarrow",
-            )
-            .groupby("host_salt")
-            .map_groups(stage1_cap, batch_format="pandas")
-            .groupby("host")
-            .map_groups(stage2_cap, batch_format="pandas")
+        seen.begin_round()
+        budget.begin_round()
+        fp_kwargs = dict(
+            fp_base, download_time=virtual_download_time(r, cfg.round_virtual_sec)
         )
-        tagged_dir = os.path.join(rdir, "frontier")
-        _write(tagged, tagged_dir, _TAGGED_SCHEMA)
-
-        sched = _read(tagged_dir, _TAGGED_SCHEMA).map_batches(
-            _sched_filter, batch_format="pyarrow"
-        )
-        # ---- 3. limit quota: head of the global (priority, seq) order ----
+        remaining = None
         if cfg.limit is not None:
             remaining = cfg.limit - state["fetched_ok"] - state["fetched_fail"]
             if remaining <= 0:
                 shutil.rmtree(rdir)
                 break
-            sched = sched.sort(["priority", "seq"], descending=[True, False]).limit(
-                remaining
-            )
 
-        # ---- 4. fused fetch + parse ----
-        # Default: stateless tasks (the page-bucket cache is process-global,
-        # so worker reuse still amortizes it; no per-round actor-pool
-        # spin-up). Set fetch_use_actors=True for stateful-fetcher shapes
-        # (HTTP client + cookie jar per actor) — same class either way.
-        fp_kwargs = dict(
-            corpus_dir=cfg.corpus_dir,
-            spider=cfg.spider,
-            n_buckets=n_buckets,
-            try_times=cfg.try_times,
-            download_time=virtual_download_time(r, cfg.round_virtual_sec),
-        )
-        if cfg.fetch_use_actors:
-            result = sched.map_batches(
-                FetchParse,
-                fn_constructor_kwargs=fp_kwargs,
-                batch_format="pyarrow",
-                batch_size=cfg.fetch_batch_size,
-                concurrency=cfg.fetch_concurrency,
+        # ---- 2-4. dedup + robots + politeness + fetch+parse ----
+        # Small rounds (the long BFS discovery tail) run driver-local over
+        # pyarrow tables — SAME claim/resolve calls and batch functions, so
+        # semantics are identical, but without per-execution fixed costs.
+        # Large rounds run as barrier-separated Dataset passes.
+        if est <= cfg.local_round_threshold:
+            n_sched, n_deferred = _run_round_local(
+                cfg, state, rounds_dir, rdir, seen, budget, policy, fp_kwargs,
+                remaining,
             )
         else:
-            _fp = FetchParse(**fp_kwargs)
-
-            def fetch_parse(batch, _fp=_fp):
-                return _fp(batch)
-
-            result = sched.map_batches(
-                fetch_parse, batch_format="pyarrow", batch_size=cfg.fetch_batch_size
+            n_sched, n_deferred = _run_round_distributed(
+                cfg, state, rounds_dir, rdir, seen, budget, policy_ref, fp_kwargs,
+                remaining,
             )
         result_dir = os.path.join(rdir, "result")
-        n_sched = _write(result, result_dir, RESULT_SCHEMA)
 
         # ---- 5. per-round accounting from the result lineage ----
         # items / crawl_log / failures are PROJECTIONS of result.parquet —
@@ -299,8 +265,6 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
         state["items"] += n_items
         if n_fail:
             state["failure_rounds"].append(r)
-
-        n_deferred = _nrows(tagged_dir) and _count_deferred(tagged_dir)
 
         # ---- 6. checkpoint: seen delta + round meta ----
         n_new_seen = seen.dump_deltas(os.path.join(rdir, "seen_delta"))
@@ -324,52 +288,193 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
 
         state["round"] = r + 1
         state.pop("seed_frontier", None)
-        state.pop("requeue_now", None)
+        state.pop("requeue_table", None)
 
         # ---- 7. quiescence (CanStop semantics, matrix.go:172-204) ----
-        # scheduled == 0 with candidates present means everything was
-        # dedup/robots-dropped; the next iteration's empty-candidate check
-        # handles drain + failure requeue uniformly.
         if cfg.limit is not None and state["fetched_ok"] + state["fetched_fail"] >= cfg.limit:
             break
 
     return _finalize(cfg, state, seen, rounds_dir)
 
 
+def _estimate_candidates(cfg: CrawlConfig, state: dict, rounds_dir: str) -> int:
+    """Exact candidate row count for this round, from cheap metadata reads."""
+    if "seed_frontier" in state:
+        return state["seed_frontier"].num_rows
+    if "requeue_table" in state:
+        return state["requeue_table"].num_rows
+    prev = os.path.join(rounds_dir, f"round_{state['round'] - 1:05d}")
+    return _count_links(os.path.join(prev, "result")) + _nrows(
+        os.path.join(prev, "deferred")
+    )
+
+
+def _candidate_table(cfg: CrawlConfig, state: dict, rounds_dir: str) -> pa.Table:
+    """Driver-local candidate table (small rounds only)."""
+    if "seed_frontier" in state:
+        return state["seed_frontier"]
+    if "requeue_table" in state:
+        return state["requeue_table"]
+    prev = os.path.join(rounds_dir, f"round_{state['round'] - 1:05d}")
+    links = explode_links(_read_table(os.path.join(prev, "result"), RESULT_SCHEMA))
+    if cfg.max_depth is not None and links.num_rows:
+        links = links.filter(
+            pa.array(links["depth"].to_numpy(zero_copy_only=False) <= cfg.max_depth)
+        )
+    deferred = _read_table(os.path.join(prev, "deferred"), FRONTIER_SCHEMA)
+    if deferred.num_rows == 0:
+        return links
+    if links.num_rows == 0:
+        return deferred
+    return pa.concat_tables([links, deferred.select(links.column_names)])
+
+
+def _sort_limit_table(t: pa.Table, remaining: int) -> pa.Table:
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(
+        t, sort_keys=[("priority", "descending"), ("seq", "ascending")]
+    )
+    return t.take(order[:remaining])
+
+
+def _run_round_local(cfg, state, rounds_dir, rdir, seen, budget, policy,
+                     fp_kwargs, remaining) -> tuple[int, int]:
+    """Driver-local round over pyarrow tables (same semantics functions)."""
+    from urllib.parse import urlsplit
+
+    cand = _candidate_table(cfg, state, rounds_dir)
+    n_deferred = 0
+    sched = FRONTIER_SCHEMA.empty_table()
+    if cand.num_rows:
+        keys = cand["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bypass = _bool_np(cand["bypass_dedup"])
+        reload_ = _bool_np(cand["reloadable"])
+        prio = cand["priority"].to_numpy(zero_copy_only=False)
+        seqs = cand["seq"].to_pylist()
+        ranks = dedup_rank_column(bypass, prio, seqs)
+        seen.claim(keys, ranks)
+        win = seen.resolve(keys, ranks, bypass | reload_)
+        t = cand.filter(pa.array(win))
+        if cfg.obey_robots and t.num_rows:
+            keep = [
+                policy.allowed(h, urlsplit(u).path or "/")
+                for h, u in zip(t["host"].to_pylist(), t["url"].to_pylist())
+            ]
+            t = t.filter(pa.array(keep, pa.bool_()))
+        if t.num_rows:
+            hosts = t["host"].to_pylist()
+            cranks = cap_rank_column(
+                t["priority"].to_numpy(zero_copy_only=False), t["seq"].to_pylist()
+            )
+            budget.claim(hosts, cranks)
+            mask = budget.resolve(hosts, cranks)
+            deferred = t.filter(pa.array(~mask))
+            if deferred.num_rows:
+                spill_deferred(deferred, os.path.join(rdir, "deferred"))
+                n_deferred = deferred.num_rows
+            sched = t.filter(pa.array(mask))
+    if remaining is not None and sched.num_rows > remaining:
+        sched = _sort_limit_table(sched, remaining)
+    fp = FetchParse(**fp_kwargs)
+    result = fp(sched) if sched.num_rows else RESULT_SCHEMA.empty_table()
+    result_dir = os.path.join(rdir, "result")
+    os.makedirs(result_dir, exist_ok=True)
+    pq.write_table(result, os.path.join(result_dir, "part-0.parquet"))
+    return sched.num_rows, n_deferred
+
+
+def _run_round_distributed(cfg, state, rounds_dir, rdir, seen, budget,
+                           policy_ref, fp_kwargs, remaining) -> tuple[int, int]:
+    """Three barrier-separated Dataset passes (claim / resolve+capclaim /
+    capresolve+fetch); barriers are the parquet writes between them."""
+    cand_ds = _candidates(cfg, state, rounds_dir)
+    claim = ClaimSeen(seen)
+
+    def claim_seen(b, _c=claim):
+        return _c(b)
+
+    _write(
+        cand_ds.map_batches(claim_seen, batch_format="pyarrow"),
+        os.path.join(rdir, "cand"),
+        FRONTIER_SCHEMA,
+    )
+
+    rstage = ResolveSeenRobotsCapClaim(seen, budget, policy_ref, cfg.obey_robots)
+
+    def resolve_claim(b, _r=rstage):
+        return _r(b)
+
+    _write(
+        _read(os.path.join(rdir, "cand"), FRONTIER_SCHEMA).map_batches(
+            resolve_claim, batch_format="pyarrow"
+        ),
+        os.path.join(rdir, "fresh"),
+        FRONTIER_SCHEMA,
+    )
+
+    spill = ResolveCapSpill(budget, os.path.join(rdir, "deferred"))
+
+    def resolve_cap(b, _s=spill):
+        return _s(b)
+
+    sched = _read(os.path.join(rdir, "fresh"), FRONTIER_SCHEMA).map_batches(
+        resolve_cap, batch_format="pyarrow"
+    )
+    if remaining is not None:
+        # quota needs the global order: materialize the schedule first
+        _write(sched, os.path.join(rdir, "sched"), FRONTIER_SCHEMA)
+        sched = (
+            _read(os.path.join(rdir, "sched"), FRONTIER_SCHEMA)
+            .sort(["priority", "seq"], descending=[True, False])
+            .limit(remaining)
+        )
+
+    _fp = FetchParse(**fp_kwargs)
+
+    if cfg.fetch_use_actors:
+        result = sched.map_batches(
+            FetchParse,
+            fn_constructor_kwargs=fp_kwargs,
+            batch_format="pyarrow",
+            batch_size=cfg.fetch_batch_size,
+            concurrency=cfg.fetch_concurrency,
+        )
+    else:
+
+        def fetch_parse(batch, _fp=_fp):
+            return _fp(batch)
+
+        result = sched.map_batches(
+            fetch_parse, batch_format="pyarrow", batch_size=cfg.fetch_batch_size
+        )
+    n_sched = _write(result, os.path.join(rdir, "result"), RESULT_SCHEMA)
+    n_deferred = _nrows(os.path.join(rdir, "deferred"))
+    return n_sched, n_deferred
+
+
 def _candidates(cfg: CrawlConfig, state: dict, rounds_dir: str) -> rd.Dataset:
     """Build this round's candidate frontier dataset (lazy)."""
     if "seed_frontier" in state:
-        ds = rd.from_arrow(state["seed_frontier"])
-    elif "requeue_now" in state:
-        # failure requeue-once: failed rows of the accumulated failure
-        # rounds, re-derived from the result lineage, dedup bypassed
-        tbl = _failure_rows(rounds_dir, state["requeue_now"])
-        ds = rd.from_arrow(tbl)
-    else:
-        prev = os.path.join(rounds_dir, f"round_{state['round'] - 1:05d}")
-        links = _read(os.path.join(prev, "result"), RESULT_SCHEMA).map_batches(
-            explode_links, batch_format="pyarrow"
+        return rd.from_arrow(state["seed_frontier"])
+    if "requeue_table" in state:
+        return rd.from_arrow(state["requeue_table"])
+    prev = os.path.join(rounds_dir, f"round_{state['round'] - 1:05d}")
+    links = _read(os.path.join(prev, "result"), RESULT_SCHEMA).map_batches(
+        explode_links, batch_format="pyarrow"
+    )
+    if cfg.max_depth is not None:
+        links = links.map_batches(
+            lambda t: t.filter(
+                pa.array(t["depth"].to_numpy(zero_copy_only=False) <= cfg.max_depth)
+            ),
+            batch_format="pyarrow",
         )
-        if cfg.max_depth is not None:
-            links = links.map_batches(
-                lambda t: t.filter(pa.array(t["depth"].to_numpy(zero_copy_only=False) <= cfg.max_depth)),
-                batch_format="pyarrow",
-            )
-        deferred = _read(os.path.join(prev, "frontier"), FRONTIER_SCHEMA).map_batches(
-            _deferred_carry, batch_format="pyarrow"
-        )
-        ds = links.union(deferred)
-    return ds
+    deferred_dir = os.path.join(prev, "deferred")
+    if _has_files(deferred_dir):
+        links = links.union(rd.read_parquet(deferred_dir))
+    return links
 
-
-def _deferred_carry(t: pa.Table) -> pa.Table:
-    if "deferred" not in t.column_names:
-        return FRONTIER_SCHEMA.empty_table()
-    t = t.filter(pa.array(_bool_np(t["deferred"])))
-    t = t.drop_columns(["deferred", "host_salt"]).select(FRONTIER_SCHEMA.names)
-    # deferred rows are already in the seen set: bypass dedup next round
-    idx = t.schema.get_field_index("bypass_dedup")
-    return t.set_column(idx, "bypass_dedup", pa.array([True] * t.num_rows, pa.bool_()))
 
 
 def _count_ok(result_dir: str) -> int:
@@ -386,12 +491,15 @@ def _count_items(result_dir: str) -> int:
     return int(pc.sum(pc.list_value_length(t["items"])).as_py() or 0)
 
 
-def _count_deferred(tagged_dir: str) -> int:
-    ds = pads.dataset(tagged_dir)
-    if "deferred" not in ds.schema.names:
+def _count_links(result_dir: str) -> int:
+    import pyarrow.compute as pc
+
+    t = _read_table(result_dir, RESULT_SCHEMA, columns=["links"])
+    if t.num_rows == 0:
         return 0
-    t = ds.to_table(columns=["deferred"])
-    return int(_bool_np(t["deferred"]).sum()) if t.num_rows else 0
+    return int(pc.sum(pc.list_value_length(t["links"])).as_py() or 0)
+
+
 
 
 def _result_to_crawl_log(t: pa.Table, round_idx: int) -> pa.Table:

@@ -1,116 +1,131 @@
-"""Politeness scheduling: robots filter + per-host crawl-delay budgets.
+"""Claim/resolve scheduling stages — shuffle-free dedup + politeness.
 
-Reference parity: the reference's politeness is a random pause per spider
-(crawler.go:53-59, 176-179); the north_rule upgrades it to per-host budgets
-with robots.txt. See state/hostpolicy.py for the deterministic budget model.
+The round's control plane is three barrier-separated map_batches passes over
+slim frontier rows (NO groupby shuffles; the shared mutable state lives in
+the seen-shard and host-budget actors, with commutative claim/resolve folds
+that make the outcome independent of batch arrival order — see
+state/seen.py and state/hostbudget.py):
 
-Skew handling (SURVEY.md §7.4.5): the hot host's candidate queue can hold a
-large fraction of the round. Cap selection is therefore **two-stage salted
-top-k**:
+1. ``ClaimSeen``      — every candidate claims (key, dedup_rank); pass-through.
+2. ``ResolveSeenRobotsCapClaim`` — resolve dedup winners (insert-at-enqueue,
+   matrix.go:81-86), drop robots-disallowed rows, claim (host, cap_rank)
+   against the politeness budget.
+3. ``ResolveCapSpill`` — resolve the per-host budget; scheduled rows flow on
+   to fetch, deferred rows are spilled to the round's ``deferred/`` dir with
+   ``bypass_dedup=True`` (they re-enter the next round past dedup).
 
-- stage 1 groups by ``(host, key % salt_buckets)``: each salt group sorts
-  its own rows by (priority desc, seq asc) and marks everything past the
-  host cap as deferred. Because a row ranked > cap within any subset is
-  ranked > cap globally, this never defers a row that should run.
-- stage 2 groups by ``host`` and re-ranks ONLY the <= salt_buckets * cap
-  survivors, marking the true beyond-cap rows deferred; already-deferred
-  rows pass through untouched.
+Spill files are named by a content hash so Ray task retries overwrite
+rather than duplicate.
 
-So the per-group sort work is bounded by salt_buckets * cap regardless of
-how skewed the frontier is, while the deferral decision stays globally
-deterministic. Deferred rows re-enter the next round with
-``bypass_dedup=True`` (their key is already in the seen set).
-
-The HostPolicy is broadcast via ``ray.put`` once per round and read in each
-group task — a small-side broadcast, not a shuffle join.
+An earlier implementation expressed the same semantics as
+``groupby(key).map_groups`` + two salted ``groupby(host)`` cap stages; at
+thousands of single-row groups per round the per-group UDF overhead
+dominated wall time (~20-80 s/round). The claim/resolve actors replace all
+three shuffles with batched RPCs.
 """
 
 from __future__ import annotations
 
+import os
 from urllib.parse import urlsplit
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray
 
+from ..model import FRONTIER_SCHEMA, cap_rank_column, dedup_rank_column
+from ..state.hostbudget import HostBudget
 from ..state.hostpolicy import HostPolicy
+from ..state.seen import ShardedSeen
 
 
-class RobotsSalt:
-    """map_batches: drop robots-disallowed rows, add the salt group column."""
+def _ranks_of(batch: pa.Table):
+    bypass = batch["bypass_dedup"].to_numpy(zero_copy_only=False)
+    reload_ = batch["reloadable"].to_numpy(zero_copy_only=False)
+    prio = batch["priority"].to_numpy(zero_copy_only=False)
+    seqs = batch["seq"].to_pylist()
+    keys = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    return keys, dedup_rank_column(bypass, prio, seqs), (bypass | reload_), prio, seqs
 
-    def __init__(self, policy_ref, salt_buckets: int, obey_robots: bool = True):
+
+class ClaimSeen:
+    def __init__(self, seen: ShardedSeen):
+        self.seen = seen
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            keys, ranks, _, _, _ = _ranks_of(batch)
+            self.seen.claim(keys, ranks)
+        return batch
+
+
+class ResolveSeenRobotsCapClaim:
+    def __init__(self, seen: ShardedSeen, budget: HostBudget, policy_ref,
+                 obey_robots: bool):
+        self.seen = seen
+        self.budget = budget
         self._policy_ref = policy_ref
         self._policy: HostPolicy | None = None
-        self.salt_buckets = salt_buckets
         self.obey_robots = obey_robots
-
-    def _pol(self) -> HostPolicy:
-        if self._policy is None:
-            self._policy = ray.get(self._policy_ref)
-        return self._policy
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch.append_column("host_salt", pa.array([], pa.string()))
-        pol = self._pol()
-        hosts = batch["host"].to_pylist()
+            return batch
+        keys, ranks, exempt, prio, seqs = _ranks_of(batch)
+        win = self.seen.resolve(keys, ranks, exempt)
+        batch = batch.filter(pa.array(win))
+        if batch.num_rows == 0:
+            return batch
         if self.obey_robots:
+            if self._policy is None:
+                self._policy = ray.get(self._policy_ref)
+            pol = self._policy
+            hosts = batch["host"].to_pylist()
             urls = batch["url"].to_pylist()
             keep = [
                 pol.allowed(h, urlsplit(u).path or "/") for h, u in zip(hosts, urls)
             ]
             batch = batch.filter(pa.array(keep, pa.bool_()))
-            hosts = [h for h, k in zip(hosts, keep) if k]
-        keys = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        salt = (keys % np.uint64(self.salt_buckets)).astype(np.int64)
-        host_salt = [f"{h}|{s}" for h, s in zip(hosts, salt)]
-        return batch.append_column("host_salt", pa.array(host_salt, pa.string()))
+            if batch.num_rows == 0:
+                return batch
+        hosts = batch["host"].to_pylist()
+        cranks = cap_rank_column(
+            batch["priority"].to_numpy(zero_copy_only=False), batch["seq"].to_pylist()
+        )
+        self.budget.claim(hosts, cranks)
+        return batch
 
 
-def _rank_and_defer(g: pd.DataFrame, cap: int, refine: bool) -> pd.DataFrame:
-    """Sort candidate rows by (priority desc, seq asc); defer rows past cap."""
-    if refine and "deferred" in g.columns:
-        nd = g[~g["deferred"]]
-        d = g[g["deferred"]]
-    else:
-        nd, d = g, g.iloc[0:0]
-    nd = nd.sort_values(["priority", "seq"], ascending=[False, True], kind="mergesort")
-    deferred = np.arange(len(nd)) >= cap
-    nd = nd.assign(deferred=deferred)
-    if len(d):
-        return pd.concat([nd, d], ignore_index=True)
-    return nd.reset_index(drop=True)
+class ResolveCapSpill:
+    def __init__(self, budget: HostBudget, spill_dir: str):
+        self.budget = budget
+        self.spill_dir = spill_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        hosts = batch["host"].to_pylist()
+        cranks = cap_rank_column(
+            batch["priority"].to_numpy(zero_copy_only=False), batch["seq"].to_pylist()
+        )
+        sched = self.budget.resolve(hosts, cranks)
+        deferred = batch.filter(pa.array(~sched))
+        if deferred.num_rows:
+            spill_deferred(deferred, self.spill_dir)
+        return batch.filter(pa.array(sched))
 
 
-class Stage1Cap:
-    """groupby(host_salt).map_groups: salted pre-cap (bounded sort work)."""
+def spill_deferred(deferred: pa.Table, spill_dir: str) -> None:
+    """Persist deferred rows (bypass_dedup=True) under a content-hash name
+    (deterministic content; retry-safe overwrite)."""
+    from ..functions.hashing import hash64_array
 
-    def __init__(self, policy_ref, round_virtual_sec: float):
-        self._policy_ref = policy_ref
-        self._policy = None
-        self.round_virtual_sec = round_virtual_sec
-
-    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        if self._policy is None:
-            self._policy = ray.get(self._policy_ref)
-        host = g["host"].iloc[0]
-        cap = self._policy.cap_per_round(host, self.round_virtual_sec)
-        return _rank_and_defer(g, cap, refine=False)
-
-
-class Stage2Cap:
-    """groupby(host).map_groups: exact cap over the salted survivors."""
-
-    def __init__(self, policy_ref, round_virtual_sec: float):
-        self._policy_ref = policy_ref
-        self._policy = None
-        self.round_virtual_sec = round_virtual_sec
-
-    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        if self._policy is None:
-            self._policy = ray.get(self._policy_ref)
-        host = g["host"].iloc[0]
-        cap = self._policy.cap_per_round(host, self.round_virtual_sec)
-        return _rank_and_defer(g, cap, refine=True)
+    idx = deferred.schema.get_field_index("bypass_dedup")
+    deferred = deferred.set_column(
+        idx, "bypass_dedup", pa.array([True] * deferred.num_rows, pa.bool_())
+    )
+    deferred = deferred.select(FRONTIER_SCHEMA.names)
+    tag = int(hash64_array(["|".join(sorted(deferred["seq"].to_pylist()))])[0])
+    os.makedirs(spill_dir, exist_ok=True)
+    pq.write_table(deferred, os.path.join(spill_dir, f"part-{tag:016x}.parquet"))

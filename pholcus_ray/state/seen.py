@@ -29,12 +29,66 @@ class SeenShardActor:
     def __init__(self, mode: str, capacity: int, seed: int):
         self.store = make_store(mode, capacity, seed=seed)
         self._delta: list[np.ndarray] = []
+        self._claims: dict[int, bytes] = {}
 
     def insert_if_absent(self, keys: np.ndarray) -> np.ndarray:
         mask = self.store.insert_if_absent(keys)
         if mask.any():
             self._delta.append(keys[mask].astype(np.uint64))
         return mask
+
+    # --- two-phase intra-round winner selection (shuffle-free dedup) ---
+    # Phase A (claim): every candidate row registers (key, rank); the shard
+    # keeps the MINIMUM rank per key — a commutative fold, so arrival order
+    # cannot change the outcome. Phase B (resolve): a row wins iff its rank
+    # IS the minimum (ranks are unique per row: they embed the unique seq),
+    # and — for normal rows — its key was not seen in a previous round
+    # (insert-if-absent at enqueue, matrix.go:81-86 semantics).
+
+    def begin_round(self) -> None:
+        self._claims = {}
+        self._round_winners: set[int] = set()
+
+    def claim(self, keys: np.ndarray, ranks: list[bytes]) -> None:
+        c = self._claims
+        for k, r in zip(keys, ranks):
+            k = int(k)
+            cur = c.get(k)
+            if cur is None or r < cur:
+                c[k] = r
+
+    def resolve(self, keys: np.ndarray, ranks: list[bytes],
+                exempt: np.ndarray) -> np.ndarray:
+        """Winner mask; winners that are not exempt (bypass/reloadable) are
+        inserted into the seen store (reloadable winners are exempt and NOT
+        inserted, mirroring Reloadable's dedup opt-out). Idempotent within a
+        round (``_round_winners``), so Ray task retries cannot drop rows."""
+        c = self._claims
+        winners = getattr(self, "_round_winners", set())
+        self._round_winners = winners
+        out = np.zeros(len(keys), dtype=bool)
+        to_insert = []
+        ins_pos = []
+        for i, (k, r) in enumerate(zip(keys, ranks)):
+            k = int(k)
+            if c.get(k) == r:
+                if exempt[i]:
+                    out[i] = True
+                elif k in winners:
+                    out[i] = True
+                else:
+                    to_insert.append(k)
+                    ins_pos.append(i)
+        if to_insert:
+            arr = np.array(to_insert, dtype=np.uint64)
+            mask = self.store.insert_if_absent(arr)
+            if mask.any():
+                self._delta.append(arr[mask])
+            for j, pos in enumerate(ins_pos):
+                if mask[j]:
+                    out[pos] = True
+                    winners.add(to_insert[j])
+        return out
 
     def contains(self, keys: np.ndarray) -> np.ndarray:
         return self.store.contains(keys)
@@ -98,6 +152,36 @@ class ShardedSeen:
             sel = np.flatnonzero(shard_ids == s)
             idxs.append(sel)
             refs.append(self.shards[int(s)].contains.remote(keys[sel]))
+        for sel, mask in zip(idxs, ray.get(refs)):
+            out[sel] = mask
+        return out
+
+    def begin_round(self) -> None:
+        ray.get([s.begin_round.remote() for s in self.shards])
+
+    def claim(self, keys: np.ndarray, ranks: list[bytes]) -> None:
+        keys, shard_ids = self._route(keys)
+        refs = []
+        for s in np.unique(shard_ids):
+            sel = np.flatnonzero(shard_ids == s)
+            refs.append(
+                self.shards[int(s)].claim.remote(keys[sel], [ranks[i] for i in sel])
+            )
+        ray.get(refs)
+
+    def resolve(self, keys: np.ndarray, ranks: list[bytes],
+                exempt: np.ndarray) -> np.ndarray:
+        keys, shard_ids = self._route(keys)
+        out = np.zeros(len(keys), dtype=bool)
+        idxs, refs = [], []
+        for s in np.unique(shard_ids):
+            sel = np.flatnonzero(shard_ids == s)
+            idxs.append(sel)
+            refs.append(
+                self.shards[int(s)].resolve.remote(
+                    keys[sel], [ranks[i] for i in sel], exempt[sel]
+                )
+            )
         for sel, mask in zip(idxs, ray.get(refs)):
             out[sel] = mask
         return out

@@ -20,15 +20,37 @@ RVS = 64.0  # large virtual round budget -> few rounds -> fast tests
 
 @pytest.fixture(scope="module")
 def crawl_pair(ray_session, small_corpus, tmp_path_factory):
+    # local_round_threshold=0 forces every round down the DISTRIBUTED
+    # claim/resolve path (3 Dataset passes); the driver-local fast path is
+    # covered by test_local_and_distributed_paths_agree + test_resume.
     wd = str(tmp_path_factory.mktemp("crawl"))
     shutil.rmtree(wd, ignore_errors=True)
     cfg = CrawlConfig(
         corpus_dir=small_corpus, workdir=wd, round_virtual_sec=RVS,
-        fetch_concurrency=2, num_shards=4,
+        fetch_concurrency=2, num_shards=4, local_round_threshold=0,
     )
     summary = run_crawl(cfg)
     oracle = run_oracle(small_corpus, round_virtual_sec=RVS)
     return wd, summary, oracle
+
+
+def test_local_and_distributed_paths_agree(crawl_pair, small_corpus, tmp_path):
+    """The driver-local fast path must produce byte-identical outputs to the
+    distributed claim/resolve path (same semantics functions)."""
+    wd_local = str(tmp_path / "local")
+    cfg = CrawlConfig(
+        corpus_dir=small_corpus, workdir=wd_local, round_virtual_sec=RVS,
+        fetch_concurrency=2, num_shards=4, local_round_threshold=1 << 30,
+    )
+    run_crawl(cfg)
+    wd_dist, _, _ = crawl_pair
+    a = crawl_log_table(wd_dist).to_pandas()
+    b = crawl_log_table(wd_local).to_pandas()
+    assert len(a) == len(b)
+    for c in a.columns:
+        assert (a[c].values == b[c].values).all(), c
+    ka, kb = url_seen_keys(wd_dist), url_seen_keys(wd_local)
+    assert len(ka) == len(kb) and (ka == kb).all()
 
 
 def _oracle_log_df(oracle):
