@@ -54,20 +54,30 @@ def dedup_exact(sf_dir: str) -> rd.Dataset:
     def h(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
         md5s = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in texts]
-        return pa.table({"text_md5": pa.array(md5s, pa.string()), "doc_id": t["doc_id"]})
+        part = (hash64_array(md5s) % np.uint64(64)).astype(np.int32)
+        return pa.table(
+            {
+                "text_md5": pa.array(md5s, pa.string()),
+                "doc_id": t["doc_id"],
+                "part": pa.array(part),
+            }
+        )
 
     def keeper(g: pd.DataFrame) -> pd.DataFrame:
+        # coarse partition: one C-level pandas groupby per part, not one
+        # python call per hash group
+        out = g.groupby("text_md5", sort=True)["doc_id"].agg(["min", "count"])
         return pd.DataFrame(
             {
-                "text_md5": [g["text_md5"].iloc[0]],
-                "keep_id": [int(g["doc_id"].min())],
-                "n_copies": [len(g)],
+                "text_md5": out.index,
+                "keep_id": out["min"].astype("int64").values,
+                "n_copies": out["count"].astype("int64").values,
             }
         )
 
     return (
         ds.map_batches(h, batch_format="pyarrow")
-        .groupby("text_md5")
+        .groupby("part")
         .map_groups(keeper, batch_format="pandas")
         .sort("text_md5")
     )
@@ -101,56 +111,85 @@ def _minhash_sig(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 class MinHasher:
-    """Actor-pool stage: per-doc minhash signature + LSH band keys."""
+    """Actor-pool stage: per-doc minhash signatures.
+
+    ``emit="bands"``: one LIGHT row per (doc, band) — (doc_id, band,
+    band_hash, bucket_part), ~40 bytes — this is all the LSH shuffle moves.
+    ``emit="sigs"``: one (doc_id, sig) row per doc, used to build the
+    broadcast signature lookup for pair verification (signatures are ~1 KB;
+    shipping them through the band shuffle was 30x the useful payload).
+    """
 
     def __init__(self, num_perm: int = 128, bands: int = 32, shingle_k: int = 3,
-                 seed: int = 7):
+                 seed: int = 7, emit: str = "bands"):
         assert num_perm % bands == 0
         self.num_perm = num_perm
         self.bands = bands
         self.rows = num_perm // bands
         self.k = shingle_k
         self.a, self.b = _minhash_params(num_perm, seed)
+        self.emit = emit
+
+    def _sigs(self, texts: list[str]) -> np.ndarray:
+        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
+        for i, text in enumerate(texts):
+            sigs[i] = _minhash_sig(_shingle_hashes(text, self.k), self.a, self.b)
+        return sigs
 
     def __call__(self, t: pa.Table) -> pa.Table:
         doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        texts = t["text"].to_pylist()
-        out_doc, out_band, out_bh, out_sig = [], [], [], []
-        for did, text in zip(doc_ids, texts):
-            sig = _minhash_sig(_shingle_hashes(text, self.k), self.a, self.b)
-            sig_bytes = sig.astype(np.uint64).tobytes()
-            for bi in range(self.bands):
-                band = sig[bi * self.rows : (bi + 1) * self.rows]
-                bh = int(hash64_array([band.tobytes().hex()])[0])
-                out_doc.append(int(did))
-                out_band.append(bi)
-                out_bh.append(bh)
-                out_sig.append(sig_bytes)
+        sigs = self._sigs(t["text"].to_pylist())
+        n = len(doc_ids)
+        if self.emit == "sigs":
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc_ids, pa.int64()),
+                    "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
+                }
+            )
+        # vectorized band hashing: mix the rows of each band (splitmix-style)
+        bmat = sigs.reshape(n, self.bands, self.rows)
+        bh = np.zeros((n, self.bands), dtype=np.uint64)
+        MIX = np.uint64(0x9E3779B97F4A7C15)
+        for j in range(self.rows):
+            bh = (bh ^ bmat[:, :, j]) * MIX
+            bh ^= bh >> np.uint64(29)
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_bh, pa.uint64()),
-                "sig": pa.array(out_sig, pa.binary()),
+                "doc_id": pa.array(np.repeat(doc_ids, self.bands), pa.int64()),
+                "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+                "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
+                "bucket_part": pa.array(
+                    (bh.reshape(-1) % np.uint64(64)).astype(np.int32)
+                ),
             }
         )
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket, with estimated jaccard."""
+def _partition_candidates(g: pd.DataFrame) -> pd.DataFrame:
+    """Candidate (a, b) pairs for ONE coarse partition of LSH buckets.
+
+    The shuffle key is ``bucket_part = band_hash % 64`` — a coarse partition
+    holding many buckets — so the per-group-call overhead is paid 64 times,
+    not once per (band, band_hash) bucket; the inner bucket grouping is a
+    C-level pandas groupby (per-tiny-group map_groups was 30s+ at 16k
+    buckets)."""
+    empty = pd.DataFrame(
+        {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+    )
     if len(g) < 2:
-        return pd.DataFrame({"a": [], "b": [], "est_jaccard": []}).astype(
-            {"a": "int64", "b": "int64", "est_jaccard": "float64"}
-        )
-    g = g.sort_values("doc_id")
-    ids = g["doc_id"].to_numpy()
-    sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
+        return empty
     rows = []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            est = float((sigs[i] == sigs[j]).mean())
-            rows.append((int(ids[i]), int(ids[j]), est))
-    return pd.DataFrame(rows, columns=["a", "b", "est_jaccard"])
+    for (_band, _bh), sub in g.groupby(["band", "band_hash"], sort=True):
+        if len(sub) < 2:
+            continue
+        ids = np.sort(sub["doc_id"].to_numpy())
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                rows.append((int(ids[i]), int(ids[j])))
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=["a", "b"])
 
 
 def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.5,
@@ -158,13 +197,26 @@ def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.5,
     """MinHash+LSH near-duplicate pairs over documents.
 
     shingle->minhash per batch (actor pool amortizes the permutation
-    table) -> explode to (band, band_hash) keys -> groupby bucket ->
-    pairwise signature comparison inside buckets -> global pair dedup
-    (a pair can collide in several bands) -> threshold filter.
+    table) -> LIGHT (doc_id, band, band_hash) rows through the bucket
+    shuffle -> candidate pairs inside coarse partitions -> pair dedup ->
+    verify estimated jaccard against a broadcast signature lookup.
+
+    The signatures (~1 KB/doc) deliberately do NOT travel through the band
+    shuffle (they were 30x the useful payload); they are broadcast once via
+    ray.put. At corpus scale the verify becomes a two-sided bucketed join
+    of pairs against the (doc_id, sig) table instead of a broadcast.
     """
     ds = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
+    sig_rows = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, emit="sigs"),
+        batch_format="pyarrow",
+        concurrency=2,
+    ).take_all()
+    sig_ref = ray.put({int(r["doc_id"]): r["sig"] for r in sig_rows})
+
     pairs = (
         ds.map_batches(
             MinHasher,
@@ -172,22 +224,44 @@ def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.5,
             batch_format="pyarrow",
             concurrency=2,
         )
-        .groupby(["band", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
+        .groupby("bucket_part")
+        .map_groups(_partition_candidates, batch_format="pandas")
     )
 
-    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def _dedup_pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # a pair colliding in several bands appears once per band; again
+        # coarse-partitioned so each call is one C-level drop_duplicates
+        return g.drop_duplicates(subset=["a", "b"])
+
+    def _verify(t: pa.Table) -> pa.Table:
+        sigs = ray.get(sig_ref)
+        a_ids = t["a"].to_pylist()
+        b_ids = t["b"].to_pylist()
+        est = np.empty(len(a_ids), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(a_ids, b_ids)):
+            sa = np.frombuffer(sigs[x], dtype=np.uint64)
+            sb = np.frombuffer(sigs[y], dtype=np.uint64)
+            est[i] = float((sa == sb).mean())
+        t = t.drop_columns(["pair_part"]).append_column("est_jaccard", pa.array(est))
+        return t.filter(pa.array(est >= threshold))
 
     out = (
-        pairs.groupby(["a", "b"])
-        .map_groups(dedup_pair, batch_format="pandas")
-        .map_batches(
-            lambda t: t.filter(
-                pa.array(t["est_jaccard"].to_numpy(zero_copy_only=False) >= threshold)
+        pairs.map_batches(
+            lambda t: t.append_column(
+                "pair_part",
+                pa.array(
+                    (
+                        (t["a"].to_numpy(zero_copy_only=False).astype(np.uint64) * np.uint64(1000003)
+                         ^ t["b"].to_numpy(zero_copy_only=False).astype(np.uint64))
+                        % np.uint64(64)
+                    ).astype(np.int32)
+                ),
             ),
             batch_format="pyarrow",
         )
+        .groupby("pair_part")
+        .map_groups(_dedup_pairs_partition, batch_format="pandas")
+        .map_batches(_verify, batch_format="pyarrow")
     )
     return out.sort(["a", "b"])
 
@@ -243,11 +317,16 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 8) -> rd.Dataset:
     def explode(t: pa.Table) -> pa.Table:
         parts = []
         for b in range(4):
+            bv = t[f"band{b}"].to_numpy(zero_copy_only=False)
             parts.append(
                 pa.table(
                     {
                         "band": pa.array(np.full(t.num_rows, b, dtype=np.int32)),
                         "band_val": t[f"band{b}"],
+                        "part": pa.array(
+                            ((bv.astype(np.uint64) * np.uint64(2654435761) + np.uint64(b))
+                             % np.uint64(64)).astype(np.int32)
+                        ),
                         "doc_id": t["doc_id"],
                         "simhash": t["simhash"],
                     }
@@ -256,31 +335,48 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 8) -> rd.Dataset:
         return pa.concat_tables(parts)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(
-                {"a": "int64", "b": "int64", "hamming": "int64"}
-            )
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "hamming": pd.Series(dtype="int64")}
+        )
         rows = []
-        for i in range(len(ids)):
-            x = np.bitwise_xor(hs[i + 1 :], hs[i])
-            d = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
-            for j, dist in enumerate(d):
-                if dist <= max_hamming:
-                    rows.append((int(ids[i]), int(ids[i + 1 + j]), int(dist)))
+        for (_b, _v), sub in g.groupby(["band", "band_val"], sort=True):
+            if len(sub) < 2:
+                continue
+            sub = sub.sort_values("doc_id")
+            ids = sub["doc_id"].to_numpy()
+            hs = sub["simhash"].to_numpy().astype(np.uint64)
+            for i in range(len(ids)):
+                x = np.bitwise_xor(hs[i + 1 :], hs[i])
+                d = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+                for j, dist in enumerate(d):
+                    if dist <= max_hamming:
+                        rows.append((int(ids[i]), int(ids[i + 1 + j]), int(dist)))
+        if not rows:
+            return empty
         return pd.DataFrame(rows, columns=["a", "b", "hamming"])
 
-    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["a", "b"])
 
     return (
         sh.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "band_val"])
+        .groupby("part")
         .map_groups(pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(dedup_pair, batch_format="pandas")
+        .map_batches(
+            lambda t: t.append_column(
+                "pair_part",
+                pa.array(
+                    ((t["a"].to_numpy(zero_copy_only=False).astype(np.uint64) * np.uint64(1000003)
+                      ^ t["b"].to_numpy(zero_copy_only=False).astype(np.uint64))
+                     % np.uint64(64)).astype(np.int32)
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("pair_part")
+        .map_groups(dedup_pairs, batch_format="pandas")
+        .map_batches(lambda t: t.drop_columns(["pair_part"]), batch_format="pyarrow")
         .sort(["a", "b"])
     )
 
