@@ -70,6 +70,7 @@ RESULT_SCHEMA = pa.schema(
         ("status", pa.int32()),
         ("ok", pa.bool_()),
         ("attempts", pa.int32()),
+        ("n_items", pa.int32()),            # len(items): metadata-cheap accounting
         ("items", pa.list_(pa.string())),   # JSON-encoded DataCells
         ("links", pa.list_(LINK_STRUCT)),
     ]
@@ -153,3 +154,50 @@ def dedup_rank_column(bypass_arr, priority_arr, seq_arr) -> list[bytes]:
 
 def cap_rank_column(priority_arr, seq_arr) -> list[bytes]:
     return [cap_rank(int(p), s) for p, s in zip(priority_arr, seq_arr)]
+
+
+# --- vectorized (Arrow) rank builders: C-level kernels for the driver
+# control plane; byte-identical to the scalar builders above ---------------
+
+_PRIO_BYTES_TABLE = pa.array(
+    [(_PRIO_MAX - p).to_bytes(4, "big") for p in range(256)], pa.binary()
+)
+
+
+def _prio_bytes(prio_col: pa.Array) -> pa.Array:
+    import pyarrow.compute as pc
+
+    import numpy as np
+
+    pr = prio_col.to_numpy(zero_copy_only=False)
+    if pr.size and pr.max() > 255:
+        return pa.array([(int(_PRIO_MAX) - int(p)).to_bytes(4, "big") for p in pr],
+                        pa.binary())
+    return _PRIO_BYTES_TABLE.take(prio_col.cast(pa.int32()))
+
+
+def dedup_rank_arrow(bypass_col, prio_col, seq_col) -> pa.Array:
+    import pyarrow.compute as pc
+
+    def _arr(c):
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    bypass_col, prio_col, seq_col = _arr(bypass_col), _arr(prio_col), _arr(seq_col)
+    prefix = pc.if_else(
+        bypass_col, pa.scalar(b"\x00", pa.binary()), pa.scalar(b"\x01", pa.binary())
+    )
+    return pc.binary_join_element_wise(
+        prefix, _prio_bytes(prio_col), seq_col.cast(pa.binary()), b""
+    )
+
+
+def cap_rank_arrow(prio_col, seq_col) -> pa.Array:
+    import pyarrow.compute as pc
+
+    def _arr(c):
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    prio_col, seq_col = _arr(prio_col), _arr(seq_col)
+    return pc.binary_join_element_wise(
+        _prio_bytes(prio_col), seq_col.cast(pa.binary()), b""
+    )

@@ -45,8 +45,8 @@ import ray.data as rd
 from ..model import (
     FRONTIER_SCHEMA,
     RESULT_SCHEMA,
-    cap_rank_column,
-    dedup_rank_column,
+    cap_rank_arrow,
+    dedup_rank_arrow,
     virtual_download_time,
 )
 from ..spiderapi import DEFAULT_SPIDER, Spider
@@ -76,7 +76,10 @@ class CrawlConfig:
     round_virtual_sec: float = 16.0   # politeness budget per round
     default_delay_sec: float = 1.0
     budget_shards: int = 4            # host-budget actor pool size
-    local_round_threshold: int = 1500  # rounds smaller than this run driver-local
+    # control plane (claim/resolve over slim rows) runs driver-side below
+    # this candidate count; fully-distributed above (the 10^10 path)
+    local_round_threshold: int = 300_000
+    fetch_local_threshold: int = 1024  # scheduled rows above this fetch distributed
     limit: int | None = None          # maxPage quota (matrix.go:59-61)
     max_rounds: int = 10_000
     max_depth: int | None = None
@@ -85,6 +88,7 @@ class CrawlConfig:
     obey_robots: bool = True
     resume: bool = True
     fetch_use_actors: bool = False  # True: actor pool (stateful HTTP shape)
+    seeds_path: str | None = None   # override corpus seeds.parquet
 
 
 @dataclass
@@ -179,7 +183,9 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
     # --- resume or cold start ---
     state = _restore(cfg, seen, rounds_dir)
     if state is None:
-        seeds_tbl = pq.read_table(os.path.join(cfg.corpus_dir, "seeds.parquet"))
+        seeds_tbl = pq.read_table(
+            cfg.seeds_path or os.path.join(cfg.corpus_dir, "seeds.parquet")
+        )
         seed_frontier = seeds_to_frontier(
             seeds_tbl, cfg.spider.entry_rule, cfg.keyins or None
         )
@@ -195,11 +201,14 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
         }
 
     budget = HostBudget(policy, cfg.round_virtual_sec, cfg.budget_shards)
+    from ..stages.fetchparse import preload_corpus
+
     fp_base = dict(
         corpus_dir=cfg.corpus_dir,
         spider=cfg.spider,
         n_buckets=n_buckets,
         try_times=cfg.try_times,
+        bucket_refs=preload_corpus(cfg.corpus_dir, n_buckets),
     )
 
     while state["round"] < cfg.max_rounds:
@@ -237,10 +246,14 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
                 break
 
         # ---- 2-4. dedup + robots + politeness + fetch+parse ----
-        # Small rounds (the long BFS discovery tail) run driver-local over
-        # pyarrow tables — SAME claim/resolve calls and batch functions, so
-        # semantics are identical, but without per-execution fixed costs.
-        # Large rounds run as barrier-separated Dataset passes.
+        # HYBRID rounds (the default at sandbox scale): the control plane
+        # (claim/resolve/robots over slim frontier rows) runs driver-side
+        # against the shard actors — same semantics functions, no
+        # per-execution fixed costs — while the heavy data plane
+        # (fetch+parse over html) runs distributed once the schedule
+        # exceeds fetch_local_threshold. Beyond local_round_threshold
+        # candidates, the control plane too runs as barrier-separated
+        # Dataset passes (the 10^10-frontier path).
         if est <= cfg.local_round_threshold:
             n_sched, n_deferred = _run_round_local(
                 cfg, state, rounds_dir, rdir, seen, budget, policy, fp_kwargs,
@@ -249,7 +262,7 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
         else:
             n_sched, n_deferred = _run_round_distributed(
                 cfg, state, rounds_dir, rdir, seen, budget, policy_ref, fp_kwargs,
-                remaining,
+                remaining, est,
             )
         result_dir = os.path.join(rdir, "result")
 
@@ -309,6 +322,11 @@ def _estimate_candidates(cfg: CrawlConfig, state: dict, rounds_dir: str) -> int:
     )
 
 
+# explode_links touches only these result columns; excluding the heavy
+# ``items`` payload keeps candidate builds to slim-column reads
+_EXPLODE_COLUMNS = ["url", "seq", "depth", "keyin", "links"]
+
+
 def _candidate_table(cfg: CrawlConfig, state: dict, rounds_dir: str) -> pa.Table:
     """Driver-local candidate table (small rounds only)."""
     if "seed_frontier" in state:
@@ -316,7 +334,10 @@ def _candidate_table(cfg: CrawlConfig, state: dict, rounds_dir: str) -> pa.Table
     if "requeue_table" in state:
         return state["requeue_table"]
     prev = os.path.join(rounds_dir, f"round_{state['round'] - 1:05d}")
-    links = explode_links(_read_table(os.path.join(prev, "result"), RESULT_SCHEMA))
+    links = explode_links(
+        _read_table(os.path.join(prev, "result"), RESULT_SCHEMA,
+                    columns=_EXPLODE_COLUMNS)
+    )
     if cfg.max_depth is not None and links.num_rows:
         links = links.filter(
             pa.array(links["depth"].to_numpy(zero_copy_only=False) <= cfg.max_depth)
@@ -327,6 +348,29 @@ def _candidate_table(cfg: CrawlConfig, state: dict, rounds_dir: str) -> pa.Table
     if links.num_rows == 0:
         return deferred
     return pa.concat_tables([links, deferred.select(links.column_names)])
+
+
+def _robots_filter_table(t: pa.Table, policy) -> pa.Table:
+    """Robots Disallow filter: only rows whose host actually HAS rules take
+    the per-row python path; everything else passes via a C-level is_in."""
+    from urllib.parse import urlsplit
+
+    import pyarrow.compute as pc
+
+    ruled = policy.hosts_with_rules()
+    if not ruled:
+        return t
+    hosts = t["host"]
+    affected = pc.is_in(hosts, value_set=pa.array(sorted(ruled), pa.string()))
+    aff_np = affected.to_numpy(zero_copy_only=False)
+    if not aff_np.any():
+        return t
+    keep = np.ones(t.num_rows, dtype=bool)
+    urls = t["url"].to_pylist()
+    hl = hosts.to_pylist()
+    for i in np.flatnonzero(aff_np):
+        keep[i] = policy.allowed(hl[i], urlsplit(urls[i]).path or "/")
+    return t.filter(pa.array(keep))
 
 
 def _sort_limit_table(t: pa.Table, remaining: int) -> pa.Table:
@@ -350,23 +394,17 @@ def _run_round_local(cfg, state, rounds_dir, rdir, seen, budget, policy,
         keys = cand["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
         bypass = _bool_np(cand["bypass_dedup"])
         reload_ = _bool_np(cand["reloadable"])
-        prio = cand["priority"].to_numpy(zero_copy_only=False)
-        seqs = cand["seq"].to_pylist()
-        ranks = dedup_rank_column(bypass, prio, seqs)
+        ranks = dedup_rank_arrow(cand["bypass_dedup"], cand["priority"], cand["seq"])
         seen.claim(keys, ranks)
         win = seen.resolve(keys, ranks, bypass | reload_)
         t = cand.filter(pa.array(win))
         if cfg.obey_robots and t.num_rows:
-            keep = [
-                policy.allowed(h, urlsplit(u).path or "/")
-                for h, u in zip(t["host"].to_pylist(), t["url"].to_pylist())
-            ]
-            t = t.filter(pa.array(keep, pa.bool_()))
+            t = _robots_filter_table(t, policy)
         if t.num_rows:
-            hosts = t["host"].to_pylist()
-            cranks = cap_rank_column(
-                t["priority"].to_numpy(zero_copy_only=False), t["seq"].to_pylist()
-            )
+            hosts = t["host"]
+            if isinstance(hosts, pa.ChunkedArray):
+                hosts = hosts.combine_chunks()
+            cranks = cap_rank_arrow(t["priority"], t["seq"])
             budget.claim(hosts, cranks)
             mask = budget.resolve(hosts, cranks)
             deferred = t.filter(pa.array(~mask))
@@ -376,78 +414,79 @@ def _run_round_local(cfg, state, rounds_dir, rdir, seen, budget, policy,
             sched = t.filter(pa.array(mask))
     if remaining is not None and sched.num_rows > remaining:
         sched = _sort_limit_table(sched, remaining)
-    fp = FetchParse(**fp_kwargs)
-    result = fp(sched) if sched.num_rows else RESULT_SCHEMA.empty_table()
     result_dir = os.path.join(rdir, "result")
+    fp = FetchParse(**fp_kwargs)
+    if sched.num_rows > cfg.fetch_local_threshold:
+        # hybrid round: control plane ran driver-side over slim rows, the
+        # heavy data plane (fetch+parse over html) runs distributed
+        def fetch_parse(batch, _fp=fp):
+            return _fp(batch)
+
+        # adaptive chunking: at least ~3 blocks per CPU so small rounds
+        # still spread across the cluster instead of 2-3 straggler tasks
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        chunk = max(32, min(cfg.fetch_batch_size, sched.num_rows // (ncpu * 3) + 1))
+        chunks = [
+            sched.slice(i, chunk) for i in range(0, sched.num_rows, chunk)
+        ]
+        n = _write(
+            rd.from_arrow(chunks).map_batches(
+                fetch_parse, batch_format="pyarrow", batch_size=cfg.fetch_batch_size
+            ),
+            result_dir,
+            RESULT_SCHEMA,
+        )
+        return n, n_deferred
+    result = fp(sched) if sched.num_rows else RESULT_SCHEMA.empty_table()
     os.makedirs(result_dir, exist_ok=True)
     pq.write_table(result, os.path.join(result_dir, "part-0.parquet"))
     return sched.num_rows, n_deferred
 
 
 def _run_round_distributed(cfg, state, rounds_dir, rdir, seen, budget,
-                           policy_ref, fp_kwargs, remaining) -> tuple[int, int]:
-    """Three barrier-separated Dataset passes (claim / resolve+capclaim /
-    capresolve+fetch); barriers are the parquet writes between them."""
-    cand_ds = _candidates(cfg, state, rounds_dir)
+                           policy_ref, fp_kwargs, remaining,
+                           est: int) -> tuple[int, int]:
+    """Barrier-separated streaming passes per round. The two-phase
+    claim/resolve protocol needs a barrier after claims and after
+    cap-claims; ``materialize()`` on the slim frontier rows is the cheapest
+    barrier (~0.3s vs 2.5s for a repartition AllToAll at these sizes) and
+    keeps the intermediate in the object store instead of round-tripping
+    parquet. Claim and resolve RPCs are idempotent, so lineage
+    re-execution of a pre-barrier block cannot corrupt the round. At
+    extreme frontier scale, swap the materialize barriers for the round's
+    parquet checkpoint (same structure, disk-backed)."""
     claim = ClaimSeen(seen)
+    rstage = ResolveSeenRobotsCapClaim(seen, budget, policy_ref, cfg.obey_robots)
+    spill = ResolveCapSpill(budget, os.path.join(rdir, "deferred"))
+    _fp = FetchParse(**fp_kwargs)
 
     def claim_seen(b, _c=claim):
         return _c(b)
 
-    _write(
-        cand_ds.map_batches(claim_seen, batch_format="pyarrow"),
-        os.path.join(rdir, "cand"),
-        FRONTIER_SCHEMA,
-    )
-
-    rstage = ResolveSeenRobotsCapClaim(seen, budget, policy_ref, cfg.obey_robots)
-
     def resolve_claim(b, _r=rstage):
         return _r(b)
-
-    _write(
-        _read(os.path.join(rdir, "cand"), FRONTIER_SCHEMA).map_batches(
-            resolve_claim, batch_format="pyarrow"
-        ),
-        os.path.join(rdir, "fresh"),
-        FRONTIER_SCHEMA,
-    )
-
-    spill = ResolveCapSpill(budget, os.path.join(rdir, "deferred"))
 
     def resolve_cap(b, _s=spill):
         return _s(b)
 
-    sched = _read(os.path.join(rdir, "fresh"), FRONTIER_SCHEMA).map_batches(
-        resolve_cap, batch_format="pyarrow"
+    def fetch_parse(batch, _fp=_fp):
+        return _fp(batch)
+
+    claimed = (
+        _candidates(cfg, state, rounds_dir)
+        .map_batches(claim_seen, batch_format="pyarrow")
+        .materialize()  # BARRIER: all dedup claims registered
     )
+    fresh = claimed.map_batches(
+        resolve_claim, batch_format="pyarrow"
+    ).materialize()  # BARRIER: all politeness claims registered
+    ds = fresh.map_batches(resolve_cap, batch_format="pyarrow")
     if remaining is not None:
-        # quota needs the global order: materialize the schedule first
-        _write(sched, os.path.join(rdir, "sched"), FRONTIER_SCHEMA)
-        sched = (
-            _read(os.path.join(rdir, "sched"), FRONTIER_SCHEMA)
-            .sort(["priority", "seq"], descending=[True, False])
-            .limit(remaining)
-        )
-
-    _fp = FetchParse(**fp_kwargs)
-
-    if cfg.fetch_use_actors:
-        result = sched.map_batches(
-            FetchParse,
-            fn_constructor_kwargs=fp_kwargs,
-            batch_format="pyarrow",
-            batch_size=cfg.fetch_batch_size,
-            concurrency=cfg.fetch_concurrency,
-        )
-    else:
-
-        def fetch_parse(batch, _fp=_fp):
-            return _fp(batch)
-
-        result = sched.map_batches(
-            fetch_parse, batch_format="pyarrow", batch_size=cfg.fetch_batch_size
-        )
+        # quota needs the global order; sort is itself an AllToAll barrier
+        ds = ds.sort(["priority", "seq"], descending=[True, False]).limit(remaining)
+    result = ds.map_batches(
+        fetch_parse, batch_format="pyarrow", batch_size=cfg.fetch_batch_size
+    )
     n_sched = _write(result, os.path.join(rdir, "result"), RESULT_SCHEMA)
     n_deferred = _nrows(os.path.join(rdir, "deferred"))
     return n_sched, n_deferred
@@ -460,9 +499,12 @@ def _candidates(cfg: CrawlConfig, state: dict, rounds_dir: str) -> rd.Dataset:
     if "requeue_table" in state:
         return rd.from_arrow(state["requeue_table"])
     prev = os.path.join(rounds_dir, f"round_{state['round'] - 1:05d}")
-    links = _read(os.path.join(prev, "result"), RESULT_SCHEMA).map_batches(
-        explode_links, batch_format="pyarrow"
-    )
+    res_dir = os.path.join(prev, "result")
+    if _has_files(res_dir):
+        links_src = rd.read_parquet(res_dir, columns=_EXPLODE_COLUMNS)
+    else:
+        links_src = rd.from_arrow(RESULT_SCHEMA.empty_table().select(_EXPLODE_COLUMNS))
+    links = links_src.map_batches(explode_links, batch_format="pyarrow")
     if cfg.max_depth is not None:
         links = links.map_batches(
             lambda t: t.filter(
@@ -483,12 +525,10 @@ def _count_ok(result_dir: str) -> int:
 
 
 def _count_items(result_dir: str) -> int:
-    import pyarrow.compute as pc
-
-    t = _read_table(result_dir, RESULT_SCHEMA, columns=["items"])
+    t = _read_table(result_dir, RESULT_SCHEMA, columns=["n_items"])
     if t.num_rows == 0:
         return 0
-    return int(pc.sum(pc.list_value_length(t["items"])).as_py() or 0)
+    return int(t["n_items"].to_numpy(zero_copy_only=False).sum())
 
 
 def _count_links(result_dir: str) -> int:
@@ -574,12 +614,18 @@ def _failures_fn(t: pa.Table) -> pa.Table:
     )
 
 
+_FAILURE_COLUMNS = ["url", "host", "key", "rule", "method", "priority", "depth",
+                    "referer", "seq", "keyin", "temp", "ok", "attempts"]
+
+
 def _failure_rows(rounds_dir: str, failure_rounds: list[int]) -> pa.Table:
-    """Failed frontier rows of the given rounds, from the result lineage."""
+    """Failed frontier rows of the given rounds, from the result lineage
+    (slim columns only — never the items/links payload)."""
     parts = []
     for fr in failure_rounds:
         t = _read_table(
-            os.path.join(rounds_dir, f"round_{fr:05d}", "result"), RESULT_SCHEMA
+            os.path.join(rounds_dir, f"round_{fr:05d}", "result"), RESULT_SCHEMA,
+            columns=_FAILURE_COLUMNS,
         )
         if t.num_rows:
             f = _failures_fn(t)
@@ -692,9 +738,10 @@ def crawl_log_table(workdir: str) -> pa.Table:
 
     from ..model import CRAWL_LOG_SCHEMA
 
+    slim = ["url", "host", "priority", "seq", "depth", "ok", "status", "attempts"]
     parts = []
     for r, d in _round_dirs(workdir):
-        t = _read_table(os.path.join(d, "result"), RESULT_SCHEMA)
+        t = _read_table(os.path.join(d, "result"), RESULT_SCHEMA, columns=slim)
         if t.num_rows:
             parts.append(_result_to_crawl_log(t, r))
     if not parts:

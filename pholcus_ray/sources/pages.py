@@ -83,11 +83,42 @@ def _page_words(rng_val: int, pool: list[str], n: int) -> list[str]:
     return [pool[(rng_val * 31 + i * 7) % len(pool)] for i in range(n)]
 
 
-def _build_page(host: str, j: int, host_count: int, h: int, n_hosts: int, zh: bool):
+# Paragraph lines depend only on (rng_val % len(pool), n): cache the composed
+# and html-escaped strings once per pool — page building is then O(1) string
+# lookups per line, which is what makes multi-GB heavy corpora generable.
+_LINE_CACHE: dict[int, list[list[tuple[str, str]]]] = {}
+
+
+def _line_cache(pool: list[str]):
+    key = id(pool)
+    cached = _LINE_CACHE.get(key)
+    if cached is None:
+        P = len(pool)
+        cached = [
+            [
+                (
+                    " ".join(_page_words(v, pool, n)),
+                    _html.escape(" ".join(_page_words(v, pool, n))),
+                )
+                for n in range(8)
+            ]
+            for v in range(P)
+        ]
+        _LINE_CACHE[key] = cached
+    return cached
+
+
+def _build_page(host: str, j: int, host_count: int, h: int, n_hosts: int, zh: bool,
+                page_weight: int = 1, far_links: int = 0):
     """Compose one page: returns (url, html_bytes, text, lang, links_raw).
 
     ``text`` is constructed line-by-line alongside the html so the extraction
     identity is by construction, not by running the extractor.
+
+    ``page_weight`` scales the paragraph count (bench corpora use heavier,
+    Common-Crawl-sized bodies so extraction compute dominates fixed costs);
+    ``far_links`` adds long-stride in-host links that shrink the BFS
+    diameter (fast-mixing graph -> fewer, larger rounds).
     """
     url = f"http://{host}/p/{j}"
     pool = _WORDS_ZH if zh else _WORDS_EN
@@ -96,10 +127,23 @@ def _build_page(host: str, j: int, host_count: int, h: int, n_hosts: int, zh: bo
         title += " & <more>"  # exercise entity escaping round-trip
 
     # --- link targets (deterministic graph) ---
+    # Backbone: a 16-ary sitemap tree (page j links to children 16j+1..16j+16
+    # when they exist) — every page is reachable at depth log16(count), like
+    # a real site's nav/sitemap structure, so BFS has no multi-round
+    # geometric discovery tail. Leaves add mod-arithmetic "related" links
+    # and hash-mixed far links for graph flavor (duplicates/cycles).
     links_raw: list[str] = []
     is_hub = j == 0 or j % 17 == 0
-    fanout = 12 if is_hub else 3
-    targets = [((j * 7) + i + 1) % host_count for i in range(fanout)]
+    tree_base = j * 16 + 1
+    if tree_base < host_count:
+        targets = [tree_base + i for i in range(16) if tree_base + i < host_count]
+    else:
+        fanout = 12 if is_hub else 3
+        targets = [((j * 7) + i + 1) % host_count for i in range(fanout)]
+    for fi in range(far_links):
+        mix = (j * 2654435761 + fi * 40503 + 2654435769) & 0xFFFFFFFF
+        mix ^= mix >> 13
+        targets.append(mix % host_count)
     forms = [
         "/p/{t}",
         "./{t}",
@@ -117,15 +161,21 @@ def _build_page(host: str, j: int, host_count: int, h: int, n_hosts: int, zh: bo
     if j % 11 == 0:
         links_raw.append(f"/missing/{j}")  # dangling -> 404
     if j % 5 == 0 and n_hosts > 1:
-        links_raw.append(f"http://{_host_name((h + 1) % n_hosts)}/p/0")
+        # hash-mixed cross-host target: the host-level graph is a random
+        # digraph (log diameter), not a 1-step chain that would serialize
+        # host discovery into n_hosts BFS rounds
+        th = (h * 31 + (j // 5) * 137 + 11) % n_hosts
+        if th == h:
+            th = (th + 1) % n_hosts
+        links_raw.append(f"http://{_host_name(th)}/p/0")
     if is_hub and h % 3 == 0:
         links_raw.append("/private/0")  # robots-disallowed
 
     # --- body paragraphs ---
-    n_lines = 3 + (j % 5)
-    para_lines = [
-        " ".join(_page_words(j * 13 + k, pool, 4 + (k % 4))) for k in range(n_lines)
-    ]
+    n_lines = (3 + (j % 5)) * max(1, page_weight)
+    cache = _line_cache(pool)
+    P = len(pool)
+    para_pairs = [cache[(j * 13 + k) % P][4 + (k % 4)] for k in range(n_lines)]
 
     parts = ["<!DOCTYPE html>", "<html><head>"]
     charset = "gb18030" if zh else "utf-8"
@@ -140,8 +190,8 @@ def _build_page(host: str, j: int, host_count: int, h: int, n_hosts: int, zh: bo
         '<script type="text/javascript">var t = "<p>not text</p>" + (1 < 2);</script>'
     )
     text_lines = [title, title]  # <title> line + <h1> line
-    for line in para_lines:
-        parts.append(f"<p>{_html.escape(line)}</p>")
+    for line, esc in para_pairs:
+        parts.append(f"<p>{esc}</p>")
         text_lines.append(line)
     for i, href in enumerate(links_raw):
         anchor = f"link {i} " + pool[(j + i) % len(pool)]
@@ -165,64 +215,44 @@ def _private_page(host: str, m: int):
     return url, doc.encode("utf-8"), f"{title}\nsecret {m}", "en"
 
 
-def make_corpus(
-    out_dir: str,
-    n_pages: int = 1000,
-    n_hosts: int = 10,
-    seed: int = 42,
-    n_buckets: int = 16,
-    zh_frac: float = 0.1,
-) -> dict:
-    """Generate the corpus (idempotent: skipped if manifest matches params)."""
-    params = {
-        "n_pages": n_pages,
-        "n_hosts": n_hosts,
-        "seed": seed,
-        "n_buckets": n_buckets,
-        "zh_frac": zh_frac,
-        "format": 3,
-    }
-    manifest_path = os.path.join(out_dir, "manifest.json")
-    if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            old = json.load(f)
-        if old.get("params") == params:
-            return old
-
-    counts = _zipf_counts(n_pages, n_hosts)
+def _gen_chunk(args) -> tuple:
+    """Worker: generate a page-range chunk of ONE host and write its
+    bucket-partial parquet files directly (no driver-side assembly; chunked
+    by pages — not whole hosts — so the Zipf hot host parallelizes instead
+    of serializing generation). Deterministic per (host, range)."""
+    (h, j_lo, j_hi, host_count, n_hosts, seed, zh_frac, page_weight, far_links,
+     n_buckets, pages_dir, ts_offset) = args
+    host = _host_name(h)
     urls, htmls, texts, langs = [], [], [], []
     robots_rows = []
-    for h in range(n_hosts):
-        host = _host_name(h)
-        host_count = counts[h]
-        for j in range(host_count):
-            zh = (j * 2654435761 + seed) % 1000 < zh_frac * 1000
-            url, hb, text, lang, _ = _build_page(host, j, host_count, h, n_hosts, zh)
+    for j in range(j_lo, j_hi):
+        zh = (j * 2654435761 + seed) % 1000 < zh_frac * 1000
+        url, hb, text, lang, _ = _build_page(
+            host, j, host_count, h, n_hosts, zh, page_weight, far_links
+        )
+        urls.append(url)
+        htmls.append(hb)
+        texts.append(text)
+        langs.append(lang)
+    if j_lo == 0 and h % 3 == 0:
+        for m in range(3):
+            url, hb, text, lang = _private_page(host, m)
             urls.append(url)
             htmls.append(hb)
             texts.append(text)
             langs.append(lang)
-        if h % 3 == 0:
-            for m in range(3):
-                url, hb, text, lang = _private_page(host, m)
-                urls.append(url)
-                htmls.append(hb)
-                texts.append(text)
-                langs.append(lang)
-            delay = 1 + (h % 5)
-            robots_rows.append(
-                (
-                    f"http://{host}/robots.txt",
-                    host,
-                    f"User-agent: *\nDisallow: /private/\nCrawl-delay: {delay}\n",
-                )
+        delay = 1 + (h % 5)
+        robots_rows.append(
+            (
+                f"http://{host}/robots.txt",
+                host,
+                f"User-agent: *\nDisallow: /private/\nCrawl-delay: {delay}\n",
             )
-
+        )
     n = len(urls)
-    ts = [_BASE_TS + timedelta(seconds=int(i) * 17) for i in range(n)]
+    ts = [_BASE_TS + timedelta(seconds=(ts_offset + i) * 17) for i in range(n)]
     keys = hash64_array(urls)
     buckets = (keys % np.uint64(n_buckets)).astype(np.int64)
-
     table = pa.table(
         {
             "url": pa.array(urls, pa.string()),
@@ -233,16 +263,79 @@ def make_corpus(
         },
         schema=PAGES_SCHEMA,
     )
-
-    os.makedirs(out_dir, exist_ok=True)
-    pages_dir = os.path.join(out_dir, "pages")
     order = np.argsort(urls, kind="stable")
-    for b in range(n_buckets):
+    for b in np.unique(buckets):
         sel = order[buckets[order] == b]
         sub = table.take(pa.array(sel, pa.int64()))
-        bdir = os.path.join(pages_dir, f"bucket={b}")
+        bdir = os.path.join(pages_dir, f"bucket={int(b)}")
         os.makedirs(bdir, exist_ok=True)
-        pq.write_table(sub, os.path.join(bdir, "part-0.parquet"))
+        pq.write_table(
+            sub, os.path.join(bdir, f"part-h{h:05d}-{j_lo:07d}.parquet")
+        )
+    return robots_rows, n
+
+
+def make_corpus(
+    out_dir: str,
+    n_pages: int = 1000,
+    n_hosts: int = 10,
+    seed: int = 42,
+    n_buckets: int = 16,
+    zh_frac: float = 0.1,
+    page_weight: int = 1,
+    far_links: int = 0,
+    workers: int = 8,
+) -> dict:
+    """Generate the corpus (idempotent: skipped if manifest matches params)."""
+    params = {
+        "n_pages": n_pages,
+        "n_hosts": n_hosts,
+        "seed": seed,
+        "n_buckets": n_buckets,
+        "zh_frac": zh_frac,
+        "page_weight": page_weight,
+        "far_links": far_links,
+        "format": 6,
+    }
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            old = json.load(f)
+        if old.get("params") == params:
+            return old
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    pages_dir = os.path.join(out_dir, "pages")
+    os.makedirs(pages_dir, exist_ok=True)
+
+    counts = _zipf_counts(n_pages, n_hosts)
+    # page-range chunks (hot host parallelizes); stable warc_ts offsets
+    chunk_pages = 4000
+    jobs = []
+    offset = 0
+    for h in range(n_hosts):
+        hc = counts[h]
+        for j_lo in range(0, hc, chunk_pages):
+            j_hi = min(hc, j_lo + chunk_pages)
+            jobs.append(
+                (h, j_lo, j_hi, hc, n_hosts, seed, zh_frac, page_weight,
+                 far_links, n_buckets, pages_dir, offset)
+            )
+            offset += j_hi - j_lo + (3 if j_lo == 0 and h % 3 == 0 else 0)
+
+    if len(jobs) > 1 and workers > 1:
+        import multiprocessing as mp
+
+        with mp.get_context("fork").Pool(workers) as pool:
+            results = pool.map(_gen_chunk, jobs, chunksize=1)
+    else:
+        results = [_gen_chunk(j) for j in jobs]
+    robots_rows = []
+    n = 0
+    for rr, cnt in results:
+        robots_rows.extend(rr)
+        n += cnt
 
     robots_tbl = pa.table(
         {
@@ -283,11 +376,16 @@ def make_corpus(
 
 
 def cached_corpus(n_pages: int, n_hosts: int, seed: int = 42, n_buckets: int = 16,
+                  page_weight: int = 1, far_links: int = 0,
                   root: str = "/tmp/pholcus_ray_cache") -> str:
     """Generate (or reuse) a corpus under a params-keyed cache dir."""
     key = hashlib.md5(
-        json.dumps([n_pages, n_hosts, seed, n_buckets, 3], sort_keys=True).encode()
+        json.dumps(
+            [n_pages, n_hosts, seed, n_buckets, page_weight, far_links, 6],
+            sort_keys=True,
+        ).encode()
     ).hexdigest()[:12]
-    out = os.path.join(root, f"corpus_{n_pages}x{n_hosts}_{key}")
-    make_corpus(out, n_pages=n_pages, n_hosts=n_hosts, seed=seed, n_buckets=n_buckets)
+    out = os.path.join(root, f"corpus_{n_pages}x{n_hosts}w{page_weight}_{key}")
+    make_corpus(out, n_pages=n_pages, n_hosts=n_hosts, seed=seed,
+                n_buckets=n_buckets, page_weight=page_weight, far_links=far_links)
     return out

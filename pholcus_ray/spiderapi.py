@@ -209,3 +209,26 @@ DEFAULT_SPIDER = register(
     Spider(name="site_text", rules={"page": Rule(parse=_parse_page,
                                                 item_fields=["title", "text", "n_chars", "n_links"])})
 )
+
+
+def _parse_page_refresh(ctx: RuleContext) -> None:
+    """Refresh-crawl rule: full extraction work (text, title, links) but NO
+    enqueue — the frontier is the complete known URL list, the job shape of
+    a 10^10-frontier re-fetch (BASELINE.json metric)."""
+    title = ctx.title()
+    text = ctx.text
+    links = ctx.links()
+    ctx.output(
+        {
+            "title": title,
+            "text": text,
+            "n_chars": len(text),
+            "n_links": len(links),
+        }
+    )
+
+
+REFRESH_SPIDER = register(
+    Spider(name="refresh_text", rules={"page": Rule(parse=_parse_page_refresh,
+                                                   item_fields=["title", "text", "n_chars", "n_links"])})
+)

@@ -22,71 +22,95 @@ def seeds_to_frontier(seeds: pa.Table, entry_rule: str = "page",
 
     Keyin fan-out: every seed is replicated once per keyin token (the
     reference's spiders x keyins cross product); seq encodes the
-    (keyin, seed) order so the expansion is deterministic.
+    (keyin, seed) order so the expansion is deterministic. Vectorized —
+    only URL canonicalization touches python per row (10^5+-seed refresh
+    frontiers pass through here).
     """
     keyins = keyins if keyins else [""]
-    cols = {c: seeds[c].to_pylist() for c in seeds.column_names}
     n = seeds.num_rows
-    urls_in = cols["url"]
-    rules = cols.get("rule", [entry_rule] * n)
-    methods = cols.get("method", ["GET"] * n)
-    priorities = cols.get("priority", [0] * n)
-
-    rows = {k: [] for k in ("url", "rule", "method", "priority", "keyin", "seq")}
-    i = 0
-    for keyin in keyins:
-        for j in range(n):
-            u = urls_in[j]
-            rows["url"].append(u)
-            rows["rule"].append(rules[j] or entry_rule)
-            rows["method"].append(methods[j] or "GET")
-            rows["priority"].append(max(0, int(priorities[j] or 0)))
-            rows["keyin"].append(keyin)
-            rows["seq"].append(seed_seq(i))
-            i += 1
-
-    canon = canonicalize_array(rows["url"])
-    keep = [k for k, c in enumerate(canon) if c is not None]
-    canon = [canon[k] for k in keep]
-    sel = lambda name: [rows[name][k] for k in keep]  # noqa: E731
-    m = len(keep)
-    keys = dedup_key_array(canon, sel("method"), sel("rule"))
-    return pa.table(
-        {
-            "url": pa.array(canon, pa.string()),
-            "host": pa.array(host_array(canon), pa.string()),
-            "key": pa.array(keys, pa.uint64()),
-            "rule": pa.array(sel("rule"), pa.string()),
-            "method": pa.array(sel("method"), pa.string()),
-            "priority": pa.array(sel("priority"), pa.int32()),
-            "depth": pa.array([0] * m, pa.int32()),
-            "referer": pa.array([""] * m, pa.string()),
-            "anchor": pa.array([""] * m, pa.string()),
-            "seq": pa.array(sel("seq"), pa.string()),
-            "attempts_done": pa.array([0] * m, pa.int32()),
-            "bypass_dedup": pa.array([False] * m, pa.bool_()),
-            "reloadable": pa.array([False] * m, pa.bool_()),
-            "keyin": pa.array(sel("keyin"), pa.string()),
-            "temp": pa.array([""] * m, pa.string()),
-        },
-        schema=FRONTIER_SCHEMA,
+    names = seeds.column_names
+    urls_in = seeds["url"].to_pylist()
+    rules = (
+        [r or entry_rule for r in seeds["rule"].to_pylist()]
+        if "rule" in names else [entry_rule] * n
     )
+    methods = (
+        [m or "GET" for m in seeds["method"].to_pylist()]
+        if "method" in names else ["GET"] * n
+    )
+    if "priority" in names:
+        prio = np.maximum(
+            seeds["priority"].to_numpy(zero_copy_only=False).astype(np.int64), 0
+        ).astype(np.int32)
+    else:
+        prio = np.zeros(n, dtype=np.int32)
+
+    # canonicalize once per distinct seed row; invalid urls drop out
+    canon = canonicalize_array(urls_in)
+    keep = np.array([c is not None for c in canon], dtype=bool)
+    keep_idx = np.flatnonzero(keep)
+    canon_kept = [canon[k] for k in keep_idx]
+    rules_kept = [rules[k] for k in keep_idx]
+    methods_kept = [methods[k] for k in keep_idx]
+    prio_kept = prio[keep_idx]
+    hosts_kept = host_array(canon_kept)
+    keys_kept = dedup_key_array(canon_kept, methods_kept, rules_kept)
+    m = len(keep_idx)
+
+    parts = []
+    for ki, keyin in enumerate(keyins):
+        # seq index = position in the full (keyin, seed) expansion
+        seq_base = ki * n
+        seqs = [seed_seq(int(seq_base + j)) for j in keep_idx]
+        parts.append(
+            pa.table(
+                {
+                    "url": pa.array(canon_kept, pa.string()),
+                    "host": pa.array(hosts_kept, pa.string()),
+                    "key": pa.array(keys_kept, pa.uint64()),
+                    "rule": pa.array(rules_kept, pa.string()),
+                    "method": pa.array(methods_kept, pa.string()),
+                    "priority": pa.array(prio_kept),
+                    "depth": pa.array(np.zeros(m, dtype=np.int32)),
+                    "referer": pa.array(np.full(m, ""), pa.string()),
+                    "anchor": pa.array(np.full(m, ""), pa.string()),
+                    "seq": pa.array(seqs, pa.string()),
+                    "attempts_done": pa.array(np.zeros(m, dtype=np.int32)),
+                    "bypass_dedup": pa.array(np.zeros(m, dtype=bool)),
+                    "reloadable": pa.array(np.zeros(m, dtype=bool)),
+                    "keyin": pa.array(np.full(m, keyin), pa.string()),
+                    "temp": pa.array(np.full(m, ""), pa.string()),
+                },
+                schema=FRONTIER_SCHEMA,
+            )
+        )
+    if len(parts) == 1:
+        return parts[0]
+    return pa.concat_tables(parts)
+
+
+# ordinals are at most a few hundred per page; the hex suffixes come from a
+# precomputed dictionary so seq derivation is a single vectorized take+join
+_HEX_TABLE_SIZE = 4096
+_HEX_SUFFIXES = pa.array([f"{i:08x}" for i in range(_HEX_TABLE_SIZE)], pa.string())
 
 
 def explode_links(batch: pa.Table) -> pa.Table:
-    """Result rows -> child frontier rows (vectorized list explosion).
+    """Result rows -> child frontier rows (Arrow-native list explosion).
 
-    ``map_batches`` stage over the round's result table: flattens the
-    ``links`` list column, derives seq = parent_seq + %08x(ordinal),
-    depth+1, referer=parent url, and the child dedup key.
+    Flattens the ``links`` list column, derives seq = parent_seq +
+    %08x(ordinal) via a vectorized binary join, depth+1, referer=parent url,
+    and the child dedup key. Runs both as a map_batches stage and on the
+    driver control plane, so every step is a C-level kernel.
     """
     links = batch["links"]
     if isinstance(links, pa.ChunkedArray):
         links = links.combine_chunks()
     flat = pc.list_flatten(links)
-    parents = pc.list_parent_indices(links).to_numpy(zero_copy_only=False)
     if len(flat) == 0:
         return FRONTIER_SCHEMA.empty_table()
+    parent_idx = pc.list_parent_indices(links)
+    parents = parent_idx.to_numpy(zero_copy_only=False)
 
     # ordinal within each parent's list
     offsets = np.flatnonzero(np.diff(np.concatenate(([-1], parents))))
@@ -94,32 +118,43 @@ def explode_links(batch: pa.Table) -> pa.Table:
     starts[offsets] = np.arange(len(parents))[offsets]
     starts = np.maximum.accumulate(starts)
     ordinals = np.arange(len(parents)) - starts
+    if ordinals.max(initial=0) >= _HEX_TABLE_SIZE:
+        hex_ord = pa.array([f"{int(o):08x}" for o in ordinals], pa.string())
+    else:
+        hex_ord = _HEX_SUFFIXES.take(pa.array(ordinals))
 
-    p_seq = batch["seq"].to_pylist()
-    p_url = batch["url"].to_pylist()
-    p_depth = batch["depth"].to_numpy(zero_copy_only=False)
-    p_keyin = batch["keyin"].to_pylist()
+    def _take(col):
+        c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return c.take(parent_idx)
 
-    urls = flat.field("url").to_pylist()
-    rules = flat.field("rule").to_pylist()
-    seqs = [child_seq(p_seq[p], int(o)) for p, o in zip(parents, ordinals)]
-    keys = dedup_key_array(urls, ["GET"] * len(urls), rules)
+    seq_col = pc.binary_join_element_wise(_take(batch["seq"]), hex_ord, "")
+    url_col = flat.field("url")
+    rule_col = flat.field("rule")
+    n = len(flat)
+    # dedup key still hashes python-side (pandas C hasher needs object arrays)
+    keys = dedup_key_array(url_col.to_pylist(), ["GET"] * n, rule_col.to_pylist())
+    # host extraction: C-level regex over canonical urls, python fallback
+    # for any row the pattern misses (userinfo@ etc.)
+    hosts_struct = pc.extract_regex(url_col, pattern=r"^[a-z+.-]+://(?P<h>[^/:?#]+)")
+    hosts = hosts_struct.field("h") if hosts_struct.null_count == 0 else pa.array(
+        host_array(url_col.to_pylist()), pa.string()
+    )
     return pa.table(
         {
-            "url": pa.array(urls, pa.string()),
-            "host": pa.array(host_array(urls), pa.string()),
+            "url": url_col,
+            "host": hosts,
             "key": pa.array(keys, pa.uint64()),
-            "rule": pa.array(rules, pa.string()),
-            "method": pa.array(["GET"] * len(urls), pa.string()),
+            "rule": rule_col,
+            "method": pa.array(np.full(n, "GET"), pa.string()),
             "priority": flat.field("priority").cast(pa.int32()),
-            "depth": pa.array((p_depth[parents] + 1).astype(np.int32)),
-            "referer": pa.array([p_url[p] for p in parents], pa.string()),
+            "depth": pc.add(_take(batch["depth"]), 1).cast(pa.int32()),
+            "referer": _take(batch["url"]),
             "anchor": flat.field("anchor"),
-            "seq": pa.array(seqs, pa.string()),
-            "attempts_done": pa.array(np.zeros(len(urls), dtype=np.int32)),
-            "bypass_dedup": pa.array([False] * len(urls), pa.bool_()),
+            "seq": seq_col,
+            "attempts_done": pa.array(np.zeros(n, dtype=np.int32)),
+            "bypass_dedup": pa.array(np.zeros(n, dtype=bool)),
             "reloadable": flat.field("reloadable"),
-            "keyin": pa.array([p_keyin[p] for p in parents], pa.string()),
+            "keyin": _take(batch["keyin"]),
             "temp": flat.field("temp"),
         },
         schema=FRONTIER_SCHEMA,

@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
-from ..model import FRONTIER_SCHEMA, cap_rank_column, dedup_rank_column
+from ..model import FRONTIER_SCHEMA, cap_rank_arrow, dedup_rank_arrow
 from ..state.hostbudget import HostBudget
 from ..state.hostpolicy import HostPolicy
 from ..state.seen import ShardedSeen
@@ -43,10 +43,9 @@ from ..state.seen import ShardedSeen
 def _ranks_of(batch: pa.Table):
     bypass = batch["bypass_dedup"].to_numpy(zero_copy_only=False)
     reload_ = batch["reloadable"].to_numpy(zero_copy_only=False)
-    prio = batch["priority"].to_numpy(zero_copy_only=False)
-    seqs = batch["seq"].to_pylist()
     keys = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    return keys, dedup_rank_column(bypass, prio, seqs), (bypass | reload_), prio, seqs
+    ranks = dedup_rank_arrow(batch["bypass_dedup"], batch["priority"], batch["seq"])
+    return keys, ranks, (bypass | reload_)
 
 
 class ClaimSeen:
@@ -55,7 +54,7 @@ class ClaimSeen:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows:
-            keys, ranks, _, _, _ = _ranks_of(batch)
+            keys, ranks, _ = _ranks_of(batch)
             self.seen.claim(keys, ranks)
         return batch
 
@@ -72,7 +71,7 @@ class ResolveSeenRobotsCapClaim:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        keys, ranks, exempt, prio, seqs = _ranks_of(batch)
+        keys, ranks, exempt = _ranks_of(batch)
         win = self.seen.resolve(keys, ranks, exempt)
         batch = batch.filter(pa.array(win))
         if batch.num_rows == 0:
@@ -89,10 +88,10 @@ class ResolveSeenRobotsCapClaim:
             batch = batch.filter(pa.array(keep, pa.bool_()))
             if batch.num_rows == 0:
                 return batch
-        hosts = batch["host"].to_pylist()
-        cranks = cap_rank_column(
-            batch["priority"].to_numpy(zero_copy_only=False), batch["seq"].to_pylist()
-        )
+        hosts = batch["host"]
+        if isinstance(hosts, pa.ChunkedArray):
+            hosts = hosts.combine_chunks()
+        cranks = cap_rank_arrow(batch["priority"], batch["seq"])
         self.budget.claim(hosts, cranks)
         return batch
 
@@ -105,10 +104,10 @@ class ResolveCapSpill:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        hosts = batch["host"].to_pylist()
-        cranks = cap_rank_column(
-            batch["priority"].to_numpy(zero_copy_only=False), batch["seq"].to_pylist()
-        )
+        hosts = batch["host"]
+        if isinstance(hosts, pa.ChunkedArray):
+            hosts = hosts.combine_chunks()
+        cranks = cap_rank_arrow(batch["priority"], batch["seq"])
         sched = self.budget.resolve(hosts, cranks)
         deferred = batch.filter(pa.array(~sched))
         if deferred.num_rows:

@@ -37,8 +37,12 @@ class HostBudgetShard:
         self._claims = {}
         self._accepted = None
 
-    def claim(self, hosts: list[str], ranks: list[bytes]) -> None:
+    def claim(self, hosts, ranks) -> None:
         # sets make claims idempotent under Ray task retries
+        if not isinstance(hosts, list):
+            hosts = hosts.to_pylist()
+        if not isinstance(ranks, list):
+            ranks = ranks.to_pylist()
         c = self._claims
         for h, r in zip(hosts, ranks):
             s = c.get(h)
@@ -57,9 +61,13 @@ class HostBudgetShard:
                 acc[h] = set(sorted(rs)[:cap])
         self._accepted = acc
 
-    def resolve(self, hosts: list[str], ranks: list[bytes]) -> np.ndarray:
+    def resolve(self, hosts, ranks) -> np.ndarray:
         if self._accepted is None:
             self._finalize()
+        if not isinstance(hosts, list):
+            hosts = hosts.to_pylist()
+        if not isinstance(ranks, list):
+            ranks = ranks.to_pylist()
         acc = self._accepted
         out = np.zeros(len(hosts), dtype=bool)
         for i, (h, r) in enumerate(zip(hosts, ranks)):
@@ -80,27 +88,37 @@ class HostBudget:
             for _ in range(num_shards)
         ]
 
-    def _route(self, hosts: list[str]) -> np.ndarray:
+    def _route(self, hosts) -> np.ndarray:
         from ..functions.hashing import hash64_array
 
+        if not isinstance(hosts, list):
+            hosts = hosts.to_pylist()
         return (hash64_array(hosts) % np.uint64(self.num_shards)).astype(np.int64)
+
+    @staticmethod
+    def _slice(coll, sel: np.ndarray):
+        if isinstance(coll, list):
+            return [coll[i] for i in sel]
+        import pyarrow as pa
+
+        return coll.take(pa.array(sel))
 
     def begin_round(self) -> None:
         ray.get([s.begin_round.remote() for s in self.shards])
 
-    def claim(self, hosts: list[str], ranks: list[bytes]) -> None:
+    def claim(self, hosts, ranks) -> None:
         sid = self._route(hosts)
         refs = []
         for s in np.unique(sid):
             sel = np.flatnonzero(sid == s)
             refs.append(
                 self.shards[int(s)].claim.remote(
-                    [hosts[i] for i in sel], [ranks[i] for i in sel]
+                    self._slice(hosts, sel), self._slice(ranks, sel)
                 )
             )
         ray.get(refs)
 
-    def resolve(self, hosts: list[str], ranks: list[bytes]) -> np.ndarray:
+    def resolve(self, hosts, ranks) -> np.ndarray:
         sid = self._route(hosts)
         out = np.zeros(len(hosts), dtype=bool)
         idxs, refs = [], []
@@ -109,7 +127,7 @@ class HostBudget:
             idxs.append(sel)
             refs.append(
                 self.shards[int(s)].resolve.remote(
-                    [hosts[i] for i in sel], [ranks[i] for i in sel]
+                    self._slice(hosts, sel), self._slice(ranks, sel)
                 )
             )
         for sel, mask in zip(idxs, ray.get(refs)):

@@ -78,6 +78,9 @@ class HostPolicy:
                 pol._delay[host] = delay
         return pol
 
+    def hosts_with_rules(self) -> set:
+        return set(self._disallow)
+
     def allowed(self, host: str, path: str) -> bool:
         for pfx in self._disallow.get(host, ()):
             if path.startswith(pfx):

@@ -24,6 +24,16 @@ import ray
 from .cuckoo import make_store
 
 
+def _slice_ranks(ranks, sel: np.ndarray):
+    """Slice a rank collection (python list OR arrow array) by positions —
+    arrow take is a C kernel; the python fallback keeps the oracle path."""
+    if isinstance(ranks, list):
+        return [ranks[i] for i in sel]
+    import pyarrow as pa
+
+    return ranks.take(pa.array(sel))
+
+
 @ray.remote(num_cpus=0)
 class SeenShardActor:
     def __init__(self, mode: str, capacity: int, seed: int):
@@ -49,7 +59,9 @@ class SeenShardActor:
         self._claims = {}
         self._round_winners: set[int] = set()
 
-    def claim(self, keys: np.ndarray, ranks: list[bytes]) -> None:
+    def claim(self, keys: np.ndarray, ranks) -> None:
+        if not isinstance(ranks, list):
+            ranks = ranks.to_pylist()
         c = self._claims
         for k, r in zip(keys, ranks):
             k = int(k)
@@ -57,12 +69,14 @@ class SeenShardActor:
             if cur is None or r < cur:
                 c[k] = r
 
-    def resolve(self, keys: np.ndarray, ranks: list[bytes],
+    def resolve(self, keys: np.ndarray, ranks,
                 exempt: np.ndarray) -> np.ndarray:
         """Winner mask; winners that are not exempt (bypass/reloadable) are
         inserted into the seen store (reloadable winners are exempt and NOT
         inserted, mirroring Reloadable's dedup opt-out). Idempotent within a
         round (``_round_winners``), so Ray task retries cannot drop rows."""
+        if not isinstance(ranks, list):
+            ranks = ranks.to_pylist()
         c = self._claims
         winners = getattr(self, "_round_winners", set())
         self._round_winners = winners
@@ -159,17 +173,17 @@ class ShardedSeen:
     def begin_round(self) -> None:
         ray.get([s.begin_round.remote() for s in self.shards])
 
-    def claim(self, keys: np.ndarray, ranks: list[bytes]) -> None:
+    def claim(self, keys: np.ndarray, ranks) -> None:
         keys, shard_ids = self._route(keys)
         refs = []
         for s in np.unique(shard_ids):
             sel = np.flatnonzero(shard_ids == s)
             refs.append(
-                self.shards[int(s)].claim.remote(keys[sel], [ranks[i] for i in sel])
+                self.shards[int(s)].claim.remote(keys[sel], _slice_ranks(ranks, sel))
             )
         ray.get(refs)
 
-    def resolve(self, keys: np.ndarray, ranks: list[bytes],
+    def resolve(self, keys: np.ndarray, ranks,
                 exempt: np.ndarray) -> np.ndarray:
         keys, shard_ids = self._route(keys)
         out = np.zeros(len(keys), dtype=bool)
@@ -179,7 +193,7 @@ class ShardedSeen:
             idxs.append(sel)
             refs.append(
                 self.shards[int(s)].resolve.remote(
-                    keys[sel], [ranks[i] for i in sel], exempt[sel]
+                    keys[sel], _slice_ranks(ranks, sel), exempt[sel]
                 )
             )
         for sel, mask in zip(idxs, ray.get(refs)):
