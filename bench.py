@@ -45,7 +45,7 @@ _BENCH_SCALES = {
 _SUSTAINED_SCALES = {
     "sf0.001": (4_000, 20, 64),
     "sf0.01": (20_000, 40, 128),
-    "sf0.1": (200_000, 100, 512),
+    "sf0.1": (160_000, 100, 512),
 }
 
 _BENCH_QUERIES = [
@@ -91,7 +91,7 @@ def _warmup(corpus: str) -> None:
     run_crawl(
         CrawlConfig(
             corpus_dir=corpus, workdir=wd, round_virtual_sec=8192.0,
-            num_shards=8, limit=2000, fetch_local_threshold=64,
+            num_shards=8, limit=1200, fetch_local_threshold=64,
         )
     )
     shutil.rmtree(wd, ignore_errors=True)
@@ -239,6 +239,19 @@ def scaling() -> None:
     """Sustained workload at 8 and 32 CPUs in fresh processes (the sandbox
     proxy for N vs 4N nodes); report throughput at both + efficiency."""
 
+    def _settle() -> None:
+        """Wait for the previous leg's Ray to fully tear down (lingering
+        raylets/workers skew the next leg's timing by 20%+)."""
+        deadline = time.time() + 45
+        while time.time() < deadline:
+            probe = subprocess.run(
+                ["pgrep", "-c", "raylet"], capture_output=True, text=True
+            )
+            if probe.stdout.strip() in ("", "0"):
+                break
+            time.sleep(2)
+        time.sleep(10)
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
@@ -252,6 +265,7 @@ def scaling() -> None:
 
     lo, hi = 8, 32
     r_lo = run(lo)
+    _settle()
     r_hi = run(hi)
     tput_lo = r_lo["sustained"]["urls_per_sec"]
     tput_hi = r_hi["sustained"]["urls_per_sec"]
