@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": R.events_window,
         "distinct_users": R.distinct_users,
         "filter_revenue": R.filter_revenue,
+        "sessionize_events": R.sessionize_events,
+        "top_orders_per_priority": R.top_orders_per_priority,
         # training-data text ops
         "dedup_exact": T.dedup_exact,
         "token_stats": T.token_stats,
@@ -203,6 +205,30 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "sessionize_events": """
+            WITH e AS (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM e GROUP BY 1 ORDER BY 1
+        """,
+        "top_orders_per_priority": """
+            SELECT o_orderpriority, o_orderkey,
+                   CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents,
+                   CAST(row_number() OVER (
+                        PARTITION BY o_orderpriority
+                        ORDER BY ROUND(o_totalprice*100) DESC, o_orderkey
+                   ) AS BIGINT) AS rank
+            FROM orders
+            QUALIFY rank <= 3
+            ORDER BY o_orderpriority, rank
         """,
         "filter_revenue": """
             SELECT COUNT(*) AS n,

@@ -43,6 +43,13 @@ FRONTIER_SCHEMA = pa.schema(
 
 TAGGED_SCHEMA = FRONTIER_SCHEMA.append(pa.field("deferred", pa.bool_()))
 
+FILE_STRUCT = pa.struct(
+    [
+        ("name", pa.string()),
+        ("data", pa.binary()),
+    ]
+)
+
 LINK_STRUCT = pa.struct(
     [
         ("url", pa.string()),
@@ -73,6 +80,7 @@ RESULT_SCHEMA = pa.schema(
         ("n_items", pa.int32()),            # len(items): metadata-cheap accounting
         ("items", pa.list_(pa.string())),   # JSON-encoded DataCells
         ("links", pa.list_(LINK_STRUCT)),
+        ("files", pa.list_(FILE_STRUCT)),   # FileCell outputs (data.go:48-54)
     ]
 )
 

@@ -6,26 +6,37 @@ Pholcus's scheduler/crawler machinery (SURVEY.md §3.1 steps 4-9,
 
 - frontier = a Dataset per BFS round (round-based determinism replaces the
   reference's wall-clock arrival order, SURVEY.md §7.4.2)
-- dedup = groupby(key) winner + sharded seen-set actors (matrix.go:81-86)
+- dedup = two-phase claim/resolve against the sharded seen-set actors
+  (min-rank-per-key fold; insert-at-enqueue, matrix.go:81-86)
 - ordering = (priority desc, seq asc) — matrix.go:88-124 semantics
-- politeness/robots = two-stage salted per-host caps (north_rule upgrade)
+- politeness/robots = per-host budget actors admitting the cap smallest
+  ranks per round (north_rule upgrade; see state/hostbudget.py)
 - quota = ``limit`` head of the globally ordered schedule (maxPage,
   matrix.go:59-61, spider.go:241-249)
 - failure requeue exactly once at drain (matrix.go:172-204), then permanent
   failures persist (FailureInherit semantics, matrix.go:207-218)
 - quiescence: stop when nothing is scheduled and failures were requeued
 
-Every round writes its outputs (result/items/crawl_log/failures/deferred)
-plus a seen-set delta to ``workdir/rounds/round_NNNNN`` and marks the round
-with ``_COMPLETE.json`` — per-partition lineage. ``resume=True`` restarts
-from the last complete round: incomplete round dirs are discarded, seen
-shards are rebuilt from the deltas, and the loop continues bit-identically
+Rounds are HYBRID: below ``local_round_threshold`` candidates the control
+plane (claim/resolve/robots over slim rows) runs driver-side against the
+shard actors — same semantics functions, no per-execution fixed cost —
+while the data plane (fused fetch+parse over html) runs as a distributed
+``map_batches`` once the schedule exceeds ``fetch_local_threshold``. Above
+the threshold the control plane too runs as barrier-separated Dataset
+passes (the 10^10-frontier path; both paths are byte-equal, tested).
+
+Every round writes its result lineage + deferred spill + a seen-set delta
+to ``workdir/rounds/round_NNNNN`` and marks the round with
+``_COMPLETE.json`` — per-partition lineage. ``resume=True`` restarts from
+the last complete round: incomplete round dirs are discarded, seen shards
+are rebuilt from the deltas, and the loop continues bit-identically
 (tested in tests/test_resume.py).
 
-Scale notes: round state that crosses the loop boundary lives in Parquet,
-never pinned in the object store; the html column exists only inside the
-fused fetch+parse stage; per-round shuffles are groupby(key) (dedup) and
-groupby(host_salt)/groupby(host) (politeness) over slim frontier rows.
+Scale notes: round state that crosses the loop boundary lives in Parquet;
+the html column exists only inside the fused fetch+parse stage; NO shuffle
+runs in the round loop — dedup and politeness are commutative actor folds
+over slim rows, and items/crawl_log/failures are lazy column-pruned
+projections of the per-round result lineage.
 """
 
 from __future__ import annotations

@@ -225,3 +225,90 @@ def filter_revenue(sf_dir: str) -> pa.Table:
     rev = sum(p["revenue_cents"] for p in parts)
     return pa.table({"n": pa.array([n], pa.int64()),
                      "revenue_cents": pa.array([rev], pa.int64())})
+
+
+def sessionize_events(sf_dir: str, gap_sec: int = 1800) -> rd.Dataset:
+    """Gap-based sessionization per user (streaming-shaped op, SURVEY.md
+    §2.8 mapping): events are an ordered, partitioned log — partition by a
+    coarse user bucket, sort within the group, and count gap>30min session
+    starts with vectorized diffs. One shuffle on the bucket key; the inner
+    per-user grouping is a C-level pandas groupby."""
+    import pandas as pd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "part", pa.array((uid % 64).astype(np.int32))
+        )
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        epoch = g["ts"].astype("int64") // 1_000_000
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = epoch.diff() > gap_sec
+        new_sess = (new_user | gap).astype("int64")
+        out = (
+            pd.DataFrame(
+                {"user_id": g["user_id"].values, "new_sess": new_sess.values}
+            )
+            .groupby("user_id", sort=True)
+            .agg(n_sessions=("new_sess", "sum"), n_events=("new_sess", "size"))
+            .reset_index()
+        )
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sessions, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
+def top_orders_per_priority(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Top-k orders by price within each order priority (windowed top-k):
+    per-batch local top-k (combiner) -> tiny per-group merge."""
+    import pandas as pd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def local(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": t["o_orderpriority"].to_pylist(),
+                "o_orderkey": t["o_orderkey"].to_numpy(zero_copy_only=False),
+                "price_cents": _cents(t["o_totalprice"].to_numpy(zero_copy_only=False)),
+            }
+        )
+        df = df.sort_values(
+            ["o_orderpriority", "price_cents", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        return pa.Table.from_pandas(
+            df.groupby("o_orderpriority", sort=False).head(k),
+            preserve_index=False,
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["price_cents", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .map_groups(merge, batch_format="pandas")
+        .sort(["o_orderpriority", "rank"])
+    )

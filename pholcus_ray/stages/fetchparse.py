@@ -7,15 +7,15 @@ one ``map_batches`` stage so the wide ``html`` column never crosses a stage
 boundary or enters a shuffle (SURVEY.md §7.4.6) — a page's bytes live only
 inside one batch call.
 
-Fetch here is the sandbox's simulated network: a lookup into the bucketed
-pages corpus (``bucket = key % n_buckets`` matches the corpus layout) plus
-the deterministic status model in functions/simnet.py. Bucket tables are
-cached in a process-global dict — Ray reuses worker processes across rounds,
-so the cache amortizes across the whole crawl, the actor-pool equivalent of
-the reference's shared cookie jar / DNS cache singletons (ST1/ST2). In
-production this class swaps its lookup for an HTTP client with a cookie jar
-per actor; the stage contract (frontier rows in, result rows out) is
-unchanged.
+Fetch here is the sandbox's simulated network: a vectorized ``index_in``
+lookup against bucket tables of the pages corpus (``bucket = hash64(url) %
+n_buckets`` matches the corpus layout) plus the deterministic status model
+in functions/simnet.py. Bucket tables are preloaded ONCE by parallel tasks
+and pinned in the object store; every worker reads them zero-copy — the
+shared-immutable-state analogue of the reference's cookie jar / DNS cache
+singletons (ST1/ST2). In production this class swaps its lookup for an
+HTTP client with a cookie jar per actor; the stage contract (frontier rows
+in, result rows out) is unchanged.
 """
 
 from __future__ import annotations
@@ -29,7 +29,7 @@ import pyarrow.parquet as pq
 
 from ..functions.hashing import hash64_array
 from ..functions.simnet import sim_fetch_attempts
-from ..model import LINK_STRUCT, RESULT_SCHEMA
+from ..model import FILE_STRUCT, LINK_STRUCT, RESULT_SCHEMA
 from ..spiderapi import RuleContext, Spider
 
 import ray
@@ -152,6 +152,7 @@ class FetchParse:
         ok = np.zeros(n, dtype=bool)
         items_col: list[list[str]] = []
         links_col: list[list[dict]] = []
+        files_col: list[list[dict]] = []
 
         for i in range(n):
             html = htmls[i]
@@ -165,6 +166,7 @@ class FetchParse:
             if not row_ok:
                 items_col.append([])
                 links_col.append([])
+                files_col.append([])
                 continue
             ctx = RuleContext(
                 url=urls[i], referer=referers[i], rule=rules[i],
@@ -173,6 +175,9 @@ class FetchParse:
             )
             self.spider.run_rule(ctx)
             items_col.append([self.spider.finalize_item(ctx, it) for it in ctx.items])
+            files_col.append(
+                [{"name": fn, "data": fd} for fn, fd in ctx.files]
+            )
             links_col.append(
                 [
                     {
@@ -208,6 +213,7 @@ class FetchParse:
                 ),
                 "items": pa.array(items_col, pa.list_(pa.string())),
                 "links": pa.array(links_col, pa.list_(LINK_STRUCT)),
+                "files": pa.array(files_col, pa.list_(FILE_STRUCT)),
             },
             schema=RESULT_SCHEMA,
         )
