@@ -807,3 +807,18 @@ def items_dataset(workdir: str) -> rd.Dataset:
 def url_seen_keys(workdir: str) -> np.ndarray:
     t = pq.read_table(os.path.join(workdir, "final", "url_seen.parquet"))
     return t["key"].to_numpy()
+
+
+def crawl_metrics(workdir: str) -> pa.Table:
+    """Per-round metrics table from the checkpoint lineage (the reference's
+    run report, app.go:515-563 / collector.go:180-188): round, scheduled,
+    ok, fail, items, deferred, new_seen and running totals."""
+    rows = []
+    for _r, d in _round_dirs(workdir):
+        with open(os.path.join(d, "_COMPLETE.json")) as f:
+            rows.append(json.load(f))
+    if not rows:
+        return pa.table({"round": pa.array([], pa.int32())})
+    cols = ["round", "scheduled", "ok", "fail", "items", "deferred", "new_seen",
+            "fetched_ok_total", "fetched_fail_total", "items_total"]
+    return pa.table({c: pa.array([r[c] for r in rows]) for c in cols})
