@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": S.ann_topk,
         "knn_batch": S.knn_batch,
         "ann_ivf": S.ann_ivf,
+        "embedding_near_dups": S.embedding_near_dups,
         # the crawl engine itself (non-SQL: rows-only checks)
         "crawl_log": _q_crawl_log,
         "crawl_items": _q_crawl_items,
@@ -259,6 +260,15 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q
             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, e.vec_id
             LIMIT 10
+        """,
+        "embedding_near_dups": """
+            WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+            FROM e2 a, e2 b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.emb, b.emb) >= 0.3
+            ORDER BY a, b
         """,
         "knn_batch": """
             WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

@@ -195,3 +195,43 @@ def ann_ivf(sf_dir: str, k: int = 10, query_vec_id: int = 0,
         .sort([("cos"), ("vec_id")], descending=[True, False])
         .limit(k)
     )
+
+
+def embedding_near_dups(sf_dir: str, threshold: float = 0.3) -> rd.Dataset:
+    """Embedding-cosine near-duplicate pairs (the dedup-family variant over
+    the embeddings table): per-batch matmul against the broadcast normalized
+    matrix emits only (a, b, cos) pairs above threshold — the batch never
+    ships vectors through a shuffle. At corpus scale, replace the broadcast
+    with IVF partitioning (see ann_ivf) so each batch only multiplies
+    against its own cluster's members."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    all_ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    M = _normalize(_to_matrix(t["embedding"]))
+    bc = ray.put((all_ids, M))
+
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+
+    def pairs(tb: pa.Table) -> pa.Table:
+        ids_all, Mm = ray.get(bc)
+        m = _normalize(_to_matrix(tb["embedding"]))
+        ids = tb["vec_id"].to_numpy(zero_copy_only=False)
+        sims = m @ Mm.T
+        rows_a, rows_b, rows_c = [], [], []
+        for i in range(len(ids)):
+            hits = np.flatnonzero(sims[i] >= threshold)
+            for j in hits:
+                # emit each unordered pair once (a < b)
+                if ids[i] < ids_all[j]:
+                    rows_a.append(int(ids[i]))
+                    rows_b.append(int(ids_all[j]))
+                    rows_c.append(round(float(sims[i, j]), 6))
+        return pa.table(
+            {
+                "a": pa.array(rows_a, pa.int64()),
+                "b": pa.array(rows_b, pa.int64()),
+                "cos": pa.array(rows_c, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow").sort(["a", "b"])

@@ -144,3 +144,35 @@ def test_cuckoo_seen_mode_matches_exact(ray_session, small_corpus, tmp_path):
     assert s.fetched_ok == sum(1 for r in o.crawl_log if r["ok"])
     log = crawl_log_table(wd_c).to_pandas()
     assert len(log) == len(o.crawl_log)
+
+
+def test_reloadable_bypasses_dedup(ray_session, small_corpus, tmp_path):
+    """Reloadable requests opt out of the seen-set (request.go:37,
+    matrix.go:81-86): a reloadable re-enqueue of an already-crawled url is
+    fetched again."""
+    def _parse_reload(ctx: RuleContext) -> None:
+        ctx.output({"u": ctx.url})
+        # re-enqueue the entry page as reloadable from every child hop
+        if ctx.depth < 2:
+            for url, _a in ctx.links()[:2]:
+                ctx.add_queue(url, rule="page", priority=0)
+            ctx.add_queue("http://host0.example.com/p/0", rule="page",
+                          priority=0, reloadable=True)
+
+    sp = Spider(name="reloader", rules={"page": Rule(parse=_parse_reload)})
+    wd = str(tmp_path / "reload")
+    run_crawl(CrawlConfig(corpus_dir=small_corpus, workdir=wd, spider=sp,
+                          round_virtual_sec=RVS, num_shards=4, max_depth=3))
+    log = crawl_log_table(wd).to_pandas()
+    root_fetches = log[(log["url"] == "http://host0.example.com/p/0") & log["ok"]]
+    assert len(root_fetches) > 1  # refetched despite being seen
+
+
+def test_max_depth_stops_expansion(ray_session, small_corpus, tmp_path):
+    wd = str(tmp_path / "depth")
+    run_crawl(CrawlConfig(corpus_dir=small_corpus, workdir=wd,
+                          round_virtual_sec=RVS, num_shards=4, max_depth=1))
+    log = crawl_log_table(wd).to_pandas()
+    assert log["depth"].max() <= 1
+    o = run_oracle(small_corpus, round_virtual_sec=RVS, max_depth=1)
+    assert len(log) == len(o.crawl_log)
