@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": T.simhash_docs,
         "simhash_near_dups": T.simhash_near_dups,
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
+        "hll_distinct_users": T.hll_distinct_users,
         # similarity search
         "ann_topk": S.ann_topk,
         "knn_batch": S.knn_batch,

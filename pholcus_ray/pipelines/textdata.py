@@ -583,3 +583,84 @@ def doc_fingerprint(sf_dir: str) -> rd.Dataset:
         return pa.table({"doc_id": t["doc_id"], "fingerprint": pa.array(fps, pa.string())})
 
     return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog sketch (mergeable approximate count-distinct)
+# ---------------------------------------------------------------------------
+
+
+def _hll_update(registers: np.ndarray, keys: np.ndarray, p: int) -> None:
+    """Standard HLL register update (Flajolet et al. 2007): bucket = top p
+    bits; rank = 1 + leading zeros of the remaining 64-p bits."""
+    buckets = (keys >> np.uint64(64 - p)).astype(np.int64)
+    rest = (keys << np.uint64(p)) | (np.uint64(1) << np.uint64(p - 1))
+    # leading zero count via float64 exponent trick is lossy; use bit scan
+    ranks = np.zeros(len(keys), dtype=np.uint8)
+    v = rest.copy()
+    shift = np.uint64(32)
+    cnt = np.zeros(len(keys), dtype=np.uint8)
+    for sh in (32, 16, 8, 4, 2, 1):
+        mask = v < (np.uint64(1) << np.uint64(64 - sh))
+        cnt[mask] += np.uint8(sh)
+        v[mask] = v[mask] << np.uint64(sh)
+    ranks = cnt + 1
+    np.maximum.at(registers, buckets, ranks)
+
+
+def _hll_estimate(registers: np.ndarray) -> float:
+    m = len(registers)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(2.0 ** (-registers.astype(np.float64)))
+    zeros = int((registers == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # small-range correction
+    return float(est)
+
+
+def hll_distinct_users(sf_dir: str, p: int = 12) -> rd.Dataset:
+    """Approximate distinct users per event_type via mergeable HLL sketches:
+    one (event_type, registers) partial per batch (the map-side combiner),
+    merged with a C-level max-reduce in a tiny final stage — the shuffle
+    moves 4 KB sketches instead of user ids. Error ~1.04/sqrt(2^p) = 1.6%.
+    """
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        types, out_regs = [], []
+        for ty in np.unique(et):
+            sel = et == ty
+            keys = hash64_array([f"u{u}" for u in uid[sel]])
+            regs = np.zeros(m, dtype=np.uint8)
+            _hll_update(regs, keys, p)
+            types.append(str(ty))
+            out_regs.append(regs.tobytes())
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "sketch": pa.array(out_regs, pa.binary()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(m, dtype=np.uint8)
+        for blob in g["sketch"]:
+            regs = np.maximum(regs, np.frombuffer(blob, dtype=np.uint8))
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_users_approx": [int(round(_hll_estimate(regs)))],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+        .sort("event_type")
+    )

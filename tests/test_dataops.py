@@ -222,3 +222,19 @@ def test_multimodal_real_backend_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         DecodeImage(backend="real")
+
+
+def test_hll_distinct_users_accuracy(ray_session):
+    """Mergeable HLL sketch: within ~3x stderr (1.04/sqrt(4096) ~ 1.6%) of
+    the exact distinct count per event_type."""
+    from pholcus_ray.pipelines.relational import distinct_users
+    from pholcus_ray.pipelines.textdata import hll_distinct_users
+
+    exact = distinct_users(SF).to_pandas().set_index("event_type")["n_users"]
+    approx = (
+        hll_distinct_users(SF).to_pandas().set_index("event_type")["n_users_approx"]
+    )
+    assert set(exact.index) == set(approx.index)
+    for ty in exact.index:
+        rel = abs(approx[ty] - exact[ty]) / exact[ty]
+        assert rel < 0.05, (ty, exact[ty], approx[ty])
