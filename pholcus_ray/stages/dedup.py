@@ -1,21 +1,18 @@
-"""Dedup stages: intra-round winner selection + cross-round seen-set filter.
+"""Standalone dedup library stages (semi/anti-join building blocks).
 
-Reference parity (SURVEY.md D1/D2, matrix.go:81-86, success.go:26-45):
-skip a request whose identity is already in the success history OR in
-tempHistory (insert-at-enqueue), unless ``Reloadable``; requeued failures
-bypass the check (they were inserted at their first enqueue).
+The crawl loop itself uses the two-phase claim/resolve protocol in
+stages/schedule.py (shuffle-free, oracle-deterministic). These simpler
+one-phase stages remain as reusable library operators for INGESTION-style
+pipelines — e.g. appending a new batch of documents/urls against an
+existing seen-set where no intra-batch winner ordering is required
+(SURVEY.md J1: semi/anti-join of candidate keys vs a membership service):
 
-Two stages:
-
-1. ``winner_per_key`` — ``groupby("key").map_groups``: at most one row per
-   dedup key per round, chosen deterministically (bypass rows win — they are
-   already seen and must proceed; otherwise highest priority, then lowest
-   seq). This makes the subsequent actor inserts order-independent, which is
-   what keeps the distributed run byte-equal to the sequential oracle.
-2. ``SeenFilter`` — ``map_batches`` stage holding the ShardedSeen client:
-   batched ``insert_if_absent`` RPCs to the cuckoo/exact shard actors;
-   reloadable rows bypass (and are not inserted); bypass_dedup rows pass
-   without re-inserting.
+1. ``winner_per_key`` — ``groupby("key").map_groups`` reducer: at most one
+   row per key, deterministically chosen (bypass first, priority desc,
+   seq asc).
+2. ``SeenFilter`` — ``map_batches`` stage holding a ShardedSeen client:
+   batched ``insert_if_absent`` RPCs; reloadable rows bypass (and are not
+   inserted); bypass_dedup rows pass without re-inserting.
 """
 
 from __future__ import annotations
