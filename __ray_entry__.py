@@ -178,9 +178,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(l_quantity) AS sum_qty,
-                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
-                   SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_cents,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
                    COUNT(*) AS n
             FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
         """,
@@ -190,7 +190,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "revenue_by_nation": """
             SELECT n.n_name AS n_name,
-                   SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS revenue_cents,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
                    COUNT(*) AS n_orders
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
@@ -201,7 +201,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
                    event_type,
                    COUNT(*) AS n,
-                   SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_cents
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "distinct_users": """
@@ -234,7 +234,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "filter_revenue": """
             SELECT COUNT(*) AS n,
-                   SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_cents
+                   CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
             FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01'
         """,
         "dedup_exact": """
@@ -243,9 +243,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats": """
             SELECT lang, COUNT(*) AS n_docs,
-                   SUM(CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS sum_tokens,
-                   SUM(length(text)) AS sum_chars
+                   CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_chars
             FROM documents GROUP BY 1 ORDER BY 1
         """,
         "doc_fingerprint": """

@@ -41,6 +41,14 @@ def q1_pricing(sf_dir: str) -> rd.Dataset:
     def derive(t: pa.Table) -> pa.Table:
         price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        # l_quantity is integral-valued; sum it as int64 on both sides so
+        # the driver's dtype-sensitive value hash can never diverge.
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        t = t.set_column(
+            t.schema.get_field_index("l_quantity"),
+            "l_quantity",
+            pa.array(np.floor(qty + 0.5).astype(np.int64)),
+        )
         t = t.append_column("base_cents", pa.array(_cents(price)))
         t = t.append_column("disc_cents", pa.array(_cents(price * (1.0 - disc))))
         return t.drop_columns(["l_extendedprice", "l_discount"])

@@ -81,6 +81,13 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
         else:
             for c in a.columns:
                 av, bv = a[c].values, b[c].values
+                # The driver's value hash is dtype-sensitive (round-1 lesson:
+                # DuckDB SUM(BIGINT)->HUGEINT->float64 vs engine int64 failed
+                # hash_match with identical values). Replicate that here.
+                if av.dtype != bv.dtype:
+                    status = "FAIL"
+                    msgs.append(f"col {c} dtype ray={av.dtype} sql={bv.dtype}")
+                    continue
                 try:
                     eq = (pd.Series(av) == pd.Series(bv)) | (
                         pd.Series(av).isna() & pd.Series(bv).isna()
