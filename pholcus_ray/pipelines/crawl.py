@@ -169,19 +169,19 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
     os.makedirs(cfg.workdir, exist_ok=True)
     rounds_dir = os.path.join(cfg.workdir, "rounds")
     os.makedirs(rounds_dir, exist_ok=True)
-    with open(os.path.join(cfg.workdir, "run_config.json"), "w") as f:
-        json.dump(
-            {
-                "corpus_dir": cfg.corpus_dir,
-                "round_virtual_sec": cfg.round_virtual_sec,
-                "default_delay_sec": cfg.default_delay_sec,
-                "seen_mode": cfg.seen_mode,
-                "num_shards": cfg.num_shards,
-                "limit": cfg.limit,
-            },
-            f,
-            indent=2,
-        )
+    cfg_json = {
+        "corpus_dir": cfg.corpus_dir,
+        "round_virtual_sec": cfg.round_virtual_sec,
+        "default_delay_sec": cfg.default_delay_sec,
+        "seen_mode": cfg.seen_mode,
+        "num_shards": cfg.num_shards,
+        "limit": cfg.limit,
+    }
+    cfg_path = os.path.join(cfg.workdir, "run_config.json")
+    prev_cfg = None
+    if cfg.resume and os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            prev_cfg = json.load(f)
 
     policy = HostPolicy.from_robots_parquet(
         os.path.join(cfg.corpus_dir, "robots.parquet"), cfg.default_delay_sec
@@ -192,7 +192,11 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
     seen = ShardedSeen(cfg.num_shards, cfg.seen_mode, cfg.capacity_per_shard)
 
     # --- resume or cold start ---
-    state = _restore(cfg, seen, rounds_dir)
+    state = _restore(cfg, seen, rounds_dir, prev_cfg, cfg_json)
+    # written only after resume validation, so a rejected resume attempt
+    # can't clobber the persisted config the next attempt validates against
+    with open(cfg_path, "w") as f:
+        json.dump(cfg_json, f, indent=2)
     if state is None:
         seeds_tbl = pq.read_table(
             cfg.seeds_path or os.path.join(cfg.corpus_dir, "seeds.parquet")
@@ -304,7 +308,9 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
             "fetched_fail_total": state["fetched_fail"],
             "items_total": state["items"],
             "failures_requeued": state["failures_requeued"],
-            "failure_rounds": state["failure_rounds"],
+            # snapshot, not a reference — the live list keeps growing and
+            # would retroactively rewrite earlier per_round entries
+            "failure_rounds": list(state["failure_rounds"]),
         }
         state["per_round"].append(meta)
         with open(os.path.join(rdir, "_COMPLETE.json"), "w") as f:
@@ -328,7 +334,7 @@ def _estimate_candidates(cfg: CrawlConfig, state: dict, rounds_dir: str) -> int:
     if "requeue_table" in state:
         return state["requeue_table"].num_rows
     prev = os.path.join(rounds_dir, f"round_{state['round'] - 1:05d}")
-    return _count_links(os.path.join(prev, "result")) + _nrows(
+    return _count_links(os.path.join(prev, "result"), cfg.max_depth) + _nrows(
         os.path.join(prev, "deferred")
     )
 
@@ -542,12 +548,27 @@ def _count_items(result_dir: str) -> int:
     return int(t["n_items"].to_numpy(zero_copy_only=False).sum())
 
 
-def _count_links(result_dir: str) -> int:
+def _count_links(result_dir: str, max_depth: int | None = None) -> int:
+    """Exact child-candidate count from a round's result parquet.
+
+    Must mirror the candidate build's depth filter (child depth =
+    parent depth + 1, kept while child depth <= max_depth): counting
+    links from parents at the depth frontier would schedule 'ghost'
+    rounds with zero survivors that the sequential oracle never runs,
+    shifting round numbers and download_time for later requeued rows.
+    """
     import pyarrow.compute as pc
 
-    t = _read_table(result_dir, RESULT_SCHEMA, columns=["links"])
+    cols = ["links"] if max_depth is None else ["links", "depth"]
+    t = _read_table(result_dir, RESULT_SCHEMA, columns=cols)
     if t.num_rows == 0:
         return 0
+    if max_depth is not None:
+        t = t.filter(
+            pa.array(t["depth"].to_numpy(zero_copy_only=False) < max_depth)
+        )
+        if t.num_rows == 0:
+            return 0
     return int(pc.sum(pc.list_value_length(t["links"])).as_py() or 0)
 
 
@@ -650,7 +671,18 @@ def _failure_rows(rounds_dir: str, failure_rounds: list[int]) -> pa.Table:
 # --- resume -----------------------------------------------------------------
 
 
-def _restore(cfg: CrawlConfig, seen: ShardedSeen, rounds_dir: str) -> dict | None:
+# run_config keys that must be identical to resume a workdir: a changed
+# num_shards re-routes seen keys (key % S), a changed seen_mode/clock/corpus
+# silently produces a different crawl from the checkpointed prefix.
+_RESUME_CRITICAL = (
+    "corpus_dir", "round_virtual_sec", "default_delay_sec", "seen_mode",
+    "num_shards",
+)
+
+
+def _restore(cfg: CrawlConfig, seen: ShardedSeen, rounds_dir: str,
+             prev_cfg: dict | None = None,
+             cur_cfg: dict | None = None) -> dict | None:
     if not cfg.resume:
         return None
     complete = []
@@ -662,9 +694,25 @@ def _restore(cfg: CrawlConfig, seen: ShardedSeen, rounds_dir: str) -> dict | Non
                 break  # stop at the first incomplete round
     if not complete:
         return None
-    last = complete[-1]
-    with open(os.path.join(rounds_dir, last, "_COMPLETE.json")) as f:
-        meta = json.load(f)
+    if prev_cfg is not None and cur_cfg is not None:
+        diff = [
+            k for k in _RESUME_CRITICAL
+            if k in prev_cfg and prev_cfg[k] != cur_cfg.get(k)
+        ]
+        if diff:
+            raise ValueError(
+                f"cannot resume {rounds_dir!r}: config changed for "
+                + ", ".join(f"{k} {prev_cfg[k]!r} -> {cur_cfg.get(k)!r}"
+                            for k in diff)
+                + " (use a fresh workdir, or resume=False to restart)"
+            )
+    # full per_round history, not just the last round (round-1 advisor
+    # finding: CrawlSummary.per_round was truncated after any resume)
+    per_round = []
+    for d in complete:
+        with open(os.path.join(rounds_dir, d, "_COMPLETE.json")) as f:
+            per_round.append(json.load(f))
+    meta = per_round[-1]
     seen.restore_deltas(
         [os.path.join(rounds_dir, d, "seen_delta") for d in complete]
     )
@@ -675,7 +723,7 @@ def _restore(cfg: CrawlConfig, seen: ShardedSeen, rounds_dir: str) -> dict | Non
         "items": meta["items_total"],
         "failures_requeued": meta["failures_requeued"],
         "failure_rounds": list(meta["failure_rounds"]),
-        "per_round": [meta],
+        "per_round": per_round,
     }
 
 

@@ -134,8 +134,12 @@ def explode_links(batch: pa.Table) -> pa.Table:
     # dedup key still hashes python-side (pandas C hasher needs object arrays)
     keys = dedup_key_array(url_col.to_pylist(), ["GET"] * n, rule_col.to_pylist())
     # host extraction: C-level regex over canonical urls, python fallback
-    # for any row the pattern misses (userinfo@ etc.)
-    hosts_struct = pc.extract_regex(url_col, pattern=r"^[a-z+.-]+://(?P<h>[^/:?#]+)")
+    # for any row the pattern misses. The optional userinfo group mirrors
+    # host_of (urlnorm.py:72): netloc after the last '@', before ':port' —
+    # without it, 'http://alice@host/' keyed politeness on 'alice@host'.
+    hosts_struct = pc.extract_regex(
+        url_col, pattern=r"^[a-z+.-]+://(?:[^/?#]*@)?(?P<h>[^/:?#@]+)"
+    )
     hosts = hosts_struct.field("h") if hosts_struct.null_count == 0 else pa.array(
         host_array(url_col.to_pylist()), pa.string()
     )

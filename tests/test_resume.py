@@ -68,3 +68,56 @@ def test_resume_discards_incomplete_round(ray_session, small_corpus, tmp_path):
     assert s.fetched_ok > 0
     assert os.path.exists(os.path.join(dirty, "_COMPLETE.json"))
     assert not os.path.exists(os.path.join(dirty, "result", "garbage.txt"))
+
+
+def test_resume_rejects_changed_critical_config(ray_session, small_corpus, tmp_path):
+    """Resuming with a different num_shards would re-route seen keys
+    (key % S) and silently mis-shard the restored set — must fail loudly."""
+    import pytest
+
+    wd = str(tmp_path / "reshard")
+    cfg = CrawlConfig(
+        corpus_dir=small_corpus, workdir=wd, round_virtual_sec=RVS,
+        fetch_concurrency=2, num_shards=4, max_rounds=2,
+    )
+    run_crawl(cfg)
+
+    bad = CrawlConfig(
+        corpus_dir=small_corpus, workdir=wd, round_virtual_sec=RVS,
+        fetch_concurrency=2, num_shards=8,
+    )
+    with pytest.raises(ValueError, match="num_shards"):
+        run_crawl(bad)
+
+    bad2 = CrawlConfig(
+        corpus_dir=small_corpus, workdir=wd, round_virtual_sec=RVS * 2,
+        fetch_concurrency=2, num_shards=4,
+    )
+    with pytest.raises(ValueError, match="round_virtual_sec"):
+        run_crawl(bad2)
+
+    # unchanged config still resumes fine; raising the limit is allowed
+    cfg.max_rounds = 10_000
+    cfg.limit = 10_000
+    s = run_crawl(cfg)
+    assert s.fetched_ok > 0
+
+
+def test_resume_restores_full_per_round_history(ray_session, small_corpus, tmp_path):
+    """CrawlSummary.per_round after a resume must cover every completed
+    round, not just the last checkpoint (round-1 advisor finding)."""
+    wd_full = str(tmp_path / "hist_full")
+    wd_part = str(tmp_path / "hist_part")
+    kw = dict(corpus_dir=small_corpus, round_virtual_sec=RVS,
+              fetch_concurrency=2, num_shards=4)
+
+    s_full = run_crawl(CrawlConfig(workdir=wd_full, **kw))
+
+    cfg = CrawlConfig(workdir=wd_part, max_rounds=2, **kw)
+    run_crawl(cfg)
+    cfg.max_rounds = 10_000
+    s_res = run_crawl(cfg)
+
+    assert len(s_res.per_round) == len(s_full.per_round) == s_full.rounds
+    assert [m["round"] for m in s_res.per_round] == list(range(s_full.rounds))
+    assert s_res.per_round == s_full.per_round

@@ -168,11 +168,28 @@ def test_reloadable_bypasses_dedup(ray_session, small_corpus, tmp_path):
     assert len(root_fetches) > 1  # refetched despite being seen
 
 
-def test_max_depth_stops_expansion(ray_session, small_corpus, tmp_path):
-    wd = str(tmp_path / "depth")
-    run_crawl(CrawlConfig(corpus_dir=small_corpus, workdir=wd,
-                          round_virtual_sec=RVS, num_shards=4, max_depth=1))
+@pytest.mark.parametrize("depth", [1, 2])
+def test_max_depth_stops_expansion(ray_session, small_corpus, tmp_path, depth):
+    """Full-log conformance under max_depth, INCLUDING the round column:
+    a depth-unaware candidate estimate used to schedule empty 'ghost'
+    rounds the oracle never runs, shifting round numbers for requeued and
+    deferred rows (round-1 advisor finding)."""
+    import pandas as pd
+
+    wd = str(tmp_path / f"depth{depth}")
+    s = run_crawl(CrawlConfig(corpus_dir=small_corpus, workdir=wd,
+                              round_virtual_sec=RVS, num_shards=4,
+                              max_depth=depth))
     log = crawl_log_table(wd).to_pandas()
-    assert log["depth"].max() <= 1
-    o = run_oracle(small_corpus, round_virtual_sec=RVS, max_depth=1)
-    assert len(log) == len(o.crawl_log)
+    assert log["depth"].max() <= depth
+    o = run_oracle(small_corpus, round_virtual_sec=RVS, max_depth=depth)
+    olog = (
+        pd.DataFrame(o.crawl_log)
+        .sort_values(["round", "priority", "seq"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    assert len(log) == len(olog)
+    for c in log.columns:
+        assert (log[c].values == olog[c].values).all(), f"column {c} diverges"
+    # engine must not run trailing ghost rounds beyond the oracle
+    assert s.rounds == o.rounds

@@ -65,3 +65,38 @@ def test_host_of_and_helpers():
 def test_canonicalize_array():
     out = canonicalize_array(["http://E.com/a", "javascript:x", "http://e.com"])
     assert list(out) == ["http://e.com/a", None, "http://e.com/"]
+
+
+def test_explode_links_host_strips_userinfo():
+    """The C-level host regex in explode_links must agree with host_of for
+    userinfo URLs (round-1 advisor finding: 'alice@host' leaked into the
+    host column, diverging politeness/robots keying from the oracle)."""
+    import pyarrow as pa
+
+    from pholcus_ray.model import RESULT_SCHEMA
+    from pholcus_ray.stages.normalize import explode_links
+
+    urls = [
+        "http://alice@host0.example.com/p/1",
+        "http://user:pw@host1.example.com:8080/p/2",
+        "http://host2.example.com/p@th?x=a@b",
+    ]
+    links = [
+        [{"url": u, "rule": "page", "priority": 0, "anchor": "",
+          "reloadable": False, "temp": ""}]
+        for u in urls
+    ]
+    batch = pa.table(
+        {
+            "url": pa.array(["http://seed.example.com/"] * 3),
+            "seq": pa.array(["00000000"] * 3),
+            "depth": pa.array([0, 0, 0], pa.int32()),
+            "keyin": pa.array([""] * 3),
+            "links": pa.array(links, RESULT_SCHEMA.field("links").type),
+        }
+    )
+    out = explode_links(batch)
+    assert out["host"].to_pylist() == [host_of(u) for u in urls]
+    assert out["host"].to_pylist() == [
+        "host0.example.com", "host1.example.com", "host2.example.com"
+    ]
