@@ -130,6 +130,31 @@ def test_simhash_near_dups(ray_session, dup_docs_dir):
     assert (0, 2) in ps  # one-word change -> small hamming distance
 
 
+@pytest.mark.parametrize("h", [0, 3, 8])
+def test_simhash_banding_guarantee_full_recall(ray_session, dup_docs_dir, h):
+    """The banding must return EXACTLY the pairs at hamming <= max_hamming
+    (round-1 verdict: 4x16-bit bands only guaranteed distance <= 3 while
+    the default max_hamming was 8, silently dropping pairs at 4-8).
+    Brute-force all-pairs distance over simhash_docs is the oracle."""
+    import numpy as np
+
+    from pholcus_ray.pipelines.textdata import simhash_docs, simhash_near_dups
+
+    sh = simhash_docs(dup_docs_dir).to_pandas().sort_values("doc_id")
+    ids = sh["doc_id"].to_numpy()
+    hs = sh["simhash"].to_numpy().astype(np.uint64)
+    expected = set()
+    for i in range(len(ids)):
+        x = np.bitwise_xor(hs[i + 1:], hs[i])
+        d = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        for j, dist in enumerate(d):
+            if dist <= h:
+                expected.add((int(ids[i]), int(ids[i + 1 + j])))
+    got = simhash_near_dups(dup_docs_dir, max_hamming=h).to_pandas()
+    assert set(zip(got["a"], got["b"])) == expected
+    assert (got["hamming"] <= h).all()
+
+
 def test_ngram_jaccard_pairs(ray_session, dup_docs_dir):
     from pholcus_ray.pipelines.textdata import ngram_jaccard_pairs
 
