@@ -136,12 +136,14 @@ def knn_batch(sf_dir: str, n_queries: int = 5, k: int = 3) -> rd.Dataset:
 
 
 def _kmeans_fit(X: np.ndarray, n_clusters: int, seed: int = 11, iters: int = 10):
-    """Small deterministic k-means (numpy); at scale fit on a sample."""
+    """Deterministic k-means on an in-memory SAMPLE (numpy, matmul-based
+    distances: O(n·k) memory, not the O(n·k·d) broadcast-subtract form)."""
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)
     C = X[np.sort(idx)].copy()
+    x2 = (X * X).sum(axis=1)
     for _ in range(iters):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        d = x2[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
         assign = d.argmin(axis=1)
         for c in range(len(C)):
             m = assign == c
@@ -150,21 +152,61 @@ def _kmeans_fit(X: np.ndarray, n_clusters: int, seed: int = 11, iters: int = 10)
     return C
 
 
+def _sample_vectors(sf_dir: str, target: int = 2048) -> np.ndarray:
+    """Deterministic bounded sample of normalized embedding vectors for
+    centroid fitting: rows are kept by vec_id hash (stable across block
+    layouts and cluster sizes), so the driver only ever holds
+    ~``target`` × dim floats no matter the table size — the at-scale
+    replacement for reading the whole table onto the driver."""
+    from ..functions.hashing import hash64_array
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    n_rows = pq.ParquetFile(emb_path).metadata.num_rows
+    stride = max(1, n_rows // target)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        h = hash64_array([f"v{i}" for i in ids])
+        return t.filter(pa.array((h % np.uint64(stride)) == 0))
+
+    sampled = (
+        rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        .map_batches(keep, batch_format="pyarrow")
+        .take_all()
+    )
+    M = np.array([r["embedding"] for r in sampled], dtype=np.float64)
+    return _normalize(M)
+
+
+def _fit_centroids(sf_dir: str, n_clusters: int) -> np.ndarray:
+    """Sample -> k-means -> normalized centroids (broadcast-ready)."""
+    return _normalize(_kmeans_fit(_sample_vectors(sf_dir), n_clusters))
+
+
+def _query_vector(sf_dir: str, query_vec_id: int) -> np.ndarray:
+    """One query row via predicate-pushdown read (never the full table)."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    rows = rd.read_parquet(
+        emb_path,
+        columns=["vec_id", "embedding"],
+        filter=(pc.field("vec_id") == query_vec_id),
+    ).take_all()
+    return _normalize(np.array([rows[0]["embedding"]], dtype=np.float64))[0]
+
+
 def ann_ivf(sf_dir: str, k: int = 10, query_vec_id: int = 0,
             n_clusters: int = 8, nprobe: int = 2) -> rd.Dataset:
-    """IVF cosine top-k: partition vectors by nearest centroid (the shuffle
-    key), search only the ``nprobe`` centroids nearest the query.
+    """IVF cosine top-k: vectors are assigned to their nearest centroid and
+    only the ``nprobe`` centroids nearest the query are searched.
 
-    Centroids are fit deterministically on a driver-side sample (at 100 TB:
-    fit on ds.random_sample, broadcast centroids, assign in map_batches).
-    Approximate by construction; recall vs brute force is asserted in tests.
+    Centroids are fit on a deterministic bounded hash-sample
+    (_sample_vectors) and only the (k × dim) centroid matrix + query vector
+    are broadcast — the driver never materializes the table. Approximate by
+    construction; recall vs brute force is asserted in tests.
     """
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
-    X = _normalize(_to_matrix(t["embedding"]))
-    C = _kmeans_fit(X, n_clusters)
-    C = _normalize(C)
-    qv = X[t["vec_id"].to_numpy(zero_copy_only=False).tolist().index(query_vec_id)]
+    C = _fit_centroids(sf_dir, n_clusters)
+    qv = _query_vector(sf_dir, query_vec_id)
     probe = np.argsort(-(C @ qv))[:nprobe]
     bc = ray.put((C, qv, set(int(p) for p in probe)))
 
@@ -197,41 +239,143 @@ def ann_ivf(sf_dir: str, k: int = 10, query_vec_id: int = 0,
     )
 
 
-def embedding_near_dups(sf_dir: str, threshold: float = 0.3) -> rd.Dataset:
-    """Embedding-cosine near-duplicate pairs (the dedup-family variant over
-    the embeddings table): per-batch matmul against the broadcast normalized
-    matrix emits only (a, b, cos) pairs above threshold — the batch never
-    ships vectors through a shuffle. At corpus scale, replace the broadcast
-    with IVF partitioning (see ann_ivf) so each batch only multiplies
-    against its own cluster's members."""
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
-    all_ids = t["vec_id"].to_numpy(zero_copy_only=False)
-    M = _normalize(_to_matrix(t["embedding"]))
-    bc = ray.put((all_ids, M))
+def embedding_near_dups(sf_dir: str, threshold: float = 0.3,
+                        n_clusters: int = 8) -> rd.Dataset:
+    """EXACT embedding-cosine near-duplicate pairs, cluster-partitioned.
 
+    Round-1 shipped the whole normalized N×d matrix to every worker
+    (O(N) per-worker memory). This is the corpus-scale replacement and it
+    is still EXACT (oracle-identical pair set):
+
+    1. Fit centroids on a bounded hash-sample; broadcast only (k × dim).
+    2. One light aggregation pass computes each cluster's angular radius
+       r_c = max angle(x, c) over its members (per-batch partial min-dot,
+       tiny driver merge of k values).
+    3. Triangle-inequality pruning: a pair with angle(x,y) <= arccos(t)
+       and x in c_i, y in c_j forces angle(c_i,c_j) <= r_i + r_j +
+       arccos(t); every other cluster pair is provably empty and skipped.
+    4. Each vector is flat-mapped to its surviving cluster-pair groups
+       (the shuffle key — a vector crosses the wire once per surviving
+       pair involving its cluster, <= k times, typically far fewer);
+       within a group one matmul between the two clusters' members emits
+       (a, b, cos >= t) with a < b.
+
+    Per-task memory is two clusters, not the corpus; compute drops from
+    all-pairs N^2 to the surviving cluster-pair blocks.
+    """
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    C = _fit_centroids(sf_dir, n_clusters)
+    kc = len(C)
+    c_ref = ray.put(C)
     ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
 
-    def pairs(tb: pa.Table) -> pa.Table:
-        ids_all, Mm = ray.get(bc)
+    # ---- pass 1: per-cluster min cosine to own centroid (max angle) ----
+    def radius_partial(tb: pa.Table) -> pa.Table:
+        Cm = ray.get(c_ref)
         m = _normalize(_to_matrix(tb["embedding"]))
-        ids = tb["vec_id"].to_numpy(zero_copy_only=False)
-        sims = m @ Mm.T
-        rows_a, rows_b, rows_c = [], [], []
-        for i in range(len(ids)):
-            hits = np.flatnonzero(sims[i] >= threshold)
-            for j in hits:
-                # emit each unordered pair once (a < b)
-                if ids[i] < ids_all[j]:
-                    rows_a.append(int(ids[i]))
-                    rows_b.append(int(ids_all[j]))
-                    rows_c.append(round(float(sims[i, j]), 6))
+        sims = m @ Cm.T
+        assign = sims.argmax(axis=1)
+        own = sims[np.arange(len(assign)), assign]
+        mins = np.full(len(Cm), np.inf)
+        np.minimum.at(mins, assign, own)
+        live = np.isfinite(mins)
         return pa.table(
             {
-                "a": pa.array(rows_a, pa.int64()),
-                "b": pa.array(rows_b, pa.int64()),
-                "cos": pa.array(rows_c, pa.float64()),
+                "cluster": pa.array(np.flatnonzero(live).astype(np.int32)),
+                "min_dot": pa.array(mins[live], pa.float64()),
             }
         )
 
-    return ds.map_batches(pairs, batch_format="pyarrow").sort(["a", "b"])
+    parts = ds.map_batches(radius_partial, batch_format="pyarrow").take_all()
+    min_dot = np.ones(kc)
+    for r in parts:
+        min_dot[r["cluster"]] = min(min_dot[r["cluster"]], r["min_dot"])
+    radius = np.arccos(np.clip(min_dot, -1.0, 1.0))
+
+    # ---- prune cluster pairs by the triangle inequality ----
+    theta_t = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
+    cang = np.arccos(np.clip(C @ C.T, -1.0, 1.0))
+    pair_ids: dict[tuple[int, int], int] = {}
+    cluster_pairs: dict[int, list[tuple[int, int]]] = {i: [] for i in range(kc)}
+    for i in range(kc):
+        for j in range(i, kc):
+            if cang[i, j] <= radius[i] + radius[j] + theta_t:
+                pid = len(pair_ids)
+                pair_ids[(i, j)] = pid
+                cluster_pairs[i].append((pid, i, j))
+                if j != i:
+                    cluster_pairs[j].append((pid, i, j))
+    routes_ref = ray.put(cluster_pairs)
+
+    # ---- route each vector to its surviving cluster-pair groups ----
+    def route(tb: pa.Table) -> pa.Table:
+        Cm = ray.get(c_ref)
+        routes = ray.get(routes_ref)
+        m = _normalize(_to_matrix(tb["embedding"]))
+        ids = tb["vec_id"].to_numpy(zero_copy_only=False)
+        assign = (m @ Cm.T).argmax(axis=1)
+        out_pid, out_idx, out_lo, out_hi = [], [], [], []
+        for i, c in enumerate(assign):
+            for pid, lo, hi in routes[int(c)]:
+                out_pid.append(pid)
+                out_idx.append(i)
+                out_lo.append(lo)
+                out_hi.append(hi)
+        idx = np.asarray(out_idx, dtype=np.int64)
+        emb = tb["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return pa.table(
+            {
+                "pid": pa.array(np.asarray(out_pid, dtype=np.int32)),
+                "cluster": pa.array(assign[idx].astype(np.int32)),
+                "lo": pa.array(np.asarray(out_lo, dtype=np.int32)),
+                "hi": pa.array(np.asarray(out_hi, dtype=np.int32)),
+                "vec_id": pa.array(ids[idx], pa.int64()),
+                "embedding": emb.take(pa.array(idx)),
+            }
+        )
+
+    import pandas as pd
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "cos": pd.Series(dtype="float64")}
+        )
+        lo, hi = int(g["lo"].iloc[0]), int(g["hi"].iloc[0])
+        ids = g["vec_id"].to_numpy()
+        M = _normalize(
+            np.array([np.asarray(e, dtype=np.float64) for e in g["embedding"]])
+        )
+        if lo == hi:  # intra-cluster group (i, i)
+            ia = ib = np.arange(len(ids))
+        else:
+            ia = np.flatnonzero((g["cluster"] == lo).to_numpy())
+            ib = np.flatnonzero((g["cluster"] == hi).to_numpy())
+            if len(ia) == 0 or len(ib) == 0:
+                return empty
+        sims = M[ia] @ M[ib].T
+        ai, bj = np.nonzero(sims >= threshold)
+        if len(ai) == 0:
+            return empty
+        a = ids[ia][ai]
+        b = ids[ib][bj]
+        # intra-cluster groups see each unordered pair twice (full matrix):
+        # a<b dedups; cross-cluster groups see it once with arbitrary id
+        # order: keep and swap (dropping a>b there would LOSE the pair)
+        keep = (a < b) if lo == hi else (a != b)
+        return pd.DataFrame(
+            {
+                "a": np.minimum(a, b)[keep].astype("int64"),
+                "b": np.maximum(a, b)[keep].astype("int64"),
+                "cos": np.round(sims[ai, bj][keep], 6).astype("float64"),
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(group_pairs, batch_format="pandas")
+        .sort(["a", "b"])
+    )

@@ -263,3 +263,28 @@ def test_hll_distinct_users_accuracy(ray_session):
     for ty in exact.index:
         rel = abs(approx[ty] - exact[ty]) / exact[ty]
         assert rel < 0.05, (ty, exact[ty], approx[ty])
+
+
+def test_embedding_near_dups_partitioned_exact(ray_session):
+    """The cluster-partitioned pair path must produce the EXACT brute-force
+    pair set (triangle-inequality pruning is provably lossless)."""
+    from pholcus_ray.pipelines.similarity import (
+        _normalize,
+        _to_matrix,
+        embedding_near_dups,
+    )
+
+    t = pq.read_table(os.path.join(SF, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    M = _normalize(_to_matrix(t["embedding"]))
+    sims = M @ M.T
+    expected = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sims[i, j] >= 0.3:
+                expected.add((int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))))
+    # n_clusters=4 so multiple clusters actually form at this tiny SF
+    got = embedding_near_dups(SF, threshold=0.3, n_clusters=4).to_pandas()
+    assert set(zip(got["a"], got["b"])) == expected
+    assert len(got) == len(expected)  # no duplicate emission across groups
