@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": T.token_stats,
         "doc_fingerprint": T.doc_fingerprint,
         "text_quality": T.text_quality,
+        "text_quality_stats": T.text_quality_stats,
         "lang_id": T.lang_id,
         "dedup_minhash_lsh": T.dedup_minhash_lsh,
         "simhash_docs": T.simhash_docs,
@@ -247,6 +248,14 @@ def oracle_sql() -> dict[str, str]:
                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS sum_tokens,
                    CAST(SUM(length(text)) AS BIGINT) AS sum_chars
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "text_quality_stats": """
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                        END AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents ORDER BY doc_id
         """,
         "doc_fingerprint": """
             SELECT doc_id,

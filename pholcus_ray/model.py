@@ -27,7 +27,8 @@ FRONTIER_SCHEMA = pa.schema(
         ("host", pa.string()),
         ("key", pa.uint64()),        # dedup identity hash64(url\0method\0rule)
         ("rule", pa.string()),
-        ("method", pa.string()),
+        ("method", pa.string()),     # GET | POST | POST-M | HEAD (param.go:61-84)
+        ("post_data", pa.string()),  # request body, mirrors Request.PostData
         ("priority", pa.int32()),
         ("depth", pa.int32()),
         ("referer", pa.string()),
@@ -54,6 +55,8 @@ LINK_STRUCT = pa.struct(
     [
         ("url", pa.string()),
         ("rule", pa.string()),
+        ("method", pa.string()),
+        ("post_data", pa.string()),
         ("priority", pa.int32()),
         ("anchor", pa.string()),
         ("reloadable", pa.bool_()),
@@ -68,6 +71,7 @@ RESULT_SCHEMA = pa.schema(
         ("key", pa.uint64()),
         ("rule", pa.string()),
         ("method", pa.string()),
+        ("post_data", pa.string()),
         ("priority", pa.int32()),
         ("depth", pa.int32()),
         ("referer", pa.string()),

@@ -631,6 +631,7 @@ def _failures_fn(t: pa.Table) -> pa.Table:
             "key": bad["key"],
             "rule": bad["rule"],
             "method": bad["method"],
+            "post_data": bad["post_data"],
             "priority": bad["priority"],
             "depth": bad["depth"],
             "referer": bad["referer"],
@@ -646,8 +647,9 @@ def _failures_fn(t: pa.Table) -> pa.Table:
     )
 
 
-_FAILURE_COLUMNS = ["url", "host", "key", "rule", "method", "priority", "depth",
-                    "referer", "seq", "keyin", "temp", "ok", "attempts"]
+_FAILURE_COLUMNS = ["url", "host", "key", "rule", "method", "post_data",
+                    "priority", "depth", "referer", "seq", "keyin", "temp",
+                    "ok", "attempts"]
 
 
 def _failure_rows(rounds_dir: str, failure_rounds: list[int]) -> pa.Table:

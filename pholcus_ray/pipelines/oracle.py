@@ -168,8 +168,10 @@ def run_oracle(
                 continue
             ctx = RuleContext(
                 url=r["url"], referer=r["referer"], rule=r["rule"],
-                depth=int(r["depth"]), html_bytes=html, temp=r["temp"],
-                keyin=r["keyin"], download_time=dt,
+                depth=int(r["depth"]),
+                html_bytes=(b"" if r["method"] == "HEAD" else html),
+                temp=r["temp"], keyin=r["keyin"], download_time=dt,
+                method=r["method"], post_data=r["post_data"],
             )
             spider.run_rule(ctx)
             for it in ctx.items:
@@ -188,10 +190,11 @@ def run_oracle(
                     "url": lr.url,
                     "host": host_of(lr.url),
                     "key": int(
-                        dedup_key_array([lr.url], ["GET"], [lr.rule])[0]
+                        dedup_key_array([lr.url], [lr.method], [lr.rule])[0]
                     ),
                     "rule": lr.rule,
-                    "method": "GET",
+                    "method": lr.method,
+                    "post_data": lr.post_data,
                     "priority": int(lr.priority),
                     "depth": int(r["depth"]) + 1,
                     "referer": r["url"],

@@ -104,35 +104,32 @@ def revenue_by_nation(sf_dir: str) -> rd.Dataset:
     nation = pq.read_table(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
     )
-    cust_to_nation = dict(
-        zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
-    )
-    nation_name = dict(
-        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
-    )
-    lookup_ref = ray.put((cust_to_nation, nation_name))
+    # sorted custkey -> nationkey arrays for C-level searchsorted lookup,
+    # plus a dense nationkey -> name array (nation keys are small ints)
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    cn = cust["c_nationkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ck)
+    nk = nation["n_nationkey"].to_numpy(zero_copy_only=False)
+    names = np.empty(int(nk.max()) + 1, dtype=object)
+    names[nk] = np.asarray(nation["n_name"].to_pylist(), dtype=object)
+    lookup_ref = ray.put((ck[order], cn[order], names))
 
     def partial(t: pa.Table) -> pa.Table:
-        c2n, nname = ray.get(lookup_ref)
-        custkeys = t["o_custkey"].to_pylist()
+        ck_sorted, cn_sorted, name_arr = ray.get(lookup_ref)
+        custkeys = t["o_custkey"].to_numpy(zero_copy_only=False)
         cents = _cents(t["o_totalprice"].to_numpy(zero_copy_only=False))
-        agg: dict[str, list[int]] = {}
-        for ck, cts in zip(custkeys, cents):
-            name = nname[c2n[ck]]
-            cur = agg.get(name)
-            if cur is None:
-                agg[name] = [int(cts), 1]
-            else:
-                cur[0] += int(cts)
-                cur[1] += 1
-        names = sorted(agg)
-        return pa.table(
+        natkeys = cn_sorted[np.searchsorted(ck_sorted, custkeys)]
+        batch = pa.table(
             {
-                "n_name": pa.array(names, pa.string()),
-                "revenue_cents": pa.array([agg[n][0] for n in names], pa.int64()),
-                "n_orders": pa.array([agg[n][1] for n in names], pa.int64()),
+                "n_name": pa.array(name_arr[natkeys], pa.string()),
+                "revenue_cents": pa.array(cents, pa.int64()),
+                "n_orders": pa.array(np.ones(len(cents), dtype=np.int64)),
             }
         )
+        # per-batch combiner: the groupby shuffle moves <=25 rows per batch
+        return batch.group_by("n_name").aggregate(
+            [("revenue_cents", "sum"), ("n_orders", "sum")]
+        ).rename_columns(["n_name", "revenue_cents", "n_orders"])
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]

@@ -24,12 +24,25 @@ from typing import Callable
 from .functions import textops, urlnorm
 
 
+# request methods the fetcher understands (surfer/param.go:61-84: GET, HEAD,
+# POST form-encoded, POST-M multipart; anything else falls back to GET)
+VALID_METHODS = frozenset({"GET", "POST", "POST-M", "HEAD"})
+
+
+def normalize_method(method: str | None) -> str:
+    """Upper-case + default-GET method normalization (request.go:72-76)."""
+    m = (method or "GET").upper()
+    return m if m in VALID_METHODS else "GET"
+
+
 @dataclass
 class LinkRequest:
     """A child request enqueued by a rule (mirrors Request, request.go:20-43)."""
 
     url: str               # canonical absolute url
     rule: str = "page"
+    method: str = "GET"    # GET | POST | POST-M | HEAD
+    post_data: str = ""    # request body (Request.PostData); NOT in the dedup key
     priority: int = 0
     anchor: str = ""
     reloadable: bool = False
@@ -46,7 +59,8 @@ class RuleContext:
 
     def __init__(self, url: str, referer: str, rule: str, depth: int,
                  html_bytes: bytes, temp: str = "", keyin: str = "",
-                 download_time: str = ""):
+                 download_time: str = "", method: str = "GET",
+                 post_data: str = ""):
         self.url = url
         self.referer = referer
         self.rule = rule
@@ -54,6 +68,8 @@ class RuleContext:
         self.html_bytes = html_bytes
         self.keyin = keyin
         self.download_time = download_time
+        self.method = method
+        self.post_data = post_data
         self._temp: dict = json.loads(temp) if temp else {}
         self._text: str | None = None
         self._doc: str | None = None
@@ -111,9 +127,14 @@ class RuleContext:
 
     def add_queue(self, url: str, rule: str | None = None, priority: int = 0,
                   anchor: str = "", reloadable: bool = False,
-                  temp: dict | None = None) -> None:
+                  temp: dict | None = None, method: str = "GET",
+                  post_data: str = "") -> None:
         """Enqueue a child request (ctx.AddQueue, context.go:104-125).
-        Relative urls are resolved against the page url."""
+        Relative urls are resolved against the page url. ``method`` follows
+        request.go:72-76 (upper-cased, unknown -> GET); the dedup key covers
+        (url, method, rule) so the same URL fetched via GET and POST are
+        distinct requests — ``post_data`` is NOT part of the key, matching
+        the reference's url+method history identity (history.go)."""
         resolved = urlnorm.get_href(self.url, url)
         if resolved is None:
             return
@@ -121,6 +142,8 @@ class RuleContext:
             LinkRequest(
                 url=resolved,
                 rule=rule or self.rule,
+                method=normalize_method(method),
+                post_data=post_data,
                 priority=max(0, int(priority)),
                 anchor=anchor,
                 reloadable=reloadable,

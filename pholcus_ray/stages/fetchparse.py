@@ -118,6 +118,8 @@ class FetchParse:
         urls = batch["url"].to_pylist()
         keys = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
         rules = batch["rule"].to_pylist()
+        methods = batch["method"].to_pylist()
+        post_datas = batch["post_data"].to_pylist()
         referers = batch["referer"].to_pylist()
         depths = batch["depth"].to_numpy(zero_copy_only=False)
         attempts_done = batch["attempts_done"].to_numpy(zero_copy_only=False)
@@ -168,10 +170,16 @@ class FetchParse:
                 links_col.append([])
                 files_col.append([])
                 continue
+            # HEAD gets status/headers only (surfer/param.go:66-67): the
+            # rule still runs, but over an empty body. POST/POST-M bodies
+            # reach the simulated server, which (like most fetch targets)
+            # keys its response on the URL alone.
+            body = b"" if methods[i] == "HEAD" else html
             ctx = RuleContext(
                 url=urls[i], referer=referers[i], rule=rules[i],
-                depth=int(depths[i]), html_bytes=html, temp=temps[i],
+                depth=int(depths[i]), html_bytes=body, temp=temps[i],
                 keyin=keyins[i], download_time=self.download_time,
+                method=methods[i], post_data=post_datas[i],
             )
             self.spider.run_rule(ctx)
             items_col.append([self.spider.finalize_item(ctx, it) for it in ctx.items])
@@ -183,6 +191,8 @@ class FetchParse:
                     {
                         "url": r.url,
                         "rule": r.rule,
+                        "method": r.method,
+                        "post_data": r.post_data,
                         "priority": int(r.priority),
                         "anchor": r.anchor,
                         "reloadable": bool(r.reloadable),
@@ -199,6 +209,7 @@ class FetchParse:
                 "key": batch["key"],
                 "rule": batch["rule"],
                 "method": batch["method"],
+                "post_data": batch["post_data"],
                 "priority": batch["priority"],
                 "depth": batch["depth"],
                 "referer": batch["referer"],

@@ -34,9 +34,15 @@ def seeds_to_frontier(seeds: pa.Table, entry_rule: str = "page",
         [r or entry_rule for r in seeds["rule"].to_pylist()]
         if "rule" in names else [entry_rule] * n
     )
+    from ..spiderapi import normalize_method
+
     methods = (
-        [m or "GET" for m in seeds["method"].to_pylist()]
+        [normalize_method(m) for m in seeds["method"].to_pylist()]
         if "method" in names else ["GET"] * n
+    )
+    post_data = (
+        [p or "" for p in seeds["post_data"].to_pylist()]
+        if "post_data" in names else [""] * n
     )
     if "priority" in names:
         prio = np.maximum(
@@ -52,6 +58,7 @@ def seeds_to_frontier(seeds: pa.Table, entry_rule: str = "page",
     canon_kept = [canon[k] for k in keep_idx]
     rules_kept = [rules[k] for k in keep_idx]
     methods_kept = [methods[k] for k in keep_idx]
+    post_kept = [post_data[k] for k in keep_idx]
     prio_kept = prio[keep_idx]
     hosts_kept = host_array(canon_kept)
     keys_kept = dedup_key_array(canon_kept, methods_kept, rules_kept)
@@ -70,6 +77,7 @@ def seeds_to_frontier(seeds: pa.Table, entry_rule: str = "page",
                     "key": pa.array(keys_kept, pa.uint64()),
                     "rule": pa.array(rules_kept, pa.string()),
                     "method": pa.array(methods_kept, pa.string()),
+                    "post_data": pa.array(post_kept, pa.string()),
                     "priority": pa.array(prio_kept),
                     "depth": pa.array(np.zeros(m, dtype=np.int32)),
                     "referer": pa.array(np.full(m, ""), pa.string()),
@@ -130,9 +138,12 @@ def explode_links(batch: pa.Table) -> pa.Table:
     seq_col = pc.binary_join_element_wise(_take(batch["seq"]), hex_ord, "")
     url_col = flat.field("url")
     rule_col = flat.field("rule")
+    method_col = flat.field("method")
     n = len(flat)
     # dedup key still hashes python-side (pandas C hasher needs object arrays)
-    keys = dedup_key_array(url_col.to_pylist(), ["GET"] * n, rule_col.to_pylist())
+    keys = dedup_key_array(
+        url_col.to_pylist(), method_col.to_pylist(), rule_col.to_pylist()
+    )
     # host extraction: C-level regex over canonical urls, python fallback
     # for any row the pattern misses. The optional userinfo group mirrors
     # host_of (urlnorm.py:72): netloc after the last '@', before ':port' —
@@ -149,7 +160,8 @@ def explode_links(batch: pa.Table) -> pa.Table:
             "host": hosts,
             "key": pa.array(keys, pa.uint64()),
             "rule": rule_col,
-            "method": pa.array(np.full(n, "GET"), pa.string()),
+            "method": method_col,
+            "post_data": flat.field("post_data"),
             "priority": flat.field("priority").cast(pa.int32()),
             "depth": pc.add(_take(batch["depth"]), 1).cast(pa.int32()),
             "referer": _take(batch["url"]),

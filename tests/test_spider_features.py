@@ -193,3 +193,60 @@ def test_max_depth_stops_expansion(ray_session, small_corpus, tmp_path, depth):
         assert (log[c].values == olog[c].values).all(), f"column {c} diverges"
     # engine must not run trailing ghost rounds beyond the oracle
     assert s.rounds == o.rounds
+
+
+def test_request_methods_distinct_in_dedup(ray_session, small_corpus, tmp_path):
+    """GET and POST to the same URL are distinct requests (dedup key covers
+    url+method+rule, request.go:25 + history url+method identity); HEAD
+    fetches count but parse runs over an empty body. Engine crawl log must
+    equal the oracle byte-for-byte (VERDICT round-1 item 6)."""
+    import pandas as pd
+
+    from pholcus_ray.pipelines.crawl import run_crawl as _run
+
+    def _parse_methods(ctx: RuleContext) -> None:
+        ctx.output({"u": ctx.url, "m": ctx.method, "body_len": len(ctx.html_bytes),
+                    "post": ctx.post_data})
+        if ctx.depth == 0 and ctx.method == "GET":
+            links = ctx.links()
+            for url, _a in links[:2]:
+                ctx.add_queue(url, rule="page", priority=0)
+                # same URL again via POST (distinct request) and HEAD
+                ctx.add_queue(url, rule="page", priority=0, method="post",
+                              post_data="q=1")
+                ctx.add_queue(url, rule="page", priority=0, method="HEAD")
+
+    sp = Spider(name="methods", rules={"page": Rule(parse=_parse_methods)})
+    wd = str(tmp_path / "methods")
+    _run(CrawlConfig(corpus_dir=small_corpus, workdir=wd, spider=sp,
+                     round_virtual_sec=RVS, num_shards=4))
+    from pholcus_ray.pipelines.oracle import run_oracle as _runo
+
+    o = _runo(small_corpus, spider=sp, round_virtual_sec=RVS)
+    log = crawl_log_table(wd).to_pandas()
+    olog = (
+        pd.DataFrame(o.crawl_log)
+        .sort_values(["round", "priority", "seq"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    assert len(log) == len(olog)
+    for c in log.columns:
+        assert (log[c].values == olog[c].values).all(), c
+
+    items = items_table(wd).to_pandas()
+    import json as _json
+
+    rows = [_json.loads(d) for d in items["data"]]
+    methods_per_url = {}
+    for r in rows:
+        methods_per_url.setdefault(r["u"], set()).add(r["m"])
+    multi = [u for u, ms in methods_per_url.items() if {"GET", "POST", "HEAD"} <= ms]
+    assert multi, "child URLs must be fetched via GET, POST and HEAD distinctly"
+    # HEAD bodies are empty; POST carries its post_data through the frontier
+    for r in rows:
+        if r["m"] == "HEAD":
+            assert r["body_len"] == 0
+        if r["m"] == "POST":
+            assert r["post"] == "q=1"
+        if r["m"] == "GET" and r["body_len"] == 0:
+            raise AssertionError("GET body unexpectedly empty")

@@ -82,8 +82,8 @@ def test_explode_links_host_strips_userinfo():
         "http://host2.example.com/p@th?x=a@b",
     ]
     links = [
-        [{"url": u, "rule": "page", "priority": 0, "anchor": "",
-          "reloadable": False, "temp": ""}]
+        [{"url": u, "rule": "page", "method": "GET", "post_data": "",
+          "priority": 0, "anchor": "", "reloadable": False, "temp": ""}]
         for u in urls
     ]
     batch = pa.table(
