@@ -100,6 +100,10 @@ class CrawlConfig:
     resume: bool = True
     fetch_use_actors: bool = False  # True: actor pool (stateful HTTP shape)
     seeds_path: str | None = None   # override corpus seeds.parquet
+    # start a NEW crawl inheriting a previous run's history
+    # (SuccessInherit/FailureInherit, history.go:83-264): its seen set
+    # pre-loads the dedup filter and its final failures are requeued once
+    inherit_from: str | None = None
 
 
 @dataclass
@@ -204,6 +208,8 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
         seed_frontier = seeds_to_frontier(
             seeds_tbl, cfg.spider.entry_rule, cfg.keyins or None
         )
+        if cfg.inherit_from:
+            seed_frontier = _inherit_history(cfg, seen, seed_frontier)
         state = {
             "round": 0,
             "fetched_ok": 0,
@@ -668,6 +674,53 @@ def _failure_rows(rounds_dir: str, failure_rounds: list[int]) -> pa.Table:
     if not parts:
         return FRONTIER_SCHEMA.empty_table()
     return pa.concat_tables(parts)
+
+
+# --- cross-run history inheritance ------------------------------------------
+
+
+def _inherit_history(cfg: CrawlConfig, seen: ShardedSeen,
+                     seed_frontier: pa.Table) -> pa.Table:
+    """Load a PREVIOUS run's history into this fresh crawl
+    (SuccessInherit + FailureInherit, history.go:83-264, matrix.go:207-218):
+    the prior seen-set deltas pre-populate the dedup filter (previously
+    crawled requests won't be refetched), and its permanent failures are
+    appended to the seed frontier for exactly one more attempt (their rows
+    already carry bypass_dedup=True + attempts_done).
+
+    The prior run must have used the same num_shards/seen_mode — the delta
+    files are per-shard (key % S) — enforced against its run_config.json.
+    """
+    prev_wd = cfg.inherit_from
+    prev_cfg_path = os.path.join(prev_wd, "run_config.json")
+    if os.path.exists(prev_cfg_path):
+        with open(prev_cfg_path) as f:
+            prev = json.load(f)
+        bad = [
+            k for k in ("num_shards", "seen_mode")
+            if k in prev and prev[k] != getattr(cfg, k)
+        ]
+        if bad:
+            raise ValueError(
+                f"cannot inherit from {prev_wd!r}: "
+                + ", ".join(f"{k} {prev[k]!r} != {getattr(cfg, k)!r}" for k in bad)
+            )
+    prev_rounds = os.path.join(prev_wd, "rounds")
+    delta_dirs = []
+    if os.path.isdir(prev_rounds):
+        for d in sorted(os.listdir(prev_rounds)):
+            if os.path.exists(os.path.join(prev_rounds, d, "_COMPLETE.json")):
+                delta_dirs.append(os.path.join(prev_rounds, d, "seen_delta"))
+    if delta_dirs:
+        seen.restore_deltas(delta_dirs)
+    fail_path = os.path.join(prev_wd, "final", "failures.parquet")
+    if os.path.exists(fail_path):
+        failures = pq.read_table(fail_path)
+        if failures.num_rows:
+            return pa.concat_tables(
+                [seed_frontier, failures.select(seed_frontier.column_names)]
+            )
+    return seed_frontier
 
 
 # --- resume -----------------------------------------------------------------

@@ -8,12 +8,22 @@ Reference parity (SURVEY.md §2.1 S5/S11/S12):
   output_util.go:8-39.
 - File sink (output_file.go:20-71): FileCell bytes written to
   ``file_out/<namespace>/<name>``.
+- Excel sink (collector/output_excel.go:17-76): one xlsx per namespace,
+  one sheet per rule. openpyxl is not in this environment, so the xlsx
+  (a zip of XML parts) is written with the stdlib — same output contract.
+- SQL sink (collector/output_mysql.go:37-87): auto-CREATE TABLE per
+  (namespace, rule) from ItemFields, batched INSERTs. Backed by sqlite
+  in-sandbox; the DDL/DML layer is plain parameterized SQL, so pointing
+  ``connect_fn`` at a MySQL driver reproduces the reference sink.
 - Sink registry (output_data.go:14-23, Register :60-62): pluggable
   ``name -> writer(workdir, out_dir, **kw)`` callables.
 
-Parquet is the native sink (write_parquet on the items projection,
-partitioned by rule); CSV/files exist for reference-parity workflows. All
-sinks stream via Ray datasets — nothing materializes the full item set.
+Parquet is the native sink: it streams via Ray datasets and is the only
+one suited to the full 100 TB item set. CSV/Excel/SQL are
+reference-parity export formats — inherently single-file outputs, they
+collect per-rule item tables driver-side and are meant for bounded
+result sets (the reference's collector batches are 512 rows for the
+same reason, collector.go).
 """
 
 from __future__ import annotations
@@ -61,29 +71,9 @@ def write_items_csv(workdir: str, out_dir: str, namespace: str = "pholcus",
     columns, JSON-stringified values)."""
     import csv
 
-    from .pipelines.crawl import items_table
-
-    t = items_table(workdir)
     os.makedirs(out_dir, exist_ok=True)
     written: list[str] = []
-    if t.num_rows == 0:
-        return written
-    rules = sorted(set(t["rule"].to_pylist()))
-    for rule in rules:
-        sub = t.filter(pc.equal(t["rule"], rule))
-        datas = [json.loads(x) for x in sub["data"].to_pylist()]
-        if item_fields and rule in item_fields:
-            fields = list(item_fields[rule])
-            extra = [k for k in ("Url", "ParentUrl", "DownloadTime")
-                     if any(k in d for d in datas[:5])]
-            fields += [f for f in extra if f not in fields]
-        else:
-            seen: list[str] = []
-            for d in datas:
-                for k in d:
-                    if k not in seen:
-                        seen.append(k)
-            fields = seen
+    for rule, fields, datas in _rows_by_rule(workdir, item_fields) or []:
         path = os.path.join(
             out_dir, f"{sanitize_filename(namespace)}__{sanitize_filename(rule)}.csv"
         )
@@ -128,12 +118,190 @@ def write_files(workdir: str, out_dir: str, namespace: str = "pholcus") -> int:
     return n
 
 
+def _rows_by_rule(workdir: str,
+                  item_fields: dict[str, list[str]] | None):
+    """(rule, fields, rows) per rule from the items projection — the shared
+    driver-side collection step of the export-format sinks (CSV semantics:
+    ItemFields order first, then observed default columns)."""
+    from .pipelines.crawl import items_table
+
+    t = items_table(workdir)
+    if t.num_rows == 0:
+        return
+    for rule in sorted(set(t["rule"].to_pylist())):
+        sub = t.filter(pc.equal(t["rule"], rule))
+        datas = [json.loads(x) for x in sub["data"].to_pylist()]
+        if item_fields and rule in item_fields:
+            fields = list(item_fields[rule])
+            extra = [k for k in ("Url", "ParentUrl", "DownloadTime")
+                     if any(k in d for d in datas[:5])]
+            fields += [f for f in extra if f not in fields]
+        else:
+            seen: list[str] = []
+            for d in datas:
+                for k in d:
+                    if k not in seen:
+                        seen.append(k)
+            fields = seen
+        yield rule, fields, datas
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def write_items_excel(workdir: str, out_dir: str, namespace: str = "pholcus",
+                      item_fields: dict[str, list[str]] | None = None) -> str:
+    """Items -> one .xlsx per namespace, one sheet per rule with an
+    ItemFields header row (output_excel.go:17-76 parity: file per
+    namespace :24-31, sheet per rule :33-43, header row :45-49).
+
+    The xlsx container (OPC zip with workbook/worksheet XML, inline
+    strings) is produced with the stdlib — this environment has no
+    openpyxl, and the format needed here is the same minimal subset the
+    reference emits via xlsx.SetCellValue."""
+    import zipfile
+
+    os.makedirs(out_dir, exist_ok=True)
+    sheets: list[tuple[str, list[str], list[dict]]] = list(
+        _rows_by_rule(workdir, item_fields) or []
+    )
+    path = os.path.join(out_dir, f"{sanitize_filename(namespace)}.xlsx")
+
+    def _cell(v) -> str:
+        if v is None:
+            v = ""
+        if isinstance(v, bool):
+            v = json.dumps(v)
+        if isinstance(v, (int, float)):
+            return f"<c t=\"n\"><v>{v}</v></c>"
+        if not isinstance(v, str):
+            v = json.dumps(v, ensure_ascii=False)
+        return f"<c t=\"inlineStr\"><is><t>{_xml_escape(v)}</t></is></c>"
+
+    def _sheet_xml(fields: list[str], rows: list[dict]) -> str:
+        out = ['<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+               '<worksheet xmlns="http://schemas.openxmlformats.org/'
+               'spreadsheetml/2006/main"><sheetData>']
+        out.append("<row>" + "".join(_cell(f) for f in fields) + "</row>")
+        for d in rows:
+            out.append(
+                "<row>" + "".join(_cell(d.get(f, "")) for f in fields) + "</row>"
+            )
+        out.append("</sheetData></worksheet>")
+        return "".join(out)
+
+    n = max(1, len(sheets))
+    sheet_decls = "".join(
+        f'<sheet name="{_xml_escape(sanitize_filename(r)[:31]) or f"Sheet{i+1}"}"'
+        f' sheetId="{i+1}" r:id="rId{i+1}"/>'
+        for i, (r, _f, _d) in enumerate(sheets)
+    ) or '<sheet name="Sheet1" sheetId="1" r:id="rId1"/>'
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            + "".join(
+                f'<Override PartName="/xl/worksheets/sheet{i+1}.xml" '
+                'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+                for i in range(n)
+            )
+            + "</Types>",
+        )
+        z.writestr(
+            "_rels/.rels",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+            'officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+            "</Relationships>",
+        )
+        z.writestr(
+            "xl/workbook.xml",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+            'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            f"<sheets>{sheet_decls}</sheets></workbook>",
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            + "".join(
+                f'<Relationship Id="rId{i+1}" Type="http://schemas.openxmlformats.org/'
+                f'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet{i+1}.xml"/>'
+                for i in range(n)
+            )
+            + "</Relationships>",
+        )
+        if sheets:
+            for i, (_r, fields, rows) in enumerate(sheets):
+                z.writestr(f"xl/worksheets/sheet{i+1}.xml", _sheet_xml(fields, rows))
+        else:
+            z.writestr("xl/worksheets/sheet1.xml", _sheet_xml([], []))
+    return path
+
+
+def write_items_sql(workdir: str, db_path: str, namespace: str = "pholcus",
+                    item_fields: dict[str, list[str]] | None = None,
+                    connect_fn: Callable | None = None,
+                    batch_rows: int = 512) -> list[str]:
+    """Items -> one table per (namespace, rule) with auto-CREATE TABLE from
+    the field list and batched INSERTs (output_mysql.go:37-87 parity:
+    CREATE TABLE IF NOT EXISTS from ItemFields :44-56, batched insert
+    :58-80; 512-row batches match the reference's collector batch).
+
+    ``connect_fn`` defaults to stdlib sqlite3; any DB-API connection
+    factory (e.g. a MySQL driver) slots in unchanged.
+    """
+    import sqlite3
+
+    conn = (connect_fn or (lambda: sqlite3.connect(db_path)))()
+    tables: list[str] = []
+    try:
+        cur = conn.cursor()
+        for rule, fields, rows in _rows_by_rule(workdir, item_fields) or []:
+            tname = sanitize_filename(f"{namespace}__{rule}").replace(" ", "_")
+            cols = ", ".join(f'"{f}" TEXT' for f in fields)
+            cur.execute(f'CREATE TABLE IF NOT EXISTS "{tname}" ({cols})')
+            ph = ", ".join("?" for _ in fields)
+            sql = f'INSERT INTO "{tname}" VALUES ({ph})'
+            batch: list[tuple] = []
+            for d in rows:
+                batch.append(
+                    tuple(
+                        v if isinstance(v, str)
+                        else json.dumps(v, ensure_ascii=False)
+                        for v in (d.get(f, "") for f in fields)
+                    )
+                )
+                if len(batch) >= batch_rows:
+                    cur.executemany(sql, batch)
+                    batch = []
+            if batch:
+                cur.executemany(sql, batch)
+            tables.append(tname)
+        conn.commit()
+    finally:
+        conn.close()
+    return tables
+
+
 # --- registry (output_data.go:14-23, 60-62) ---------------------------------
 
 SINKS: dict[str, Callable] = {
     "parquet": write_items_parquet,
     "csv": write_items_csv,
     "files": write_files,
+    "excel": write_items_excel,
+    "sql": write_items_sql,
 }
 
 

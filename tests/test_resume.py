@@ -121,3 +121,47 @@ def test_resume_restores_full_per_round_history(ray_session, small_corpus, tmp_p
     assert len(s_res.per_round) == len(s_full.per_round) == s_full.rounds
     assert [m["round"] for m in s_res.per_round] == list(range(s_full.rounds))
     assert s_res.per_round == s_full.per_round
+
+
+def test_inherit_history_from_previous_run(ray_session, small_corpus, tmp_path):
+    """SuccessInherit + FailureInherit (history.go:83-264): a NEW crawl
+    seeded with a previous run's history refetches nothing that succeeded
+    and requeues the prior permanent failures exactly once."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    wd1 = str(tmp_path / "first")
+    s1 = run_crawl(CrawlConfig(corpus_dir=small_corpus, workdir=wd1,
+                               round_virtual_sec=RVS, fetch_concurrency=2,
+                               num_shards=4))
+    prev_fail = pq.read_table(os.path.join(wd1, "final", "failures.parquet"))
+    prev_ok_urls = set(
+        crawl_log_table(wd1).to_pandas().query("ok")["url"]
+    )
+
+    wd2 = str(tmp_path / "second")
+    s2 = run_crawl(CrawlConfig(corpus_dir=small_corpus, workdir=wd2,
+                               round_virtual_sec=RVS, fetch_concurrency=2,
+                               num_shards=4, inherit_from=wd1))
+    log2 = crawl_log_table(wd2).to_pandas()
+    # nothing that succeeded before is fetched again
+    assert not (set(log2["url"]) & prev_ok_urls)
+    # round 0 is exactly one retry per inherited failure; later rounds are
+    # run 2's OWN once-per-run requeue of rows that failed again
+    r0 = log2[log2["round"] == 0]
+    assert len(r0) == prev_fail.num_rows
+    assert set(r0["url"]) == set(prev_fail["url"].to_pylist())
+    assert set(log2["url"]) <= set(prev_fail["url"].to_pylist())
+    assert s2.fetched_ok + s2.fetched_fail == len(log2)
+    # inherited seen set covers everything the first run saw
+    assert s2.seen_total >= s1.seen_total
+
+    # mismatched sharding must be rejected (delta files are key%S routed)
+    import pytest
+
+    with pytest.raises(ValueError, match="num_shards"):
+        run_crawl(CrawlConfig(corpus_dir=small_corpus,
+                              workdir=str(tmp_path / "third"),
+                              round_virtual_sec=RVS, fetch_concurrency=2,
+                              num_shards=8, inherit_from=wd1))
