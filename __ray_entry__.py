@@ -113,7 +113,12 @@ def _q_multimodal(sf_dir: str):
     from pholcus_ray.stages.multimodal import DecodeImage, synth_image_table
 
     n = 200 if _sf_name(sf_dir) != "sf0.1" else 1000
-    ds = rd.from_arrow(synth_image_table(n))
+    # split the synthetic table into multiple input blocks so the 2-actor
+    # pool actually has parallel work (round-1 finding: one block fed one
+    # actor while the second sat idle)
+    t = synth_image_table(n)
+    step = max(1, n // 8)
+    ds = rd.from_arrow([t.slice(i, step) for i in range(0, n, step)])
     return ds.map_batches(
         DecodeImage, batch_format="pyarrow", batch_size=32, concurrency=2
     ).sort("image_id")

@@ -147,6 +147,11 @@ def bench_sustained() -> dict:
 
     sf_name = os.path.basename(os.path.normpath(SF_DIR))
     n_pages, n_hosts, w = _SUSTAINED_SCALES.get(sf_name, _SUSTAINED_SCALES["sf0.1"])
+    # --scaling grows the corpus so parallelizable compute dominates the
+    # ~18s of CPU-count-independent per-run fixed cost (seeds, control
+    # plane, requeue round, finalize) — at 160k pages that fixed cost alone
+    # caps 8->32cpu efficiency at ~0.75 even with zero overhead added
+    n_pages = int(os.environ.get("GRAFT_SUSTAINED_PAGES", n_pages))
     corpus = cached_corpus(
         n_pages=n_pages, n_hosts=n_hosts, n_buckets=32, page_weight=w, far_links=2
     )
@@ -236,12 +241,21 @@ def main(sustained_only: bool = False) -> None:
 
 
 def scaling() -> None:
-    """Sustained workload at 8 and 32 CPUs in fresh processes (the sandbox
-    proxy for N vs 4N nodes); report throughput at both + efficiency."""
+    """Sustained workload at 32 and 8 CPUs in fresh processes (the sandbox
+    proxy for N vs 4N nodes); report throughput at both + efficiency.
 
-    def _settle() -> None:
-        """Wait for the previous leg's Ray to fully tear down (lingering
-        raylets/workers skew the next leg's timing by 20%+)."""
+    Leg protocol (measured on this VM, see BASELINE.md): a 32-cpu leg run
+    right after sustained full-machine load is 30-60% slower than the same
+    leg after a few idle minutes (turbo/thermal recovery: 86.6s hot vs
+    63.7s after a 4-min idle on identical code+input). So the 32-cpu leg
+    runs FIRST (coldest), legs are separated by teardown-wait + a fixed
+    cooldown, and the 8-cpu leg — which only loads a quarter of the cores
+    and measured phase-stable (167-178s across all machine states) — goes
+    last."""
+
+    def _settle(cooldown_sec: float = 60.0) -> None:
+        """Wait for the previous leg's Ray to fully tear down, then idle
+        through the turbo/thermal recovery window."""
         deadline = time.time() + 45
         while time.time() < deadline:
             probe = subprocess.run(
@@ -250,7 +264,7 @@ def scaling() -> None:
             if probe.stdout.strip() in ("", "0"):
                 break
             time.sleep(2)
-        time.sleep(10)
+        time.sleep(cooldown_sec)
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -263,10 +277,55 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def hw_ceiling(lo: int, hi: int, parses: int = 24_000) -> dict:
+        """Pure-multiprocessing parse throughput at lo and hi procs over the
+        same pages — no Ray, no engine. This is the VM's own 8->32 scaling
+        (memory bandwidth / turbo) measured IN THE SAME RUN as the engine
+        legs; round-1 measured it at 0.85 but it swings with the machine's
+        thermal phase, so the engine's efficiency is reported both raw and
+        relative to this same-day ceiling."""
+        import multiprocessing as mp
+
+        import pyarrow.dataset as pads
+
+        from pholcus_ray.sources.pages import cached_corpus
+
+        sf_name = os.path.basename(os.path.normpath(SF_DIR))
+        n_pages, n_hosts, w = _SUSTAINED_SCALES.get(
+            sf_name, _SUSTAINED_SCALES["sf0.1"])
+        corpus = cached_corpus(n_pages=n_pages, n_hosts=n_hosts, n_buckets=32,
+                               page_weight=w, far_links=2)
+        t = pads.dataset(os.path.join(corpus, "pages")).head(
+            2000, columns=["html"])
+        pages = t["html"].to_pylist()
+
+        def leg(nproc: int) -> float:
+            # pages are inherited by fork (globals), NOT pickled per task —
+            # shipping them as map() args serializes 100s of MB through the
+            # parent and inverts the measurement
+            global _HW_PAGES
+            _HW_PAGES = pages
+            chunk = parses // (nproc * 4)
+            t0 = time.time()
+            with mp.get_context("fork").Pool(nproc) as pool:
+                pool.map(_hw_parse_chunk, [chunk] * (nproc * 4))
+            return parses / (time.time() - t0)
+
+        tp_hi = leg(hi)
+        time.sleep(5)
+        tp_lo = leg(lo)
+        return {
+            "parses_per_sec_lo": round(tp_lo, 1),
+            "parses_per_sec_hi": round(tp_hi, 1),
+            "hw_efficiency": round((tp_hi / tp_lo) / (hi / lo), 3),
+        }
+
     lo, hi = 8, 32
-    r_lo = run(lo)
-    _settle()
+    time.sleep(15)  # settle whatever ran before the bench itself
     r_hi = run(hi)
+    _settle()
+    r_lo = run(lo)
+    hw = hw_ceiling(lo, hi)
     tput_lo = r_lo["sustained"]["urls_per_sec"]
     tput_hi = r_hi["sustained"]["urls_per_sec"]
     eff = (tput_hi / tput_lo) / (hi / lo)
@@ -281,9 +340,30 @@ def scaling() -> None:
                 "sec_lo": r_lo["sustained"]["sec"],
                 "sec_hi": r_hi["sustained"]["sec"],
                 "scaling_efficiency": round(eff, 3),
+                "hw_ceiling": hw,
+                "efficiency_vs_hw_ceiling": round(
+                    eff / hw["hw_efficiency"], 3
+                ) if hw["hw_efficiency"] else None,
             }
         )
     )
+
+
+_HW_PAGES: list = []
+
+
+def _hw_parse_chunk(chunk: int) -> int:
+    """One hardware-ceiling task: parse ``chunk`` fork-inherited pages."""
+    from pholcus_ray.functions.textops import extract_links, extract_text, to_text
+
+    pages = _HW_PAGES
+    n = len(pages)
+    for i in range(chunk):
+        hb = pages[i % n]
+        doc = to_text(hb)
+        extract_text(hb)
+        extract_links(doc)
+    return chunk
 
 
 if __name__ == "__main__":

@@ -232,3 +232,52 @@ def is_num(s: str) -> bool:
         return True
     except (TypeError, ValueError):
         return False
+
+
+# --- XML parsing (util.go:228-249 XML2mapstr) ------------------------------
+
+
+def xml_to_map(xml_text: str) -> dict[str, str]:
+    """XML string -> {tag: text} of leaf elements (reference XML2mapstr
+    semantics: later siblings with the same tag overwrite earlier ones;
+    namespaces are stripped to the local tag name). RSS-style rules use
+    this to lift item fields without a DOM walk."""
+    from xml.etree import ElementTree
+
+    try:
+        root = ElementTree.fromstring(xml_text)
+    except ElementTree.ParseError:
+        return {}
+    out: dict[str, str] = {}
+
+    def walk(el) -> None:
+        children = list(el)
+        if not children:
+            tag = el.tag.rsplit("}", 1)[-1]
+            out[tag] = (el.text or "").strip()
+            return
+        for c in children:
+            walk(c)
+
+    walk(root)
+    return out
+
+
+def xml_to_records(xml_text: str, record_tag: str) -> list[dict[str, str]]:
+    """All <record_tag> elements as leaf-tag maps — the per-item companion
+    of xml_to_map for feeds (one dict per <item>/<entry>/...)."""
+    from xml.etree import ElementTree
+
+    try:
+        root = ElementTree.fromstring(xml_text)
+    except ElementTree.ParseError:
+        return []
+    records = []
+    for el in root.iter():
+        if el.tag.rsplit("}", 1)[-1] == record_tag:
+            rec: dict[str, str] = {}
+            for leaf in el.iter():
+                if not list(leaf) and leaf is not el:
+                    rec[leaf.tag.rsplit("}", 1)[-1]] = (leaf.text or "").strip()
+            records.append(rec)
+    return records

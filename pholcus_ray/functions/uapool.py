@@ -1,0 +1,57 @@
+"""User-agent pool with per-attempt rotation.
+
+Reference parity (SURVEY.md ST3): the reference keeps a static UA list
+(surfer/agent/agent.go) and re-rolls a random UA per retry attempt
+(surf.go:170-177). Randomness is replaced by a DETERMINISTIC draw keyed on
+(request key, attempt) so the distributed engine and the sequential oracle
+pick identical agents — the same substitution the status model makes in
+functions/simnet.py.
+
+The pool below is a small set of generic, publicly documented UA shapes
+(not copied from the reference's vendored list); production deployments
+register their own via ``set_pool``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_DEFAULT_POOL: tuple[str, ...] = (
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/120.0 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 "
+    "(KHTML, like Gecko) Version/17.0 Safari/605.1.15",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:121.0) Gecko/20100101 "
+    "Firefox/121.0",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) "
+    "Chrome/120.0 Safari/537.36",
+)
+
+_pool: tuple[str, ...] = _DEFAULT_POOL
+
+
+def set_pool(agents: list[str]) -> None:
+    """Replace the UA pool (agent.go's static list is user-config in spirit)."""
+    global _pool
+    if not agents:
+        raise ValueError("UA pool must not be empty")
+    _pool = tuple(agents)
+
+
+def ua_for(key: int, attempt: int) -> str:
+    """Deterministic UA for one fetch attempt; distinct attempts of the same
+    request rotate through the pool (surf.go:170-177 re-roll semantics)."""
+    return _pool[(int(key) ^ (attempt * 0x9E3779B9)) % len(_pool)]
+
+
+def ua_column(keys: np.ndarray, attempts: np.ndarray) -> list[str]:
+    """Vectorized batch variant for the fetch stage."""
+    idx = (keys.astype(np.uint64)
+           ^ (attempts.astype(np.uint64) * np.uint64(0x9E3779B9))) \
+        % np.uint64(len(_pool))
+    pool = _pool
+    return [pool[int(i)] for i in idx]
+
+
+__all__ = ["set_pool", "ua_for", "ua_column"]

@@ -445,10 +445,14 @@ def _run_round_local(cfg, state, rounds_dir, rdir, seen, budget, policy,
         def fetch_parse(batch, _fp=fp):
             return _fp(batch)
 
-        # adaptive chunking: at least ~3 blocks per CPU so small rounds
-        # still spread across the cluster instead of 2-3 straggler tasks
+        # adaptive chunking: ~4 blocks per CPU balances spread (small rounds
+        # still use every core) against per-block fixed costs (a 165k-row
+        # frontier at 256-row blocks paid 647 ray.puts ≈ 4.7s driver time;
+        # map_batches still feeds the UDF fetch_batch_size-row batches
+        # inside each task, and the fused ->Write keeps task outputs out of
+        # plasma, so larger blocks don't grow worker memory)
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        chunk = max(32, min(cfg.fetch_batch_size, sched.num_rows // (ncpu * 3) + 1))
+        chunk = max(64, min(2048, sched.num_rows // (ncpu * 4) + 1))
         chunks = [
             sched.slice(i, chunk) for i in range(0, sched.num_rows, chunk)
         ]
@@ -706,13 +710,32 @@ def _inherit_history(cfg: CrawlConfig, seen: ShardedSeen,
                 + ", ".join(f"{k} {prev[k]!r} != {getattr(cfg, k)!r}" for k in bad)
             )
     prev_rounds = os.path.join(prev_wd, "rounds")
-    delta_dirs = []
+    # sources: the prev run's own per-round deltas PLUS whatever IT inherited
+    # (consolidated below), so chains of inheriting runs keep full history
+    delta_dirs = [os.path.join(prev_wd, "inherited", "seen_delta")]
     if os.path.isdir(prev_rounds):
         for d in sorted(os.listdir(prev_rounds)):
             if os.path.exists(os.path.join(prev_rounds, d, "_COMPLETE.json")):
                 delta_dirs.append(os.path.join(prev_rounds, d, "seen_delta"))
-    if delta_dirs:
-        seen.restore_deltas(delta_dirs)
+    # consolidate the inherited membership into THIS workdir (one merged
+    # .npy per shard) so (a) resuming this run restores it and (b) a future
+    # run inheriting from this one sees the whole chain
+    inherit_dir = os.path.join(cfg.workdir, "inherited", "seen_delta")
+    os.makedirs(inherit_dir, exist_ok=True)
+    for i in range(cfg.num_shards):
+        chunks = []
+        for d in delta_dirs:
+            p = os.path.join(d, f"shard_{i:04d}.npy")
+            if os.path.exists(p):
+                arr = np.load(p)
+                if len(arr):
+                    chunks.append(arr)
+        merged = (
+            np.unique(np.concatenate(chunks)) if chunks
+            else np.empty(0, dtype=np.uint64)
+        )
+        np.save(os.path.join(inherit_dir, f"shard_{i:04d}.npy"), merged)
+    seen.restore_deltas([inherit_dir])
     fail_path = os.path.join(prev_wd, "final", "failures.parquet")
     if os.path.exists(fail_path):
         failures = pq.read_table(fail_path)
@@ -761,6 +784,10 @@ def _restore(cfg: CrawlConfig, seen: ShardedSeen, rounds_dir: str,
                             for k in diff)
                 + " (use a fresh workdir, or resume=False to restart)"
             )
+    # an inherited seen set (cross-run history) must survive resume too
+    inherit_dir = os.path.join(cfg.workdir, "inherited", "seen_delta")
+    if os.path.isdir(inherit_dir):
+        seen.restore_deltas([inherit_dir])
     # full per_round history, not just the last round (round-1 advisor
     # finding: CrawlSummary.per_round was truncated after any resume)
     per_round = []

@@ -117,3 +117,22 @@ def test_corpus_text_identity(small_corpus):
         t["url"].to_pylist(), t["html"].to_pylist(), t["text"].to_pylist()
     ):
         assert extract_text(hb) == txt, url
+
+
+def test_xml_to_map_and_records():
+    from pholcus_ray.functions.textops import xml_to_map, xml_to_records
+
+    rss = """<?xml version="1.0"?>
+    <rss xmlns:dc="http://purl.org/dc/elements/1.1/"><channel>
+      <title>Feed</title>
+      <item><title>A</title><link>http://x/a</link><dc:creator>ann</dc:creator></item>
+      <item><title>B</title><link>http://x/b</link></item>
+    </channel></rss>"""
+    m = xml_to_map(rss)
+    assert m["link"] == "http://x/b"      # later sibling overwrites (ref parity)
+    assert m["creator"] == "ann"          # namespace stripped
+    recs = xml_to_records(rss, "item")
+    assert [r["title"] for r in recs] == ["A", "B"]
+    assert recs[0]["creator"] == "ann"
+    assert xml_to_map("<broken") == {}
+    assert xml_to_records("<broken", "item") == []

@@ -1,0 +1,46 @@
+"""Recurring-crawl timers (ST7, spider/timer.go:10-163): virtual-clock fire
+schedules and the re-arm loop with chained history inheritance."""
+
+from pholcus_ray.pipelines.crawl import CrawlConfig, crawl_log_table
+from pholcus_ray.state.timer import (
+    CountdownTimer,
+    DailyAlarm,
+    fire_schedule,
+    run_recurring,
+)
+
+RVS = 64.0
+
+
+def test_countdown_timer_schedule():
+    t = CountdownTimer(every_sec=3600)
+    assert fire_schedule(t, 0.0, 3) == [3600.0, 7200.0, 10800.0]
+    assert t.next_fire(3599.9) == 3600.0
+    assert t.next_fire(3600.0) == 7200.0  # strictly-after semantics
+
+
+def test_daily_alarm_schedule():
+    a = DailyAlarm(hour=6, minute=30)
+    assert a.next_fire(0.0) == 6 * 3600 + 30 * 60
+    assert a.next_fire(7 * 3600) == 86400 + 6 * 3600 + 30 * 60
+    assert fire_schedule(a, 0.0, 2) == [23400.0, 86400 + 23400.0]
+
+
+def test_run_recurring_chains_history(ray_session, small_corpus, tmp_path):
+    """Tick 0 crawls the site; later ticks inherit the FULL chain of seen
+    history (not just the immediately previous tick), so they only ever
+    retry the previous tick's failures."""
+    base = CrawlConfig(corpus_dir=small_corpus, workdir=str(tmp_path / "rec"),
+                       round_virtual_sec=RVS, fetch_concurrency=2,
+                       num_shards=4)
+    s = run_recurring(base, CountdownTimer(every_sec=86400), ticks=3)
+    assert len(s) == 3
+    log0 = crawl_log_table(s[0].workdir).to_pandas()
+    ok0 = set(log0.query("ok")["url"])
+    for i in (1, 2):
+        logi = crawl_log_table(s[i].workdir).to_pandas()
+        # chain preserved: nothing that EVER succeeded is refetched
+        assert not (set(logi["url"]) & ok0)
+        assert s[i].fetched_ok + s[i].fetched_fail <= s[i - 1].fetched_fail * 2
+    # failures shrink or persist, never grow
+    assert s[2].fetched_fail <= s[1].fetched_fail <= s[0].fetched_fail

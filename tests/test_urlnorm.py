@@ -100,3 +100,31 @@ def test_explode_links_host_strips_userinfo():
     assert out["host"].to_pylist() == [
         "host0.example.com", "host1.example.com", "host2.example.com"
     ]
+
+
+def test_canonicalize_array_fast_path_equivalence():
+    """The C-level already-canonical fast path must agree with the scalar
+    canonicalize/host_of on every row, including urls that LOOK canonical
+    but are not (dots, ports, userinfo, uppercase, fragments)."""
+    from pholcus_ray.functions.urlnorm import canonicalize_array, host_array
+
+    urls = [
+        "http://host0.example.com/p/0",          # fast path
+        "https://a-b.c9.example/p_x/%20y",       # fast path
+        "HTTP://Host.Example.com/p/0",           # uppercase -> slow
+        "http://host.example.com/a/../b",        # dot segments -> slow
+        "http://host.example.com:80/x",          # default port -> slow
+        "http://alice@host.example.com/x",       # userinfo -> slow
+        "http://host.example.com/x?q=1#frag",    # query+fragment -> slow
+        "http://host.example.com",               # empty path -> slow
+        "ftp://host/x",                          # non-http -> None
+        "javascript:void(0)",
+        None,
+    ]
+    got = canonicalize_array(urls)
+    from pholcus_ray.functions.urlnorm import canonicalize, host_of
+
+    expected = [canonicalize(u) if u is not None else None for u in urls]
+    assert list(got) == expected
+    canon = [c for c in got if c]
+    assert list(host_array(canon)) == [host_of(c) for c in canon]
