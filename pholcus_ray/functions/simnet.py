@@ -37,6 +37,17 @@ def sim_status(key: int, in_corpus: bool, attempt: int) -> int:
     return 200
 
 
+def sim_set_cookie(host: str) -> str:
+    """Deterministic Set-Cookie header the simulated server attaches to
+    every 200 response: a per-host session id. Lets the per-actor CookieJar
+    (state/cookiejar.py, ST1) be exercised end-to-end without a network —
+    the jar then sends ``sid=...`` back on every later request to the host."""
+    from ..functions.hashing import hash64_array
+
+    sid = int(hash64_array([host])[0])
+    return f"sid={sid:016x}; Path=/"
+
+
 def sim_fetch_attempts(key: int, in_corpus: bool, attempts_done: int,
                        try_times: int = TRY_TIMES_DEFAULT) -> tuple[int, int]:
     """Run up to ``try_times`` attempts starting after ``attempts_done``.

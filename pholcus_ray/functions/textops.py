@@ -234,6 +234,23 @@ def is_num(s: str) -> bool:
         return False
 
 
+def split_cookies(cookie_str: str) -> list[dict[str, str]]:
+    """Parse a request Cookie string ("a=1; b=2;") into name/value dicts.
+
+    Exact reference semantics (SplitCookies, spider/common/common.go:106-118
+    — SURVEY.md M15): split on ';' then '=', keep a fragment only when the
+    '='-split yields EXACTLY two parts — so values that themselves contain
+    '=' (e.g. "a=b=c") are dropped, as in the reference — and trim spaces
+    from both name and value. Values stay percent-encoded as given."""
+    out = []
+    for frag in cookie_str.split(";"):
+        parts = frag.split("=")
+        if len(parts) == 2:
+            name, value = parts[0].strip(), parts[1].strip()
+            out.append({"name": name, "value": value})
+    return out
+
+
 # --- XML parsing (util.go:228-249 XML2mapstr) ------------------------------
 
 

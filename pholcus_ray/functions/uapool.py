@@ -39,6 +39,12 @@ def set_pool(agents: list[str]) -> None:
     _pool = tuple(agents)
 
 
+def fixed_ua() -> str:
+    """The pinned UA used when Spider.EnableCookie is on (param.go:88-90:
+    cookie-carrying sessions keep one identity; rotation would break them)."""
+    return _pool[0]
+
+
 def ua_for(key: int, attempt: int) -> str:
     """Deterministic UA for one fetch attempt; distinct attempts of the same
     request rotate through the pool (surf.go:170-177 re-roll semantics)."""
@@ -54,4 +60,4 @@ def ua_column(keys: np.ndarray, attempts: np.ndarray) -> list[str]:
     return [pool[int(i)] for i in idx]
 
 
-__all__ = ["set_pool", "ua_for", "ua_column"]
+__all__ = ["set_pool", "fixed_ua", "ua_for", "ua_column"]

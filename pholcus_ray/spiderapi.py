@@ -60,7 +60,7 @@ class RuleContext:
     def __init__(self, url: str, referer: str, rule: str, depth: int,
                  html_bytes: bytes, temp: str = "", keyin: str = "",
                  download_time: str = "", method: str = "GET",
-                 post_data: str = ""):
+                 post_data: str = "", cookie: str = "", user_agent: str = ""):
         self.url = url
         self.referer = referer
         self.rule = rule
@@ -70,6 +70,8 @@ class RuleContext:
         self.download_time = download_time
         self.method = method
         self.post_data = post_data
+        self.cookie = cookie          # Cookie header this fetch carried
+        self.user_agent = user_agent  # UA this fetch carried (request.go:214, GetCookies parity)
         self._temp: dict = json.loads(temp) if temp else {}
         self._text: str | None = None
         self._doc: str | None = None
@@ -168,6 +170,9 @@ class Spider:
     rules: dict[str, Rule]
     entry_rule: str = "page"
     not_default_field: bool = False  # spider.go:34: suppress Url/ParentUrl/DownloadTime
+    # spider.go:33 EnableCookie: cookies + FIXED UA when True, no cookies +
+    # per-attempt UA rotation when False (surfer/param.go:86-96)
+    enable_cookie: bool = False
 
     def run_rule(self, ctx: RuleContext) -> None:
         rule = self.rules[ctx.rule]

@@ -28,7 +28,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..functions.hashing import hash64_array
-from ..functions.simnet import sim_fetch_attempts
+from ..functions.simnet import sim_fetch_attempts, sim_set_cookie
+from ..functions.uapool import fixed_ua, ua_for
 from ..model import FILE_STRUCT, LINK_STRUCT, RESULT_SCHEMA
 from ..spiderapi import RuleContext, Spider
 
@@ -110,12 +111,25 @@ class FetchParse:
             if bucket_refs is not None
             else preload_corpus(corpus_dir, n_buckets)
         )
+        # ST1: one jar per actor when the spider enables cookies — the
+        # per-process jar of the reference (surfer/surfer.go:39-51); with
+        # cookies on, the UA is FIXED, else rotated per attempt
+        # (surfer/param.go:86-96). Cookies/UA are fetch-side headers; they
+        # never enter result rows, so engine/oracle conformance is
+        # unaffected by actor scheduling.
+        if spider.enable_cookie:
+            from ..state.cookiejar import CookieJar
+
+            self.jar: "CookieJar | None" = CookieJar()
+        else:
+            self.jar = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
             return RESULT_SCHEMA.empty_table()
         urls = batch["url"].to_pylist()
+        hosts = batch["host"].to_pylist() if self.jar is not None else None
         keys = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
         rules = batch["rule"].to_pylist()
         methods = batch["method"].to_pylist()
@@ -175,11 +189,19 @@ class FetchParse:
             # reach the simulated server, which (like most fetch targets)
             # keys its response on the URL alone.
             body = b"" if methods[i] == "HEAD" else html
+            if self.jar is not None:
+                cookie_hdr = self.jar.header(urls[i])  # sent with THIS fetch
+                self.jar.set_cookie(urls[i], sim_set_cookie(hosts[i]))
+                ua = fixed_ua()  # EnableCookie pins the UA (param.go:88-90)
+            else:
+                cookie_hdr = ""
+                ua = ua_for(int(keys[i]), int(attempts[i]))
             ctx = RuleContext(
                 url=urls[i], referer=referers[i], rule=rules[i],
                 depth=int(depths[i]), html_bytes=body, temp=temps[i],
                 keyin=keyins[i], download_time=self.download_time,
                 method=methods[i], post_data=post_datas[i],
+                cookie=cookie_hdr, user_agent=ua,
             )
             self.spider.run_rule(ctx)
             items_col.append([self.spider.finalize_item(ctx, it) for it in ctx.items])
