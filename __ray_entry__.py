@@ -164,11 +164,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": T.simhash_docs,
         "simhash_near_dups": T.simhash_near_dups,
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
+        "ngram_jaccard_exact": T.ngram_jaccard_exact,
         "hll_distinct_users": T.hll_distinct_users,
         # similarity search
         "ann_topk": S.ann_topk,
         "knn_batch": S.knn_batch,
         "ann_ivf": S.ann_ivf,
+        # IVF probing all clusters is exact == brute force: SQL-oracles the
+        # IVF routing/assignment machinery itself
+        "ann_ivf_full_probe": lambda sf: S.ann_ivf(sf, n_clusters=8, nprobe=8),
         "embedding_near_dups": S.embedding_near_dups,
         # the crawl engine itself (non-SQL: rows-only checks)
         "crawl_log": _q_crawl_log,
@@ -275,6 +279,43 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q
             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, e.vec_id
             LIMIT 10
+        """,
+        "ann_ivf_full_probe": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos
+            FROM embeddings e, q
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, e.vec_id
+            LIMIT 10
+        """,
+        "ngram_jaccard_exact": r"""
+            WITH norm AS (
+              SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id, substr(s, CAST(g AS INTEGER), 3) AS gram
+              FROM norm, UNNEST(range(1, length(s)-1)) AS t(g)
+              WHERE length(s) >= 3
+              UNION
+              SELECT DISTINCT doc_id, s AS gram FROM norm
+              WHERE length(s) < 3 AND s <> ''
+            ), counts AS (
+              SELECT doc_id, COUNT(*) AS c FROM grams GROUP BY 1
+            ), inter AS (
+              SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS i
+              FROM grams g1 JOIN grams g2 USING (gram)
+              WHERE g1.doc_id < g2.doc_id
+              GROUP BY 1, 2
+            )
+            -- UNROUNDED double division: both sides divide the same two
+            -- integers in IEEE double, so values are bit-identical
+            SELECT a, b, i * 1.0 / (ca.c + cb.c - i) AS jaccard
+            FROM inter
+            JOIN counts ca ON ca.doc_id = inter.a
+            JOIN counts cb ON cb.doc_id = inter.b
+            WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.3
+            ORDER BY a, b
         """,
         "embedding_near_dups": """
             WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

@@ -596,6 +596,143 @@ def _char_ngrams(text: str, n: int) -> set:
     return {s[i : i + n] for i in range(len(s) - n + 1)}
 
 
+def _gram_hashes(text: str, n: int) -> np.ndarray:
+    """Sorted distinct 63-bit hashes of a doc's char-n-gram set (int64, so
+    the gram column groupby-shuffles without Ray's uint64->Arrow fallback;
+    dropping one hash bit only merges grams, keeping candidates a superset)."""
+    grams = _char_ngrams(text, n)
+    if not grams:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(
+        (hash64_array(sorted(grams)) >> np.uint64(1)).astype(np.int64)
+    )
+
+
+def ngram_jaccard_exact(sf_dir: str, threshold: float = 0.3, n: int = 3,
+                        join_partitions: int = 32,
+                        num_gram_parts: int = 32) -> rd.Dataset:
+    """ALL pairs with exact char-n-gram Jaccard >= threshold — a complete
+    distributed set-similarity join (vs ngram_jaccard_pairs, which scores
+    only MinHash-LSH candidates and inherits their probabilistic recall).
+
+    Prefix filtering (the standard exact-recall candidate filter of
+    Chaudhuri/Bayardo-style similarity joins: J(A,B) >= t implies
+    |A∩B| >= t·|A|, so A and B must share one of the first
+    |A| - ceil(t·|A|) + 1 grams in any global gram order): each doc indexes
+    only its p rarest grams, the inverted index shuffles (gram, doc_id)
+    rows for those grams only, candidate pairs form per gram group, and an
+    exact verify recomputes true Jaccard from the text via the same
+    partitioned pair⋈attr join as the LSH verify. Rarest-first ordering
+    makes the indexed gram groups small, so the per-gram pair blowup that
+    sinks a naive token join (sum of count² over hot grams) never forms.
+
+    Grams travel as 64-bit hashes; hash collisions only merge grams, which
+    can only raise estimated overlap — candidates stay a superset and the
+    text-based verify keeps the output exact. The gram doc-frequency table
+    is broadcast (bounded by the observed char-n-gram space); for corpora
+    whose gram space outgrows a broadcast, swap it for a dataset-side
+    frequency join keyed the same way.
+    """
+    import math
+
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    # ---- pass 1: global doc-frequency per gram (partials per batch) ----
+    def freq_partial(t: pa.Table) -> pa.Table:
+        hs = [_gram_hashes(x, n) for x in t["text"].to_pylist()]
+        allh = (np.concatenate(hs) if hs else np.empty(0, dtype=np.int64))
+        g, c = np.unique(allh, return_counts=True)
+        return pa.table({"gram": pa.array(g, pa.int64()),
+                         "df": pa.array(c.astype(np.int64))})
+
+    parts = docs.map_batches(freq_partial, batch_format="pyarrow") \
+                .groupby("gram").aggregate(Sum("df", alias_name="df")).take_all()
+    freq_grams = np.array([r["gram"] for r in parts], dtype=np.int64)
+    freq_counts = np.array([r["df"] for r in parts], dtype=np.int64)
+    order = np.argsort(freq_grams)
+    freq_ref = ray.put((freq_grams[order], freq_counts[order]))
+
+    # ---- pass 2: index each doc's prefix grams ----
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        fg, fc = ray.get(freq_ref)
+        out_g, out_d = [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            hs = _gram_hashes(text, n)
+            L = len(hs)
+            if L == 0:
+                continue
+            p = L - math.ceil(threshold * L) + 1
+            df = fc[np.searchsorted(fg, hs)]
+            pref = hs[np.lexsort((hs, df))[:p]]
+            out_g.append(pref)
+            out_d.append(np.full(len(pref), did, dtype=np.int64))
+        g = (np.concatenate(out_g) if out_g else np.empty(0, dtype=np.int64))
+        d = (np.concatenate(out_d) if out_d else np.empty(0, dtype=np.int64))
+        return pa.table(
+            {
+                "part": pa.array((g % num_gram_parts).astype(np.int32)),
+                "gram": pa.array(g, pa.int64()),
+                "doc_id": pa.array(d, pa.int64()),
+            }
+        )
+
+    def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        # C-level self-merge per coarse gram partition; prefix grams are
+        # rare by construction so per-gram groups stay small
+        m = g.merge(g, on="gram", suffixes=("_x", "_y"))
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        m = m.drop_duplicates(subset=["doc_id_x", "doc_id_y"])
+        return pd.DataFrame({"a": m["doc_id_x"].astype("int64").values,
+                             "b": m["doc_id_y"].astype("int64").values})
+
+    cands = (
+        docs.map_batches(prefix_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_in_part, batch_format="pandas")
+    )
+
+    # ---- pass 3: exact verify from text (partitioned pair⋈attr join) ----
+    out_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table()
+        memo: dict[str, set] = {}
+
+        def gs(x: str) -> set:
+            s = memo.get(x)
+            if s is None:
+                s = memo[x] = _char_ngrams(x, n)
+            return s
+
+        keep, jac = [], []
+        for ta, tb in zip(t["text_a"].to_pylist(), t["text_b"].to_pylist()):
+            sa, sb = gs(ta), gs(tb)
+            # UNROUNDED: both engine and the SQL oracle divide the same two
+            # integers in IEEE double, so raw values are bit-identical
+            # (round() is banker's in python, half-away in DuckDB — rounding
+            # would DESYNC them on exact .5 boundaries)
+            j = len(sa & sb) / max(1, len(sa | sb))
+            keep.append(j >= threshold)
+            jac.append(j)
+        t = t.append_column("jaccard", pa.array(jac, pa.float64()))
+        return t.filter(pa.array(keep, pa.bool_())).drop_columns(
+            ["text_a", "text_b"]
+        )
+
+    return (
+        join_pairs_with_doc_attr(
+            cands, docs, "text",
+            pair_schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+            num_partitions=join_partitions,
+        )
+        .map_batches(verify, batch_format="pyarrow")
+        .sort(["a", "b"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis: tokens, quality, language, fingerprint
 # ---------------------------------------------------------------------------

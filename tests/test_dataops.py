@@ -164,6 +164,30 @@ def test_ngram_jaccard_pairs(ray_session, dup_docs_dir):
     assert ps[(0, 2)] > 0.8
 
 
+def test_ngram_jaccard_exact_complete(ray_session, dup_docs_dir):
+    """The prefix-filtered similarity join must equal brute-force exact
+    Jaccard over ALL pairs (complete recall — its defining property vs the
+    LSH-candidate variant)."""
+    import itertools
+
+    from pholcus_ray.pipelines.textdata import (_char_ngrams,
+                                                ngram_jaccard_exact)
+
+    tb = pq.read_table(os.path.join(dup_docs_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    texts = dict(zip(tb["doc_id"].to_pylist(), tb["text"].to_pylist()))
+    want = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = _char_ngrams(texts[a], 3), _char_ngrams(texts[b], 3)
+        j = len(sa & sb) / max(1, len(sa | sb))
+        if j >= 0.5:
+            want[(a, b)] = j
+    df = ngram_jaccard_exact(dup_docs_dir, threshold=0.5).to_pandas()
+    got = dict(zip(zip(df["a"], df["b"]), df["jaccard"]))
+    assert got == want
+    assert got[(0, 1)] == 1.0 and got[(3, 4)] == 1.0  # planted exact dups
+
+
 def test_lang_id_heuristic_fixtures(ray_session):
     from pholcus_ray.pipelines.textdata import langid_predict
 
