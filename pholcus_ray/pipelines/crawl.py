@@ -438,13 +438,9 @@ def _run_round_local(cfg, state, rounds_dir, rdir, seen, budget, policy,
     if remaining is not None and sched.num_rows > remaining:
         sched = _sort_limit_table(sched, remaining)
     result_dir = os.path.join(rdir, "result")
-    fp = FetchParse(**fp_kwargs)
     if sched.num_rows > cfg.fetch_local_threshold:
         # hybrid round: control plane ran driver-side over slim rows, the
-        # heavy data plane (fetch+parse over html) runs distributed
-        def fetch_parse(batch, _fp=fp):
-            return _fp(batch)
-
+        # heavy data plane (fetch+parse over html) runs distributed.
         # adaptive chunking: ~4 blocks per CPU balances spread (small rounds
         # still use every core) against per-block fixed costs (a 165k-row
         # frontier at 256-row blocks paid 647 ray.puts ≈ 4.7s driver time;
@@ -457,17 +453,46 @@ def _run_round_local(cfg, state, rounds_dir, rdir, seen, budget, policy,
             sched.slice(i, chunk) for i in range(0, sched.num_rows, chunk)
         ]
         n = _write(
-            rd.from_arrow(chunks).map_batches(
-                fetch_parse, batch_format="pyarrow", batch_size=cfg.fetch_batch_size
-            ),
+            _apply_fetch(rd.from_arrow(chunks), cfg, fp_kwargs),
             result_dir,
             RESULT_SCHEMA,
         )
         return n, n_deferred
+    fp = FetchParse(**fp_kwargs)
     result = fp(sched) if sched.num_rows else RESULT_SCHEMA.empty_table()
     os.makedirs(result_dir, exist_ok=True)
     pq.write_table(result, os.path.join(result_dir, "part-0.parquet"))
     return sched.num_rows, n_deferred
+
+
+def _apply_fetch(ds: "rd.Dataset", cfg: "CrawlConfig", fp_kwargs: dict) -> "rd.Dataset":
+    """Attach the fused fetch+parse stage.
+
+    Default: a task-pool closure over one driver-built FetchParse (the
+    shared corpus tables make it stateless, so tasks scale elastically).
+    ``cfg.fetch_use_actors``: an actor pool of ``cfg.fetch_concurrency``
+    FetchParse instances — the stateful-fetch shape (per-actor cookie jar /
+    browser process / HTTP session built once in ``__init__``, S4/ST6), the
+    production stand-in for the reference's long-lived Surf/Chrome
+    downloaders. Both paths emit identical result rows (fetch-side state
+    never enters results), which the actor-vs-task conformance test
+    asserts."""
+    if cfg.fetch_use_actors:
+        return ds.map_batches(
+            FetchParse,
+            fn_constructor_kwargs=fp_kwargs,
+            batch_format="pyarrow",
+            batch_size=cfg.fetch_batch_size,
+            concurrency=cfg.fetch_concurrency,
+        )
+    _fp = FetchParse(**fp_kwargs)
+
+    def fetch_parse(batch, _fp=_fp):
+        return _fp(batch)
+
+    return ds.map_batches(
+        fetch_parse, batch_format="pyarrow", batch_size=cfg.fetch_batch_size
+    )
 
 
 def _run_round_distributed(cfg, state, rounds_dir, rdir, seen, budget,
@@ -485,7 +510,6 @@ def _run_round_distributed(cfg, state, rounds_dir, rdir, seen, budget,
     claim = ClaimSeen(seen)
     rstage = ResolveSeenRobotsCapClaim(seen, budget, policy_ref, cfg.obey_robots)
     spill = ResolveCapSpill(budget, os.path.join(rdir, "deferred"))
-    _fp = FetchParse(**fp_kwargs)
 
     def claim_seen(b, _c=claim):
         return _c(b)
@@ -495,9 +519,6 @@ def _run_round_distributed(cfg, state, rounds_dir, rdir, seen, budget,
 
     def resolve_cap(b, _s=spill):
         return _s(b)
-
-    def fetch_parse(batch, _fp=_fp):
-        return _fp(batch)
 
     claimed = (
         _candidates(cfg, state, rounds_dir)
@@ -511,9 +532,7 @@ def _run_round_distributed(cfg, state, rounds_dir, rdir, seen, budget,
     if remaining is not None:
         # quota needs the global order; sort is itself an AllToAll barrier
         ds = ds.sort(["priority", "seq"], descending=[True, False]).limit(remaining)
-    result = ds.map_batches(
-        fetch_parse, batch_format="pyarrow", batch_size=cfg.fetch_batch_size
-    )
+    result = _apply_fetch(ds, cfg, fp_kwargs)
     n_sched = _write(result, os.path.join(rdir, "result"), RESULT_SCHEMA)
     n_deferred = _nrows(os.path.join(rdir, "deferred"))
     return n_sched, n_deferred

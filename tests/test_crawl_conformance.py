@@ -53,6 +53,33 @@ def test_local_and_distributed_paths_agree(crawl_pair, small_corpus, tmp_path):
     assert len(ka) == len(kb) and (ka == kb).all()
 
 
+def test_actor_pool_fetch_path_agrees(crawl_pair, small_corpus, tmp_path):
+    """fetch_use_actors=True (actor-pool FetchParse with per-actor cookie
+    jars, S4/ST6 shape) must produce byte-identical crawl outputs to the
+    task path: fetch-side state (cookies, UA) never enters result rows."""
+    from pholcus_ray.spiderapi import DEFAULT_SPIDER
+
+    import dataclasses
+
+    sp = dataclasses.replace(DEFAULT_SPIDER, enable_cookie=True)
+    wd_act = str(tmp_path / "actors")
+    cfg = CrawlConfig(
+        corpus_dir=small_corpus, workdir=wd_act, round_virtual_sec=RVS,
+        fetch_concurrency=2, num_shards=4, local_round_threshold=0,
+        fetch_use_actors=True, spider=sp,
+    )
+    run_crawl(cfg)
+    wd_dist, _, _ = crawl_pair
+    a = crawl_log_table(wd_dist).to_pandas()
+    b = crawl_log_table(wd_act).to_pandas()
+    assert len(a) == len(b)
+    for c in a.columns:
+        assert (a[c].values == b[c].values).all(), c
+    ia = items_table(wd_dist).to_pandas().sort_values(["url", "data"])
+    ib = items_table(wd_act).to_pandas().sort_values(["url", "data"])
+    assert (ia["data"].values == ib["data"].values).all()
+
+
 def _oracle_log_df(oracle):
     return (
         pd.DataFrame(oracle.crawl_log)
