@@ -107,21 +107,48 @@ def _q_extract_identity(sf_dir: str):
     return pa.table({"n_pages": pa.array([n]), "n_identical": pa.array([ok])})
 
 
-def _q_multimodal(sf_dir: str):
+def _blocks(t, n_blocks: int = 8):
+    """Split an in-memory table into blocks so small actor pools get
+    parallel work (round-1 finding: one block fed one actor, second idle)."""
     import ray.data as rd
 
+    n = t.num_rows
+    step = max(1, n // n_blocks)
+    return rd.from_arrow([t.slice(i, step) for i in range(0, n, step)])
+
+
+def _q_multimodal(sf_dir: str):
     from pholcus_ray.stages.multimodal import DecodeImage, synth_image_table
 
     n = 200 if _sf_name(sf_dir) != "sf0.1" else 1000
-    # split the synthetic table into multiple input blocks so the 2-actor
-    # pool actually has parallel work (round-1 finding: one block fed one
-    # actor while the second sat idle)
-    t = synth_image_table(n)
-    step = max(1, n // 8)
-    ds = rd.from_arrow([t.slice(i, step) for i in range(0, n, step)])
-    return ds.map_batches(
+    return _blocks(synth_image_table(n)).map_batches(
         DecodeImage, batch_format="pyarrow", batch_size=32, concurrency=2
     ).sort("image_id")
+
+
+def _q_multimodal_audio(sf_dir: str):
+    from pholcus_ray.stages.multimodal import DecodeAudio, synth_audio_table
+
+    n = 200 if _sf_name(sf_dir) != "sf0.1" else 1000
+    return _blocks(synth_audio_table(n)).map_batches(
+        DecodeAudio, batch_format="pyarrow", batch_size=32, concurrency=2
+    ).sort("audio_id")
+
+
+def _q_multimodal_frames(sf_dir: str):
+    """Composed pipeline: videos -> SampleFrames -> DecodeImage."""
+    from pholcus_ray.stages.multimodal import (DecodeImage, SampleFrames,
+                                               synth_video_table)
+
+    n = 50 if _sf_name(sf_dir) != "sf0.1" else 200
+    return (
+        _blocks(synth_video_table(n))
+        .map_batches(SampleFrames, batch_format="pyarrow", batch_size=16,
+                     concurrency=2)
+        .map_batches(DecodeImage, batch_format="pyarrow", batch_size=64,
+                     concurrency=2)
+        .sort(["video_id", "frame_idx"])
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -153,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_revenue": R.filter_revenue,
         "sessionize_events": R.sessionize_events,
         "top_orders_per_priority": R.top_orders_per_priority,
+        "events_asof_join": R.events_asof_join,
+        "events_sliding_window": R.events_sliding_window,
         # training-data text ops
         "dedup_exact": T.dedup_exact,
         "token_stats": T.token_stats,
@@ -179,8 +208,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_items": _q_crawl_items,
         "crawl_url_seen": _q_crawl_url_seen,
         "extract_text_identity": _q_extract_identity,
-        # multimodal plumbing (deterministic fake decode backend)
+        # multimodal plumbing (deterministic fake decode backends)
         "multimodal_decode": _q_multimodal,
+        "multimodal_audio": _q_multimodal_audio,
+        "multimodal_frame_sample": _q_multimodal_frames,
     }
 
 
@@ -217,6 +248,28 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "events_asof_join": """
+            SELECT l.event_id,
+                   l.user_id,
+                   epoch_us(l.ts) AS ts_us,
+                   COALESCE(r.event_id, -1) AS prior_event_id,
+                   COALESCE(epoch_us(l.ts) - epoch_us(r.ts), -1) AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND r.ts <= l.ts
+            ORDER BY l.event_id
+        """,
+        "events_sliding_window": """
+            SELECT w AS window_start, event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents
+            FROM events,
+                 -- epoch_us//1e6 floors to whole seconds; CAST(epoch(ts)) would
+                 -- ROUND fractional seconds and mis-assign boundary events
+                 UNNEST([(epoch_us(ts) // 3600000000) * 3600 - 3600,
+                         (epoch_us(ts) // 3600000000) * 3600]) AS t(w)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "sessionize_events": """
             WITH e AS (

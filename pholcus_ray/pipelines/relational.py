@@ -317,3 +317,122 @@ def top_orders_per_priority(sf_dir: str, k: int = 3) -> rd.Dataset:
         .map_groups(merge, batch_format="pandas")
         .sort(["o_orderpriority", "rank"])
     )
+
+
+def events_asof_join(sf_dir: str, left_type: str = "purchase",
+                     right_type: str = "click") -> rd.Dataset:
+    """AS-OF join: each purchase attributed to the user's most recent click
+    at-or-before it (the canonical attribution query; SURVEY.md §2.4 gap —
+    Ray Data has no asof join operator).
+
+    Expressed as ONE shuffle on a coarse user bucket; inside each coarse
+    partition both sides are ordered once and matched by
+    ``pandas.merge_asof`` (C-level backward search, grouped ``by=user_id``)
+    — no per-user map_groups, no global sort. Partitioning assumption:
+    a user's events co-reside in one partition (user_id is the bucket key),
+    the same invariant the sessionizer relies on. Unmatched purchases keep
+    -1 sentinel prior columns (left join). Skewed users concentrate in a bucket;
+    at hot-key scale, split the right side per user by time range and
+    route each left row to its containing range (documented, not needed at
+    these SFs).
+    """
+    import pandas as pd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array([left_type, right_type]))
+        t = t.filter(keep)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array((uid % 64).astype(np.int32)))
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == left_type].sort_values(
+            ["ts", "event_id"], kind="mergesort")
+        right = g[g["event_type"] == right_type].sort_values(
+            ["ts", "event_id"], kind="mergesort")
+        # carry the right-side timestamp under its own name (merge_asof
+        # keeps only the left 'on' column)
+        right = right.assign(ts_r_us=right["ts"].astype("int64"))
+        m = pd.merge_asof(
+            left, right, on="ts", by="user_id",
+            suffixes=("", "_prior"), direction="backward",
+        )
+        ts_us = left["ts"].astype("int64").values
+        # unmatched rows use a -1 sentinel instead of NULL: nullable int
+        # columns round-trip driver-side as float64 and the dtype-sensitive
+        # value hash would depend on the null-handling path (round-1 lesson)
+        prior_id = m["event_id_prior"].fillna(-1).astype("int64").values
+        gap_us = np.where(
+            m["ts_r_us"].notna().values,
+            ts_us - m["ts_r_us"].fillna(0).astype("int64").values,
+            -1,
+        ).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": left["event_id"].astype("int64").values,
+                "user_id": left["user_id"].astype("int64").values,
+                "ts_us": ts_us,
+                "prior_event_id": prior_id,
+                "gap_us": gap_us,
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(asof, batch_format="pandas")
+        .sort("event_id")
+    )
+
+
+def events_sliding_window(sf_dir: str, size_sec: int = 7200,
+                          hop_sec: int = 3600) -> rd.Dataset:
+    """Hopping (sliding) windowed aggregate: 2-hour windows every hour —
+    each event lands in size/hop windows (SURVEY.md §2.8; the tumbling
+    variant is events_window). Window replication happens batch-locally
+    (one C-level repeat per batch), then ONE groupby on
+    (window_start, event_type); the shuffle carries (int64, small-string,
+    int64-cents) rows replicated size/hop times, never the raw log.
+    """
+    assert size_sec % hop_sec == 0, "size must be a multiple of hop"
+    k = size_sec // hop_sec
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        epoch = ts.astype("datetime64[s]").astype(np.int64)
+        last = (epoch // hop_sec) * hop_sec   # newest window containing e
+        n = len(epoch)
+        # windows last, last-hop, ..., last-(k-1)*hop  (all w with
+        # w <= e < w+size, stepped by hop)
+        wins = np.repeat(last, k) - np.tile(
+            np.arange(k, dtype=np.int64) * hop_sec, n
+        )
+        cents = _cents(t["value"].to_numpy(zero_copy_only=False))
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        return pa.table(
+            {
+                "window_start": pa.array(wins, pa.int64()),
+                "event_type": et.take(idx),
+                "value_cents": pa.array(np.repeat(cents, k)),
+            }
+        )
+
+    return (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n"),
+                   Sum("value_cents", alias_name="sum_value_cents"))
+        .sort(["window_start", "event_type"])
+    )

@@ -44,7 +44,8 @@ def ducksf():
     "name",
     ["q1_pricing", "top_orders", "revenue_by_nation", "events_window",
      "distinct_users", "filter_revenue", "dedup_exact", "token_stats",
-     "doc_fingerprint", "ann_topk", "knn_batch"],
+     "doc_fingerprint", "ann_topk", "knn_batch", "events_asof_join",
+     "events_sliding_window", "ann_ivf_full_probe"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -267,10 +268,65 @@ def test_multimodal_decode_roundtrip(ray_session):
 
 
 def test_multimodal_real_backend_is_stubbed():
-    from pholcus_ray.stages.multimodal import DecodeImage
+    from pholcus_ray.stages.multimodal import (DecodeAudio, DecodeImage,
+                                               SampleFrames)
 
-    with pytest.raises(NotImplementedError):
-        DecodeImage(backend="real")
+    for cls in (DecodeImage, DecodeAudio, SampleFrames):
+        with pytest.raises(NotImplementedError):
+            cls(backend="real")
+
+
+def test_multimodal_audio_features(ray_session):
+    import ray.data as rd
+
+    from pholcus_ray.stages.multimodal import DecodeAudio, synth_audio_table
+
+    t = synth_audio_table(60)
+    ds = rd.from_arrow([t.slice(i, 15) for i in range(0, 60, 15)])
+    df = ds.map_batches(DecodeAudio, batch_format="pyarrow", batch_size=16,
+                        concurrency=2).sort("audio_id").to_pandas()
+    assert len(df) == 60
+    # features derive from the true header/body: duration = n/sr exactly
+    src = t.to_pandas()
+    # python round(), not pandas .round(): the two disagree on some values
+    # (correctly-rounded decimal vs scaled np.around) and the stage uses python's
+    want = np.array([round(float(x), 6)
+                     for x in src["n_samples"] / src["sample_rate"]])
+    assert (df["duration_sec"].values == want).all()
+    assert (df["rms"] > 0).all() and (df["zero_crossings"] > 0).all()
+    # deterministic across runs
+    df2 = rd.from_arrow(t).map_batches(
+        DecodeAudio, batch_format="pyarrow", batch_size=16, concurrency=1
+    ).sort("audio_id").to_pandas()
+    assert (df["content_hash"].values == df2["content_hash"].values).all()
+
+
+def test_multimodal_frame_sample_composes_with_decode(ray_session):
+    import ray.data as rd
+
+    from pholcus_ray.stages.multimodal import (DecodeImage, SampleFrames,
+                                               synth_video_table)
+
+    t = synth_video_table(12)
+    df = (
+        rd.from_arrow([t.slice(i, 3) for i in range(0, 12, 3)])
+        .map_batches(SampleFrames, batch_format="pyarrow", batch_size=4,
+                     concurrency=2)
+        .map_batches(DecodeImage, batch_format="pyarrow", batch_size=32,
+                     concurrency=2)
+        .sort(["video_id", "frame_idx"])
+        .to_pandas()
+    )
+    src = t.to_pandas().set_index("video_id")
+    # every stride-4 frame sampled once, frame 0 always present
+    for vid, g in df.groupby("video_id"):
+        nf = int(src.loc[vid, "n_frames"])
+        assert list(g["frame_idx"]) == list(range(0, nf, 4))
+        # decode passes video lineage through and sees the raw frame dims
+        assert (g["decoded_width"] == src.loc[vid, "width"]).all()
+        assert (g["decoded_height"] == src.loc[vid, "height"]).all()
+        assert (g["decoded_format"] == "raw").all()
+    assert {"video_id", "frame_idx", "image_id"} <= set(df.columns)
 
 
 def test_hll_distinct_users_accuracy(ray_session):
