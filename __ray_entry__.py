@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_priority": R.top_orders_per_priority,
         "events_asof_join": R.events_asof_join,
         "events_sliding_window": R.events_sliding_window,
+        "value_quantiles": R.value_quantiles,
         # training-data text ops
         "dedup_exact": T.dedup_exact,
         "token_stats": T.token_stats,
@@ -194,6 +195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": T.simhash_near_dups,
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
         "ngram_jaccard_exact": T.ngram_jaccard_exact,
+        "dup_clusters": T.dup_clusters,
+        "split_by_hash": T.split_by_hash,
         "hll_distinct_users": T.hll_distinct_users,
         # similarity search
         "ann_topk": S.ann_topk,
@@ -369,6 +372,66 @@ def oracle_sql() -> dict[str, str]:
             JOIN counts cb ON cb.doc_id = inter.b
             WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.3
             ORDER BY a, b
+        """,
+        "value_quantiles": """
+            -- rank-at-ceil(q*n) discrete quantile; FLOOR(x*100+0.5) matches
+            -- the engine's _cents (half-up) exactly for the positive domain
+            WITH c AS (
+              SELECT CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents FROM events
+            ), r AS (
+              SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM c
+            )
+            SELECT q, CAST(MIN(cents) AS BIGINT) AS value_cents
+            FROM r, UNNEST([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                            CAST(0.75 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                            CAST(0.99 AS DOUBLE)]) AS t(q)
+            WHERE rn >= CAST(CEIL(q * n) AS BIGINT)
+            GROUP BY q ORDER BY q
+        """,
+        "split_by_hash": """
+            SELECT doc_id,
+                   CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'c' THEN 'train'
+                        WHEN md5(CAST(doc_id AS VARCHAR)) < 'e' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id
+        """,
+        "dup_clusters": r"""
+            -- connected components over the exact n-gram near-dup graph
+            -- (same pair set as ngram_jaccard_exact) via transitive closure
+            WITH RECURSIVE norm AS (
+              SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id, substr(s, CAST(g AS INTEGER), 3) AS gram
+              FROM norm, UNNEST(range(1, length(s)-1)) AS t(g)
+              WHERE length(s) >= 3
+              UNION
+              SELECT DISTINCT doc_id, s AS gram FROM norm
+              WHERE length(s) < 3 AND s <> ''
+            ), counts AS (
+              SELECT doc_id, COUNT(*) AS c FROM grams GROUP BY 1
+            ), inter AS (
+              SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS i
+              FROM grams g1 JOIN grams g2 USING (gram)
+              WHERE g1.doc_id < g2.doc_id
+              GROUP BY 1, 2
+            ), p AS (
+              SELECT a, b FROM inter
+              JOIN counts ca ON ca.doc_id = inter.a
+              JOIN counts cb ON cb.doc_id = inter.b
+              WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.7
+            ), edges AS (
+              SELECT a, b FROM p UNION SELECT b, a FROM p
+            ), reach(node, r) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+            )
+            SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id,
+                   CAST(COUNT(DISTINCT r) AS BIGINT) AS cluster_size
+            FROM reach GROUP BY 1 ORDER BY 1
         """,
         "embedding_near_dups": """
             WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

@@ -436,3 +436,48 @@ def events_sliding_window(sf_dir: str, size_sec: int = 7200,
                    Sum("value_cents", alias_name="sum_value_cents"))
         .sort(["window_start", "event_type"])
     )
+
+
+def value_quantiles(sf_dir: str,
+                    qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99)) -> pa.Table:
+    """EXACT distributed quantiles of events.value via a mergeable
+    integer-cents histogram (SURVEY.md §2.5 breadth; the sketch-family
+    sibling of hll_distinct_users, but exact).
+
+    Scale design: each batch emits its (distinct cents, count) partial —
+    C-level ``np.unique`` — and ONE groupby merges partials; the shuffle
+    carries histogram rows (two int64s per distinct value), never events.
+    The merged histogram is bounded by the value domain (price-like fields
+    have ~1e5-1e6 distinct cents regardless of row count), so collecting it
+    driver-side is a small-result materialization, not a dataset one; for a
+    genuinely unbounded domain swap in fixed-width bins or a t-digest and
+    lose exactness. Quantile semantics: value at rank ``ceil(q*n)``
+    (1-indexed, "discrete/lower" quantile) — chosen so the SQL oracle can
+    state the identical rule with ROW_NUMBER.
+    """
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t["value"].to_numpy(zero_copy_only=False))
+        u, c = np.unique(cents, return_counts=True)
+        return pa.table({"value_cents": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("value_cents")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort("value_cents")
+        .take_all()
+    )
+    vals = np.array([r["value_cents"] for r in hist], dtype=np.int64)
+    cum = np.cumsum(np.array([r["cnt"] for r in hist], dtype=np.int64))
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        rank = int(np.ceil(q * n))
+        out_q.append(float(q))
+        out_v.append(int(vals[np.searchsorted(cum, rank)]))
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value_cents": pa.array(out_v, pa.int64())})

@@ -988,3 +988,125 @@ def hll_distinct_users(sf_dir: str, p: int = 12) -> rd.Dataset:
         .map_groups(merge, batch_format="pandas")
         .sort("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic splits + near-dup clustering
+# ---------------------------------------------------------------------------
+
+
+def split_by_hash(sf_dir: str) -> rd.Dataset:
+    """Deterministic train/val/test assignment by md5(doc_id) — the standard
+    content-stable split for training corpora (same doc -> same split across
+    runs, machines, and corpus growth; no RNG state to ship).
+
+    md5 (not the engine's xxhash64) because the SQL oracle must compute the
+    identical function; thresholds are hex-string prefixes so both sides
+    compare plain strings ('c' = 12/16 = 75% train, 'e' = 12.5% val,
+    rest test). Embarrassingly parallel: one map_batches, no shuffle —
+    hashlib.md5 is C-level per row.
+    """
+    ds = _read_documents(sf_dir, columns=["doc_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        hx = [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids]
+        split = ["train" if h < "c" else ("val" if h < "e" else "test")
+                 for h in hx]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "split": pa.array(split, pa.string())})
+
+    return ds.map_batches(assign, batch_format="pyarrow").sort("doc_id")
+
+
+def _forest_block(t: pa.Table) -> pa.Table:
+    """Local union-find over one edge block -> its spanning-forest edges
+    (<= distinct-nodes-1 rows out, regardless of block size in)."""
+    a = t["a"].to_numpy(zero_copy_only=False)
+    b = t["b"].to_numpy(zero_copy_only=False)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    keep = np.zeros(len(a), dtype=bool)
+    for i in range(len(a)):
+        ra, rb = find(int(a[i])), find(int(b[i]))
+        if ra != rb:
+            # union by min id: the root of every tree is its component min
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+            keep[i] = True
+    m = pa.array(keep)
+    return pa.table({"a": pa.array(a, pa.int64()).filter(m),
+                     "b": pa.array(b, pa.int64()).filter(m)})
+
+
+def dup_clusters(sf_dir: str, threshold: float = 0.7,
+                 n: int = 3) -> pa.Table:
+    """Connected components over the exact n-gram near-dup graph: every doc
+    that has at least one near-dup gets (cluster_id = min doc_id in its
+    component, cluster_size). This is the canonical post-similarity-join
+    dedup step (keep one doc per cluster) that SlimPajama/RefinedWeb-style
+    pipelines run after LSH.
+
+    Scale design: components are computed on the EDGE LIST, which a
+    similarity join keeps orders smaller than the corpus. Stage 1 runs a
+    C-friendly union-find per edge block, emitting only spanning-forest
+    edges (bounds every block's output by its distinct-node count); stage 2
+    repartitions the forests and repeats, so the driver finally merges a
+    forest bounded by the dup-graph NODE set, not the corpus or the raw
+    pair count. If the dup-node set itself outgrows the driver, iterate
+    stage 2 (it halves levels per pass) or switch to alternating
+    star-contraction (Kiveris et al., "Connected Components in MapReduce");
+    documented, not needed below ~10^9 near-dup docs.
+    """
+    pairs = ngram_jaccard_exact(sf_dir, threshold=threshold, n=n) \
+        .select_columns(["a", "b"])
+    forest = (
+        pairs.map_batches(_forest_block, batch_format="pyarrow")
+        .repartition(4)
+        .map_batches(_forest_block, batch_format="pyarrow")
+        .take_all()
+    )
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    seen: set[int] = set()
+    for row in forest:
+        x, y = int(row["a"]), int(row["b"])
+        seen.add(x)
+        seen.add(y)
+        ra, rb = find(x), find(y)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    # every pair-participating node appears in the forest: union-find only
+    # drops an edge whose endpoints were BOTH already kept earlier
+    nodes = sorted(seen)
+    roots = {x: find(x) for x in nodes}
+    sizes: dict[int, int] = {}
+    for r in roots.values():
+        sizes[r] = sizes.get(r, 0) + 1
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, pa.int64()),
+            "cluster_id": pa.array([roots[x] for x in nodes], pa.int64()),
+            "cluster_size": pa.array([sizes[roots[x]] for x in nodes],
+                                     pa.int64()),
+        }
+    )

@@ -45,7 +45,8 @@ def ducksf():
     ["q1_pricing", "top_orders", "revenue_by_nation", "events_window",
      "distinct_users", "filter_revenue", "dedup_exact", "token_stats",
      "doc_fingerprint", "ann_topk", "knn_batch", "events_asof_join",
-     "events_sliding_window", "ann_ivf_full_probe"],
+     "events_sliding_window", "ann_ivf_full_probe", "value_quantiles",
+     "split_by_hash", "dup_clusters"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
