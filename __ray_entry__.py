@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": R.events_asof_join,
         "events_sliding_window": R.events_sliding_window,
         "value_quantiles": R.value_quantiles,
+        "events_prop_stats": R.events_prop_stats,
         # training-data text ops
         "dedup_exact": T.dedup_exact,
         "token_stats": T.token_stats,
@@ -389,6 +390,14 @@ def oracle_sql() -> dict[str, str]:
                             CAST(0.99 AS DOUBLE)]) AS t(q)
             WHERE rn >= CAST(CEIL(q * n) AS BIGINT)
             GROUP BY q ORDER BY q
+        """,
+        "events_prop_stats": """
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(COALESCE(CAST(props->>'k' AS BIGINT), -1)) AS BIGINT) AS sum_k,
+                   CAST(MIN(COALESCE(CAST(props->>'k' AS BIGINT), -1)) AS BIGINT) AS min_k,
+                   CAST(MAX(COALESCE(CAST(props->>'k' AS BIGINT), -1)) AS BIGINT) AS max_k
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "split_by_hash": """
             SELECT doc_id,

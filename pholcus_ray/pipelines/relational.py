@@ -481,3 +481,41 @@ def value_quantiles(sf_dir: str,
         out_v.append(int(vals[np.searchsorted(cum, rank)]))
     return pa.table({"q": pa.array(out_q, pa.float64()),
                      "value_cents": pa.array(out_v, pa.int64())})
+
+
+def events_prop_stats(sf_dir: str) -> rd.Dataset:
+    """Semi-structured extraction: parse the ``props`` JSON column, pull the
+    ``k`` property, aggregate per event type (the scraper-output shape — the
+    reference's items are exactly such JSON blobs, SURVEY.md §2.2 M6).
+
+    The JSON never crosses a stage boundary: parse happens batch-local
+    (stdlib json in a tight loop — swap for simdjson/orjson where
+    available; the contract is per-batch columnar out) and the shuffle
+    carries only (event_type, int64) rows. Missing keys map to -1 on both
+    sides (COALESCE in the oracle) so nullability can't skew the hash.
+    """
+    import json
+
+    from ray.data.aggregate import Max, Min
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "props"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ks = np.fromiter(
+            (json.loads(p).get("k", -1) if p else -1
+             for p in t["props"].to_pylist()),
+            dtype=np.int64, count=t.num_rows,
+        )
+        return pa.table({"event_type": t["event_type"],
+                         "k": pa.array(ks, pa.int64())})
+
+    return (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"),
+                   Sum("k", alias_name="sum_k"),
+                   Min("k", alias_name="min_k"),
+                   Max("k", alias_name="max_k"))
+        .sort("event_type")
+    )

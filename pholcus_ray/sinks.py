@@ -296,6 +296,45 @@ def write_items_sql(workdir: str, db_path: str, namespace: str = "pholcus",
 
 # --- registry (output_data.go:14-23, 60-62) ---------------------------------
 
+def write_sharded_parquet(make_shard_ds: Callable[[object], "object"],
+                          shard_keys: list, out_dir: str,
+                          shard_col: str = "shard") -> list:
+    """Resumable partitioned-parquet writer: one directory + _SUCCESS marker
+    per input shard, so a failed 100 TB run re-does only unfinished shards.
+
+    ``make_shard_ds(key)`` builds the (lazy) Dataset for one input shard —
+    a file group, key range, or crawl round; each shard streams through
+    ``write_parquet`` (never materialized), and its ``_SUCCESS`` marker is
+    written only after the write returns. Rerunning with the same
+    ``shard_keys`` skips every marked shard; a shard that died mid-write
+    has no marker and is rewritten from scratch into the same directory
+    (write_parquet re-emits deterministic content for a deterministic
+    dataset; for non-deterministic sources clear the unmarked dir first —
+    done here for exactly that reason).
+
+    This is the same contract the crawl engine's per-round dirs +
+    _COMPLETE.json use (pipelines/crawl.py); factored out so any query
+    pipeline gets resumable output. Returns the keys actually written.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for key in shard_keys:
+        sdir = os.path.join(out_dir, f"{shard_col}={sanitize_filename(str(key))}")
+        marker = os.path.join(sdir, "_SUCCESS")
+        if os.path.exists(marker):
+            continue
+        if os.path.isdir(sdir):  # partial output from a dead run
+            import shutil
+
+            shutil.rmtree(sdir)
+        os.makedirs(sdir, exist_ok=True)
+        make_shard_ds(key).write_parquet(sdir)
+        with open(marker, "w") as f:
+            f.write("")
+        written.append(key)
+    return written
+
+
 SINKS: dict[str, Callable] = {
     "parquet": write_items_parquet,
     "csv": write_items_csv,

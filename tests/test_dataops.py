@@ -46,7 +46,7 @@ def ducksf():
      "distinct_users", "filter_revenue", "dedup_exact", "token_stats",
      "doc_fingerprint", "ann_topk", "knn_batch", "events_asof_join",
      "events_sliding_window", "ann_ivf_full_probe", "value_quantiles",
-     "split_by_hash", "dup_clusters"],
+     "split_by_hash", "dup_clusters", "events_prop_stats"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -369,3 +369,31 @@ def test_embedding_near_dups_partitioned_exact(ray_session):
     got = embedding_near_dups(SF, threshold=0.3, n_clusters=4).to_pandas()
     assert set(zip(got["a"], got["b"])) == expected
     assert len(got) == len(expected)  # no duplicate emission across groups
+
+
+def test_write_sharded_parquet_resume(ray_session, tmp_path):
+    """Resumable partitioned output: finished shards are skipped on rerun,
+    dead-run partials are rewritten, final content is complete."""
+    import ray.data as rd
+
+    from pholcus_ray.sinks import write_sharded_parquet
+
+    def make(shard: int):
+        t = pa.table({"shard": pa.array([shard] * 10, pa.int64()),
+                      "v": pa.array(range(shard * 10, shard * 10 + 10))})
+        return rd.from_arrow(t)
+
+    out = str(tmp_path / "out")
+    # first run writes shards 0-1 only (simulated death before 2-3)
+    assert write_sharded_parquet(make, [0, 1], out) == [0, 1]
+    # fake a dead run's partial output for shard 2: dir exists, no marker
+    os.makedirs(os.path.join(out, "shard=2"), exist_ok=True)
+    with open(os.path.join(out, "shard=2", "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    # resume over the full key list: 0-1 skipped, 2 rewritten, 3 written
+    assert write_sharded_parquet(make, [0, 1, 2, 3], out) == [2, 3]
+    got = rd.read_parquet(out).to_pandas().sort_values("v")
+    assert list(got["v"]) == list(range(40))
+    assert sorted(got["shard"].unique()) == [0, 1, 2, 3]
+    # idempotent once complete
+    assert write_sharded_parquet(make, [0, 1, 2, 3], out) == []
