@@ -59,6 +59,10 @@ _BENCH_QUERIES = [
     "text_quality",
     "ann_topk",
     "knn_batch",
+    "events_asof_join",
+    "events_sliding_window",
+    "value_quantiles",
+    "events_prop_stats",
 ]
 
 

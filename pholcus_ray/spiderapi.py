@@ -60,7 +60,8 @@ class RuleContext:
     def __init__(self, url: str, referer: str, rule: str, depth: int,
                  html_bytes: bytes, temp: str = "", keyin: str = "",
                  download_time: str = "", method: str = "GET",
-                 post_data: str = "", cookie: str = "", user_agent: str = ""):
+                 post_data: str = "", cookie: str = "", user_agent: str = "",
+                 status: int = 200):
         self.url = url
         self.referer = referer
         self.rule = rule
@@ -72,12 +73,16 @@ class RuleContext:
         self.post_data = post_data
         self.cookie = cookie          # Cookie header this fetch carried
         self.user_agent = user_agent  # UA this fetch carried (request.go:214, GetCookies parity)
+        self.status = status          # response status (GetStatusCode, context.go:445)
+        self.spider = None            # attached by Spider.run_rule (GetSpider)
         self._temp: dict = json.loads(temp) if temp else {}
         self._text: str | None = None
         self._doc: str | None = None
         self.items: list[dict] = []
         self.requests: list[LinkRequest] = []
         self.files: list[tuple[str, bytes]] = []
+        self.logs: list[str] = []
+        self.error: Exception | None = None
 
     # --- lazy projections (reference context.go:612-644) ---
 
@@ -108,6 +113,110 @@ class RuleContext:
                 out.append((u, anchor))
         return out
 
+    # --- request/response getters (context.go:433-608) ---
+    # snake_case mirrors of the reference verbs; plain attributes double as
+    # the Get* surface (GetURL == ctx.url), these exist for rule-code parity
+
+    def get_url(self) -> str:
+        return self.url
+
+    def get_method(self) -> str:
+        return self.method
+
+    def get_host(self) -> str:
+        return urlnorm.host_of(self.url)
+
+    def get_referer(self) -> str:
+        return self.referer
+
+    def get_cookie(self) -> str:
+        return self.cookie
+
+    def get_status_code(self) -> int:
+        return self.status
+
+    def get_keyin(self) -> str:
+        return self.keyin
+
+    def get_rule_name(self) -> str:
+        return self.rule
+
+    def get_dom(self) -> str:
+        return self.doc
+
+    def get_text(self) -> str:
+        return self.text
+
+    # --- request/body mutators (context.go:309-317, 409) ---
+
+    def set_url(self, url: str) -> None:
+        """Rewrite the page url (SetURL, context.go:309) — affects link
+        resolution and the default Url item column."""
+        self.url = url
+
+    def set_referer(self, referer: str) -> None:
+        self.referer = referer
+
+    def reset_text(self, body: str | bytes) -> None:
+        """Replace the downloaded body (ResetText, context.go:409) and
+        invalidate the lazy doc/text caches."""
+        self.html_bytes = body.encode("utf-8") if isinstance(body, str) else body
+        self._doc = None
+        self._text = None
+
+    # --- spider introspection + item fields (context.go:322, 461-538) ---
+
+    def get_spider(self):
+        return self.spider
+
+    def get_name(self) -> str:
+        return self.spider.name if self.spider else ""
+
+    def get_rules(self) -> list[str]:
+        return sorted(self.spider.rules) if self.spider else []
+
+    def get_item_fields(self, rule: str | None = None) -> list[str]:
+        if not self.spider:
+            return []
+        return list(self.spider.rules[rule or self.rule].item_fields)
+
+    def get_item_field(self, index: int, rule: str | None = None) -> str:
+        fields = self.get_item_fields(rule)
+        return fields[index] if 0 <= index < len(fields) else ""
+
+    def get_item_field_index(self, field_name: str,
+                             rule: str | None = None) -> int:
+        fields = self.get_item_fields(rule)
+        return fields.index(field_name) if field_name in fields else -1
+
+    def upsert_item_field(self, field_name: str,
+                          rule: str | None = None) -> int:
+        """Append a field to the rule's ItemFields if missing; return its
+        index (UpsertItemField, context.go:322-330)."""
+        if not self.spider:
+            return -1
+        fields = self.spider.rules[rule or self.rule].item_fields
+        if field_name not in fields:
+            fields.append(field_name)
+        return fields.index(field_name)
+
+    def parse(self, rule: str) -> None:
+        """Dispatch ANOTHER rule on this same page (ctx.Parse,
+        context.go:356-376) — outputs accumulate on this context."""
+        prev, self.rule = self.rule, rule
+        try:
+            self.spider.run_rule(self)
+        finally:
+            self.rule = prev
+
+    # --- diagnostics (context.go:420-431) ---
+
+    def log(self, msg: str) -> None:
+        self.logs.append(str(msg))
+
+    def get_error(self) -> Exception | None:
+        return self.error
+
     # --- temp state (context.go:304-307, 542-558) ---
 
     def set_temp(self, key: str, value) -> None:
@@ -118,6 +227,23 @@ class RuleContext:
 
     def temp_json(self) -> str:
         return json.dumps(self._temp, sort_keys=True) if self._temp else ""
+
+    def get_temps(self) -> dict:
+        return self._temp
+
+    def copy_temps(self) -> dict:
+        """Deep copy of the temp map (CopyTemps, context.go:552-558)."""
+        return json.loads(json.dumps(self._temp))
+
+    # --- output pulls (context.go:493-508) ---
+
+    def pull_items(self) -> list[dict]:
+        out, self.items = self.items, []
+        return out
+
+    def pull_files(self) -> list[tuple[str, bytes]]:
+        out, self.files = self.files, []
+        return out
 
     # --- outputs (context.go:214-247) ---
 
@@ -175,6 +301,7 @@ class Spider:
     enable_cookie: bool = False
 
     def run_rule(self, ctx: RuleContext) -> None:
+        ctx.spider = self  # GetSpider / item-field verbs (context.go:433)
         rule = self.rules[ctx.rule]
         rule.parse(ctx)
 

@@ -201,7 +201,7 @@ class FetchParse:
                 depth=int(depths[i]), html_bytes=body, temp=temps[i],
                 keyin=keyins[i], download_time=self.download_time,
                 method=methods[i], post_data=post_datas[i],
-                cookie=cookie_hdr, user_agent=ua,
+                cookie=cookie_hdr, user_agent=ua, status=int(status),
             )
             self.spider.run_rule(ctx)
             items_col.append([self.spider.finalize_item(ctx, it) for it in ctx.items])

@@ -294,3 +294,63 @@ def test_excel_and_sql_sinks(two_rule_run, tmp_path):
         assert kinds == {"detail"}
     finally:
         con.close()
+
+
+def test_rulecontext_full_verb_surface():
+    """The §2.10 ctx verb surface (context.go:304-644): getters, mutators,
+    item-field upsert, sub-rule dispatch, output pulls, diagnostics."""
+    from pholcus_ray.spiderapi import Rule, RuleContext, Spider
+
+    seen = []
+
+    def sub_rule(ctx):
+        seen.append(ctx.get_rule_name())
+        ctx.output({"from": "sub"})
+
+    def main_rule(ctx):
+        assert ctx.get_url() == "http://h0.example.com/p/1"
+        assert ctx.get_host() == "h0.example.com"
+        assert ctx.get_method() == "GET"
+        assert ctx.get_status_code() == 206
+        assert ctx.get_referer() == "http://h0.example.com/"
+        assert ctx.get_name() == "verbs"
+        assert ctx.get_rules() == ["main", "sub"]
+        # item fields
+        assert ctx.get_item_fields() == ["a"]
+        assert ctx.upsert_item_field("b") == 1
+        assert ctx.upsert_item_field("a") == 0          # idempotent
+        assert ctx.get_item_field(1) == "b"
+        assert ctx.get_item_field_index("b") == 1
+        assert ctx.get_item_field_index("zz") == -1
+        # temps
+        ctx.set_temp("k", {"x": 1})
+        cp = ctx.copy_temps()
+        cp["k"]["x"] = 2
+        assert ctx.get_temp("k") == {"x": 1}            # deep copy
+        # body mutation invalidates lazy caches
+        t0 = ctx.text
+        ctx.reset_text("<html><body>fresh</body></html>")
+        assert ctx.text != t0 and "fresh" in ctx.text
+        # sub-rule dispatch accumulates on the same ctx, rule name restored
+        ctx.parse("sub")
+        assert ctx.get_rule_name() == "main"
+        # diagnostics + pulls
+        ctx.log("hello")
+        ctx.file_output("f.bin", b"\x01")
+        assert ctx.pull_files() == [("f.bin", b"\x01")]
+        assert ctx.files == []
+        ctx.output({"from": "main"})
+
+    sp = Spider(name="verbs", rules={"main": Rule(parse=main_rule, item_fields=["a"]),
+                                     "sub": Rule(parse=sub_rule)},
+                entry_rule="main")
+    ctx = RuleContext(url="http://h0.example.com/p/1",
+                      referer="http://h0.example.com/", rule="main", depth=1,
+                      html_bytes=b"<html><body>orig text</body></html>",
+                      status=206)
+    sp.run_rule(ctx)
+    assert seen == ["sub"]
+    assert [i["from"] for i in ctx.items] == ["sub", "main"]
+    assert ctx.logs == ["hello"]
+    # pull_items drains
+    assert len(ctx.pull_items()) == 2 and ctx.items == []
