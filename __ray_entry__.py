@@ -151,6 +151,12 @@ def _q_multimodal_frames(sf_dir: str):
     )
 
 
+def _q_training_corpus(sf_dir: str):
+    from pholcus_ray.pipelines.corpus import training_corpus_summary
+
+    return training_corpus_summary(sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # the driver contract
 # ---------------------------------------------------------------------------
@@ -199,6 +205,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": T.dup_clusters,
         "split_by_hash": T.split_by_hash,
         "hll_distinct_users": T.hll_distinct_users,
+        # capstone composition: quality gate -> exact dedup -> near-dup
+        # removal -> split, one SQL oracle over the whole chain
+        "training_corpus_summary": _q_training_corpus,
         # similarity search
         "ann_topk": S.ann_topk,
         "knn_batch": S.knn_batch,
@@ -441,6 +450,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id,
                    CAST(COUNT(DISTINCT r) AS BIGINT) AS cluster_size
             FROM reach GROUP BY 1 ORDER BY 1
+        """,
+        "training_corpus_summary": r"""
+            -- the full corpus-build composition: token gate -> exact dedup
+            -- (min doc_id per md5 among gate survivors) -> drop non-canonical
+            -- near-dup cluster members (whole-corpus graph, threshold 0.7)
+            -- -> md5 split -> per-split summary
+            WITH RECURSIVE tok AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS n_tokens
+              FROM documents
+            ), q AS (
+              SELECT * FROM tok WHERE n_tokens >= 5
+            ), s2 AS (
+              SELECT doc_id, n_tokens FROM (
+                SELECT doc_id, n_tokens,
+                       MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+                FROM q
+              ) WHERE doc_id = keep_id
+            ), norm AS (
+              SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id, substr(s, CAST(g AS INTEGER), 3) AS gram
+              FROM norm, UNNEST(range(1, length(s)-1)) AS t(g)
+              WHERE length(s) >= 3
+              UNION
+              SELECT DISTINCT doc_id, s AS gram FROM norm
+              WHERE length(s) < 3 AND s <> ''
+            ), counts AS (
+              SELECT doc_id, COUNT(*) AS c FROM grams GROUP BY 1
+            ), inter AS (
+              SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS i
+              FROM grams g1 JOIN grams g2 USING (gram)
+              WHERE g1.doc_id < g2.doc_id
+              GROUP BY 1, 2
+            ), p AS (
+              SELECT a, b FROM inter
+              JOIN counts ca ON ca.doc_id = inter.a
+              JOIN counts cb ON cb.doc_id = inter.b
+              WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.7
+            ), edges AS (
+              SELECT a, b FROM p UNION SELECT b, a FROM p
+            ), reach(node, r) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+            ), clusters AS (
+              SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1
+            ), s3 AS (
+              SELECT s2.doc_id, s2.n_tokens FROM s2
+              LEFT JOIN clusters c ON c.doc_id = s2.doc_id
+              WHERE c.doc_id IS NULL OR c.cluster_id = s2.doc_id
+            )
+            SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'c' THEN 'train'
+                        WHEN md5(CAST(doc_id AS VARCHAR)) < 'e' THEN 'val'
+                        ELSE 'test' END AS split,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+            FROM s3 GROUP BY 1 ORDER BY 1
         """,
         "embedding_near_dups": """
             WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

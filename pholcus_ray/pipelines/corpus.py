@@ -1,0 +1,132 @@
+"""End-to-end training-corpus build: the capstone composition.
+
+One pipeline chaining the engine's training-data operators the way a real
+100 TB corpus build does (RefinedWeb/SlimPajama-shaped):
+
+    read -> quality gate -> exact dedup -> near-dup removal -> split -> write
+
+Every stage is the already-tested operator re-used on a flowing Dataset —
+nothing is recomputed from scratch — and the WHOLE composition has a single
+DuckDB SQL oracle (`__ray_entry__.oracle_sql()['training_corpus_summary']`),
+so stage-order semantics are value-hash-verified end to end.
+
+Scale notes:
+- quality gate + md5 derivation: one vectorized map_batches, no shuffle.
+- exact dedup: ONE groupby on a 64-way md5 partition; the shuffle carries
+  (md5, doc_id, n_tokens) rows, never text.
+- near-dup removal: the drop set (non-canonical members of dup_clusters)
+  is bounded by the corpus's near-dup count — broadcast via ray.put and
+  applied as a vectorized np.isin filter. If a corpus's dup set outgrows a
+  broadcast, swap for the partitioned anti-join (textdata.
+  join_pairs_with_doc_attr pattern); the filter site is the only change.
+- split + summary: one small groupby over (split, partial counts).
+- build_training_corpus writes one resumable shard dir per split via
+  sinks.write_sharded_parquet (skip-finished-partition semantics).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from .textdata import _read_documents, _tokens, dup_clusters
+
+
+def _corpus_survivors(sf_dir: str, min_tokens: int = 5,
+                      dup_threshold: float = 0.7) -> rd.Dataset:
+    """(doc_id, n_tokens, split) of every doc surviving the three gates."""
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        ntok = np.array([len(_tokens(x)) for x in texts], dtype=np.int64)
+        md5s = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in texts]
+        keep = ntok >= min_tokens
+        part = np.array([int(h[:2], 16) % 64 for h in md5s], dtype=np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_tokens": pa.array(ntok[keep]),
+                "text_md5": pa.array([m for m, k in zip(md5s, keep) if k],
+                                     pa.string()),
+                "part": pa.array(part[keep]),
+            }
+        )
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        # C-level: keep the min-doc_id row of every md5 group in this part
+        g = g.sort_values(["text_md5", "doc_id"], kind="mergesort")
+        g = g.drop_duplicates(subset=["text_md5"], keep="first")
+        return g[["doc_id", "n_tokens"]].reset_index(drop=True)
+
+    survivors = (
+        docs.map_batches(derive, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(keep_min, batch_format="pandas")
+    )
+
+    # near-dup removal: drop non-canonical members of the (whole-corpus)
+    # near-dup clusters. The drop set is small by construction (only docs
+    # that HAVE a near-dup); broadcast once, filter vectorized.
+    clusters = dup_clusters(sf_dir, threshold=dup_threshold)
+    mask = pc.not_equal(clusters["doc_id"], clusters["cluster_id"])
+    drop = np.asarray(clusters.filter(mask)["doc_id"].combine_chunks())
+    drop_ref = ray.put(np.sort(drop))
+
+    def apply_gates(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ~np.isin(ids, ray.get(drop_ref), assume_unique=False)
+        ids = ids[keep]
+        ntok = t["n_tokens"].to_numpy(zero_copy_only=False)[keep]
+        split = ["train" if (h := hashlib.md5(str(int(i)).encode()).hexdigest()) < "c"
+                 else ("val" if h < "e" else "test")
+                 for i in ids]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return survivors.map_batches(apply_gates, batch_format="pyarrow")
+
+
+def training_corpus_summary(sf_dir: str, min_tokens: int = 5,
+                            dup_threshold: float = 0.7) -> rd.Dataset:
+    """Per-split (n_docs, sum_tokens) of the built corpus — the SQL-oracled
+    surface of the whole composition."""
+    from ray.data.aggregate import Count
+
+    return (
+        _corpus_survivors(sf_dir, min_tokens, dup_threshold)
+        .groupby("split")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_tokens", alias_name="sum_tokens"))
+        .sort("split")
+    )
+
+
+def build_training_corpus(sf_dir: str, out_dir: str, min_tokens: int = 5,
+                          dup_threshold: float = 0.7) -> list:
+    """Materialize the corpus: one resumable parquet shard dir per split
+    (train/val/test), each streaming the surviving (doc_id, n_tokens)
+    rows. Rerun after a failure skips finished splits."""
+    from ..sinks import write_sharded_parquet
+
+    def make(split: str) -> rd.Dataset:
+        return _corpus_survivors(sf_dir, min_tokens, dup_threshold).filter(
+            expr=f"split == '{split}'"
+        )
+
+    return write_sharded_parquet(make, ["train", "val", "test"], out_dir,
+                                 shard_col="split")

@@ -46,7 +46,8 @@ def ducksf():
      "distinct_users", "filter_revenue", "dedup_exact", "token_stats",
      "doc_fingerprint", "ann_topk", "knn_batch", "events_asof_join",
      "events_sliding_window", "ann_ivf_full_probe", "value_quantiles",
-     "split_by_hash", "dup_clusters", "events_prop_stats"],
+     "split_by_hash", "dup_clusters", "events_prop_stats",
+     "training_corpus_summary"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -397,3 +398,23 @@ def test_write_sharded_parquet_resume(ray_session, tmp_path):
     assert sorted(got["shard"].unique()) == [0, 1, 2, 3]
     # idempotent once complete
     assert write_sharded_parquet(make, [0, 1, 2, 3], out) == []
+
+
+def test_build_training_corpus_writes_splits(ray_session, tmp_path):
+    """The materializing capstone: per-split resumable dirs whose contents
+    equal the summary query's counts."""
+    import ray.data as rd
+
+    from pholcus_ray.pipelines.corpus import (build_training_corpus,
+                                              training_corpus_summary)
+
+    out = str(tmp_path / "corpus")
+    assert build_training_corpus(SF, out) == ["train", "val", "test"]
+    summary = training_corpus_summary(SF).to_pandas().set_index("split")
+    for split in ["train", "val", "test"]:
+        got = rd.read_parquet(os.path.join(out, f"split={split}")).to_pandas()
+        assert len(got) == summary.loc[split, "n_docs"]
+        assert got["n_tokens"].sum() == summary.loc[split, "sum_tokens"]
+        assert (got["split"] == split).all()
+    # rerun is a no-op (all markers present)
+    assert build_training_corpus(SF, out) == []
