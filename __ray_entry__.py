@@ -380,7 +380,7 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN counts ca ON ca.doc_id = inter.a
             JOIN counts cb ON cb.doc_id = inter.b
-            WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.3
+            WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.6
             ORDER BY a, b
         """,
         "value_quantiles": """

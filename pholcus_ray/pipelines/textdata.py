@@ -608,7 +608,7 @@ def _gram_hashes(text: str, n: int) -> np.ndarray:
     )
 
 
-def ngram_jaccard_exact(sf_dir: str, threshold: float = 0.3, n: int = 3,
+def ngram_jaccard_exact(sf_dir: str, threshold: float = 0.6, n: int = 3,
                         join_partitions: int = 32,
                         num_gram_parts: int = 32) -> rd.Dataset:
     """ALL pairs with exact char-n-gram Jaccard >= threshold — a complete
