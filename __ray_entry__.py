@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IVF routing/assignment machinery itself
         "ann_ivf_full_probe": lambda sf: S.ann_ivf(sf, n_clusters=8, nprobe=8),
         "embedding_near_dups": S.embedding_near_dups,
+        "embedding_centroids": S.embedding_centroids,
         # the crawl engine itself (non-SQL: rows-only checks)
         "crawl_log": _q_crawl_log,
         "crawl_items": _q_crawl_items,
@@ -520,6 +521,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.emb, b.emb) >= 0.3
             ORDER BY a, b
+        """,
+        "embedding_centroids": """
+            -- exact integer-scaled partial sums (floor(v*1e6+0.5) matches
+            -- numpy bit-for-bit, negatives included); centroid = ratio of
+            -- two exact integers -> bit-identical double on both sides
+            WITH u AS (
+              SELECT label,
+                     UNNEST(range(1, len(embedding)+1)) AS dim,
+                     UNNEST(CAST(embedding AS DOUBLE[])) AS v
+              FROM embeddings
+            )
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(dim AS BIGINT) AS dim,
+                   CAST(SUM(CAST(FLOOR(v*1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS sum_scaled,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(FLOOR(v*1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                       / (1000000.0 * COUNT(*)) AS centroid
+            FROM u GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "knn_batch": """
             WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

@@ -63,6 +63,7 @@ _BENCH_QUERIES = [
     "events_sliding_window",
     "value_quantiles",
     "events_prop_stats",
+    "embedding_centroids",
 ]
 
 

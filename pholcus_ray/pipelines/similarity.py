@@ -379,3 +379,55 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.3,
         .map_groups(group_pairs, batch_format="pandas")
         .sort(["a", "b"])
     )
+
+
+def embedding_centroids(sf_dir: str) -> rd.Dataset:
+    """Per-label mean embedding (class centroids — the seeding step for
+    IVF/k-means and the building block of centroid-based dedup).
+
+    Mergeable exact partials: each batch scales the float32 vectors to
+    integers (floor(v*1e6 + 0.5) — identical semantics in numpy and SQL,
+    including negatives) and emits per-(label, dim) integer sums + counts;
+    ONE groupby merges them and the final division of two exact integers is
+    bit-identical everywhere. The shuffle carries labels x dim partial rows
+    (KBs), never vectors. This is the same partial-aggregate discipline as
+    value_quantiles/hll — aggregation state, not data, moves.
+    """
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["label", "embedding"])
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _to_matrix(t["embedding"])                     # (n, d) float64
+        scaled = np.floor(m * 1e6 + 0.5).astype(np.int64)  # exact ints
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        d = m.shape[1]
+        sums = np.zeros((len(uniq), d), dtype=np.int64)
+        np.add.at(sums, inv, scaled)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                        len(uniq))),
+                "sum_scaled": pa.array(sums.reshape(-1), pa.int64()),
+                "n": pa.array(np.repeat(counts, d), pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["sum_scaled"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "centroid", pa.array(s / (1e6 * n), pa.float64())
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("sum_scaled", alias_name="sum_scaled"),
+                   Sum("n", alias_name="n"))
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(["label", "dim"])
+    )

@@ -47,7 +47,7 @@ def ducksf():
      "doc_fingerprint", "ann_topk", "knn_batch", "events_asof_join",
      "events_sliding_window", "ann_ivf_full_probe", "value_quantiles",
      "split_by_hash", "dup_clusters", "events_prop_stats",
-     "training_corpus_summary"],
+     "training_corpus_summary", "embedding_centroids"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
