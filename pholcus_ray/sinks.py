@@ -296,6 +296,110 @@ def write_items_sql(workdir: str, db_path: str, namespace: str = "pholcus",
 
 # --- registry (output_data.go:14-23, 60-62) ---------------------------------
 
+_TOPIC_RE = re.compile(r"^[0-9a-zA-Z_-]+$")
+
+
+def _stringify(v) -> str:
+    """Reference value coercion (util.JSONString path in the queue sinks):
+    strings and None pass through, everything else JSON-encodes."""
+    if v is None:
+        return ""
+    return v if isinstance(v, str) else json.dumps(v, ensure_ascii=False)
+
+
+def write_items_kafka(workdir: str, producer, namespace: str = "pholcus",
+                      item_fields: dict[str, list[str]] | None = None) -> int:
+    """Items -> one Kafka topic per (namespace, rule), one message per item
+    (output_kafka.go:38-83 parity: topic = namespace__rule :46, validated
+    against ^[0-9a-zA-Z_-]+$ :36/:48, ItemFields values string-or-JSON
+    :63-70, default fields as LOWERCASE url/parent_url/download_time
+    :72-76).
+
+    ``producer`` is any object with ``send(topic: str, message: dict)`` —
+    a kafka-python producer wrapper in production, an in-memory fake in
+    tests (no broker in this sandbox). Returns messages sent.
+    """
+    sent = 0
+    for rule, fields, rows in _rows_by_rule(workdir, item_fields) or []:
+        topic = sanitize_filename(f"{namespace}__{rule}") if namespace \
+            else sanitize_filename(rule)
+        if not _TOPIC_RE.match(topic):
+            continue  # reference logs and skips (output_kafka.go:48-51)
+        item_keys = [f for f in fields
+                     if f not in ("Url", "ParentUrl", "DownloadTime")]
+        for d in rows:
+            msg = {f: _stringify(d.get(f)) for f in item_keys}
+            if "Url" in d:
+                msg["url"] = d.get("Url", "")
+                msg["parent_url"] = d.get("ParentUrl", "")
+                msg["download_time"] = d.get("DownloadTime", "")
+            producer.send(topic, msg)
+            sent += 1
+    return sent
+
+
+def write_items_mongo(workdir: str, client, db_name: str = "pholcus",
+                      namespace: str = "pholcus",
+                      item_fields: dict[str, list[str]] | None = None,
+                      batch_len: int = 5000) -> int:
+    """Items -> one Mongo collection per (namespace, rule), documents =
+    the flattened item map incl. capitalized Url/ParentUrl/DownloadTime
+    (output_mgo.go:18-77 parity: collection name :37, Data flattened into
+    the doc :42-46, 5000-doc bulk inserts = mgo.MaxLen, insert.go:18).
+
+    ``client`` is any object with
+    ``insert_many(db: str, collection: str, docs: list[dict])`` — pymongo
+    in production, an in-memory fake in tests. Returns docs inserted.
+    """
+    inserted = 0
+    for rule, fields, rows in _rows_by_rule(workdir, item_fields) or []:
+        cname = sanitize_filename(f"{namespace}__{rule}") if namespace \
+            else sanitize_filename(rule)
+        for i in range(0, len(rows), batch_len):
+            batch = rows[i:i + batch_len]
+            client.insert_many(db_name, cname, batch)
+            inserted += len(batch)
+    return inserted
+
+
+def write_items_beanstalkd(workdir: str, client, namespace: str = "pholcus",
+                           item_fields: dict[str, list[str]] | None = None,
+                           batch_range: tuple[int, int] = (0, 0),
+                           createtime: str = "0") -> int:
+    """Items -> one beanstalkd job per item (output_beanstalkd.go:19-55
+    parity: job type = namespace__lo-hi__rule :25/:49, payload keys
+    createtime/type/content :48-50, content = JSON of the string-or-JSON
+    ItemFields map + capitalized Url/ParentUrl/DownloadTime :31-44).
+
+    ``createtime`` is injected (the reference stamps wall-clock seconds;
+    this engine's clock is virtual and deterministic). ``client`` needs
+    ``send(job: dict)``. Returns jobs sent.
+    """
+    lo, hi = batch_range
+    ns = f"{sanitize_filename(namespace)}__{lo}-{hi}"
+    sent = 0
+    for rule, fields, rows in _rows_by_rule(workdir, item_fields) or []:
+        jtype = f"{ns}__{sanitize_filename(rule)}"
+        item_keys = [f for f in fields
+                     if f not in ("Url", "ParentUrl", "DownloadTime")]
+        for d in rows:
+            tmp = {f: _stringify(d.get(f)) for f in item_keys}
+            if "Url" in d:
+                tmp["Url"] = d.get("Url", "")
+                tmp["ParentUrl"] = d.get("ParentUrl", "")
+                tmp["DownloadTime"] = d.get("DownloadTime", "")
+            client.send(
+                {
+                    "createtime": createtime,
+                    "type": jtype,
+                    "content": json.dumps(tmp, sort_keys=True,
+                                          ensure_ascii=False),
+                }
+            )
+            sent += 1
+    return sent
+
+
 def write_sharded_parquet(make_shard_ds: Callable[[object], "object"],
                           shard_keys: list, out_dir: str,
                           shard_col: str = "shard") -> list:
@@ -341,6 +445,12 @@ SINKS: dict[str, Callable] = {
     "files": write_files,
     "excel": write_items_excel,
     "sql": write_items_sql,
+    # queue/document sinks take a `client`/`producer` kwarg (the services
+    # are absent in this sandbox; any wire client with the documented
+    # 1-method surface slots in)
+    "kafka": write_items_kafka,
+    "mongo": write_items_mongo,
+    "beanstalkd": write_items_beanstalkd,
 }
 
 

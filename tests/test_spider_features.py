@@ -354,3 +354,67 @@ def test_rulecontext_full_verb_surface():
     assert ctx.logs == ["hello"]
     # pull_items drains
     assert len(ctx.pull_items()) == 2 and ctx.items == []
+
+
+def test_queue_and_document_sinks(two_rule_run):
+    """Kafka/Mongo/Beanstalkd writers through the registry against in-memory
+    clients — format parity per output_{kafka,mgo,beanstalkd}.go (topic and
+    collection naming, lowercase vs capitalized default-field keys,
+    string-or-JSON value coercion, job payload shape)."""
+    import json as _json
+
+    from pholcus_ray.sinks import get_sink
+
+    wd, _ = two_rule_run
+    fields = {r: TWO_RULE_SPIDER.rules[r].item_fields
+              for r in TWO_RULE_SPIDER.rules}
+
+    class FakeProducer:
+        def __init__(self):
+            self.msgs = []
+
+        def send(self, topic, message):
+            self.msgs.append((topic, message))
+
+    prod = FakeProducer()
+    n = get_sink("kafka")(wd, prod, namespace="ns", item_fields=fields)
+    assert n == len(prod.msgs) > 0
+    topics = {t for t, _ in prod.msgs}
+    assert topics == {"ns__page", "ns__detail"}
+    m = prod.msgs[0][1]
+    # lowercase default-field keys, every value a string (kafka parity)
+    assert {"url", "parent_url", "download_time"} <= set(m)
+    assert all(isinstance(v, str) for v in m.values())
+
+    class FakeMongo:
+        def __init__(self):
+            self.docs = {}
+
+        def insert_many(self, db, coll, docs):
+            self.docs.setdefault((db, coll), []).extend(docs)
+
+    mg = FakeMongo()
+    n = get_sink("mongo")(wd, mg, db_name="pholcus", namespace="ns",
+                          item_fields=fields)
+    assert n == sum(len(v) for v in mg.docs.values()) > 0
+    assert set(mg.docs) == {("pholcus", "ns__page"), ("pholcus", "ns__detail")}
+    d = mg.docs[("pholcus", "ns__detail")][0]
+    assert {"Url", "ParentUrl", "DownloadTime"} <= set(d)  # capitalized keys
+
+    class FakeTube:
+        def __init__(self):
+            self.jobs = []
+
+        def send(self, job):
+            self.jobs.append(job)
+
+    tube = FakeTube()
+    n = get_sink("beanstalkd")(wd, tube, namespace="ns",
+                               batch_range=(0, 10), createtime="42")
+    assert n == len(tube.jobs) > 0
+    j = tube.jobs[0]
+    assert set(j) == {"createtime", "type", "content"}
+    assert j["createtime"] == "42"
+    assert j["type"].startswith("ns__0-10__")
+    content = _json.loads(j["content"])
+    assert {"Url", "ParentUrl", "DownloadTime"} <= set(content)
