@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": T.dup_clusters,
         "split_by_hash": T.split_by_hash,
         "hll_distinct_users": T.hll_distinct_users,
+        "contamination_check": T.contamination_check,
         # capstone composition: quality gate -> exact dedup -> near-dup
         # removal -> split, one SQL oracle over the whole chain
         "training_corpus_summary": _q_training_corpus,
@@ -451,6 +452,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id,
                    CAST(COUNT(DISTINCT r) AS BIGINT) AS cluster_size
             FROM reach GROUP BY 1 ORDER BY 1
+        """,
+        "contamination_check": r"""
+            -- word-5-gram overlap of train docs (doc_id % 50 != 0) vs the
+            -- eval slice (doc_id % 50 == 0); distinct grams per doc
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+              FROM documents WHERE trim(text) <> ''
+            ), grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(a[CAST(g AS INTEGER):CAST(g AS INTEGER)+4], ' ') AS gram
+              FROM toks, UNNEST(range(1, len(a)-3)) AS t(g)
+              WHERE len(a) >= 5
+            ), ev AS (
+              SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0
+            )
+            SELECT g.doc_id, COUNT(*) AS n_shared_grams
+            FROM grams g JOIN ev USING (gram)
+            WHERE g.doc_id % 50 <> 0
+            GROUP BY 1 ORDER BY 1
         """,
         "training_corpus_summary": r"""
             -- the full corpus-build composition: token gate -> exact dedup

@@ -1110,3 +1110,59 @@ def dup_clusters(sf_dir: str, threshold: float = 0.7,
                                      pa.int64()),
         }
     )
+
+
+def contamination_check(sf_dir: str, n: int = 5,
+                        eval_mod: int = 50) -> rd.Dataset:
+    """Benchmark decontamination (the GPT-3-style n-gram overlap scan):
+    flag every training doc that shares at least one word n-gram with the
+    held-out eval set, reporting how many of the doc's distinct grams are
+    contaminated. Here the eval set is the deterministic doc_id % eval_mod
+    == 0 slice (self-contained stand-in for an external benchmark file).
+
+    Scale design: eval sets are small by nature (benchmarks are KBs-MBs
+    against a 100 TB corpus), so the eval gram set is built once with ONE
+    column-pruned filtered read and broadcast via ray.put; the scan is one
+    shuffle-free map_batches doing C-level frozenset intersections per doc.
+    String grams (not hashes) on both sides so the DuckDB oracle matches
+    exactly — at real scale, hash the grams on both sides of the broadcast
+    identically and keep the comparison exact-by-construction.
+    """
+    def grams_of(text: str) -> set:
+        toks = _tokens(text.lower())
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def eval_grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(ids % eval_mod == 0)
+        out: set = set()
+        texts = t["text"].take(pa.array(sel)).to_pylist()
+        for x in texts:
+            out |= grams_of(x)
+        return pa.table({"gram": pa.array(sorted(out), pa.string())})
+
+    parts = docs.map_batches(eval_grams, batch_format="pyarrow").take_all()
+    eval_set = frozenset(r["gram"] for r in parts)
+    eval_ref = ray.put(eval_set)
+
+    def scan(t: pa.Table) -> pa.Table:
+        ev = ray.get(eval_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep_ids, counts = [], []
+        for did, text in zip(ids, t["text"].to_pylist()):
+            if did % eval_mod == 0:
+                continue  # eval docs are not scanned against themselves
+            hit = len(grams_of(text) & ev)
+            if hit:
+                keep_ids.append(int(did))
+                counts.append(hit)
+        return pa.table(
+            {
+                "doc_id": pa.array(keep_ids, pa.int64()),
+                "n_shared_grams": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(scan, batch_format="pyarrow").sort("doc_id")

@@ -47,7 +47,8 @@ def ducksf():
      "doc_fingerprint", "ann_topk", "knn_batch", "events_asof_join",
      "events_sliding_window", "ann_ivf_full_probe", "value_quantiles",
      "split_by_hash", "dup_clusters", "events_prop_stats",
-     "training_corpus_summary", "embedding_centroids"],
+     "training_corpus_summary", "embedding_centroids",
+     "contamination_check"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -418,3 +419,26 @@ def test_build_training_corpus_writes_splits(ray_session, tmp_path):
         assert (got["split"] == split).all()
     # rerun is a no-op (all markers present)
     assert build_training_corpus(SF, out) == []
+
+
+def test_contamination_check_planted(ray_session, dup_docs_dir):
+    """Doc 0 is the eval slice (id % 50 == 0); its exact dup (1) and near
+    dups (2, 6) must be flagged with the true shared-gram counts."""
+    from pholcus_ray.pipelines.textdata import _tokens, contamination_check
+
+    tb = pq.read_table(os.path.join(dup_docs_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    texts = dict(zip(tb["doc_id"].to_pylist(), tb["text"].to_pylist()))
+
+    def grams(x, n=5):
+        t = _tokens(x.lower())
+        return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+    ev = grams(texts[0])
+    want = {d: len(grams(x) & ev) for d, x in texts.items()
+            if d != 0 and len(grams(x) & ev)}
+    df = contamination_check(dup_docs_dir).to_pandas()
+    got = dict(zip(df["doc_id"], df["n_shared_grams"]))
+    assert got == want
+    assert got[1] == len(ev)          # exact dup shares every gram
+    assert 2 in got and 6 in got      # near dups partially contaminated
