@@ -29,7 +29,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-robots", action="store_true")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None)
-    ap.add_argument("--sink", choices=["parquet", "csv", "none"], default="parquet")
+    ap.add_argument("--sink", default="parquet",
+                    choices=["parquet", "csv", "files", "excel", "sql", "none"])
     ap.add_argument("--out", default=None, help="sink output dir (default workdir/out)")
     args = ap.parse_args(argv)
 
@@ -70,6 +71,8 @@ def main(argv: list[str] | None = None) -> int:
         from .sinks import get_sink
 
         out = args.out or os.path.join(args.workdir, "out")
+        if args.sink == "sql":
+            out = args.out or os.path.join(args.workdir, "items.db")
         get_sink(args.sink)(args.workdir, out)
         report["sink"] = {"type": args.sink, "out": out}
 
