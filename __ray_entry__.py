@@ -135,6 +135,23 @@ def _q_multimodal_audio(sf_dir: str):
     ).sort("audio_id")
 
 
+def _q_multimodal_resize(sf_dir: str):
+    """Composed pipeline: images -> ResizeImage -> DecodeImage (resize
+    preserves the payload header contract, so decode sees the new dims)."""
+    from pholcus_ray.stages.multimodal import (DecodeImage, ResizeImage,
+                                               synth_image_table)
+
+    n = 200 if _sf_name(sf_dir) != "sf0.1" else 1000
+    return (
+        _blocks(synth_image_table(n))
+        .map_batches(ResizeImage, batch_format="pyarrow", batch_size=32,
+                     concurrency=2)
+        .map_batches(DecodeImage, batch_format="pyarrow", batch_size=32,
+                     concurrency=2)
+        .sort("image_id")
+    )
+
+
 def _q_multimodal_frames(sf_dir: str):
     """Composed pipeline: videos -> SampleFrames -> DecodeImage."""
     from pholcus_ray.stages.multimodal import (DecodeImage, SampleFrames,
@@ -227,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": _q_multimodal,
         "multimodal_audio": _q_multimodal_audio,
         "multimodal_frame_sample": _q_multimodal_frames,
+        "multimodal_resize": _q_multimodal_resize,
     }
 
 

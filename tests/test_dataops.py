@@ -442,3 +442,27 @@ def test_contamination_check_planted(ray_session, dup_docs_dir):
     assert got == want
     assert got[1] == len(ev)          # exact dup shares every gram
     assert 2 in got and 6 in got      # near dups partially contaminated
+
+
+def test_multimodal_resize_composes_with_decode(ray_session):
+    import ray.data as rd
+
+    from pholcus_ray.stages.multimodal import (DecodeImage, ResizeImage,
+                                               synth_image_table)
+
+    t = synth_image_table(40)
+    df = (
+        rd.from_arrow([t.slice(i, 10) for i in range(0, 40, 10)])
+        .map_batches(ResizeImage, batch_format="pyarrow", batch_size=16,
+                     concurrency=2)
+        .map_batches(DecodeImage, batch_format="pyarrow", batch_size=16,
+                     concurrency=2)
+        .sort("image_id")
+        .to_pandas()
+    )
+    assert len(df) == 40
+    # resize caps both sides; decode reads the NEW header dims
+    assert (df["decoded_width"] <= 16).all() and (df["decoded_height"] <= 16).all()
+    src = t.to_pandas()
+    # format tag survives the resize (header contract preserved)
+    assert (df["decoded_format"].values == src["format"].values).all()
