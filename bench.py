@@ -322,10 +322,11 @@ def scaling() -> None:
             global _HW_PAGES
             _HW_PAGES = pages
             chunk = parses // (nproc * 4)
+            done = chunk * nproc * 4  # actual work executed (floor-div loss)
             t0 = time.time()
             with mp.get_context("fork").Pool(nproc) as pool:
                 pool.map(_hw_parse_chunk, [chunk] * (nproc * 4))
-            return parses / (time.time() - t0)
+            return done / (time.time() - t0)
 
         tp_hi = leg(hi)
         time.sleep(5)

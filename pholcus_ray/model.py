@@ -81,6 +81,9 @@ RESULT_SCHEMA = pa.schema(
         ("status", pa.int32()),
         ("ok", pa.bool_()),
         ("attempts", pa.int32()),
+        ("set_cookie", pa.string()),        # Set-Cookie observed ('' = none); the
+                                            # driver merges these into the jar at
+                                            # round end, in seq order (ST1)
         ("n_items", pa.int32()),            # len(items): metadata-cheap accounting
         ("items", pa.list_(pa.string())),   # JSON-encoded DataCells
         ("links", pa.list_(LINK_STRUCT)),

@@ -123,10 +123,22 @@ def build_training_corpus(sf_dir: str, out_dir: str, min_tokens: int = 5,
     rows. Rerun after a failure skips finished splits."""
     from ..sinks import write_sharded_parquet
 
+    # compute the survivor set ONCE and fan the splits out from the
+    # materialized (slim: doc_id, n_tokens, split) dataset — the near-dup
+    # graph + exact-dedup groupby are the dominant cost and must not be
+    # re-run per split. Lazy memo: if every split shard is already finished
+    # (resume), the pipeline never executes at all.
+    cache: dict = {}
+
+    def survivors() -> rd.Dataset:
+        if "ds" not in cache:
+            cache["ds"] = _corpus_survivors(
+                sf_dir, min_tokens, dup_threshold
+            ).materialize()
+        return cache["ds"]
+
     def make(split: str) -> rd.Dataset:
-        return _corpus_survivors(sf_dir, min_tokens, dup_threshold).filter(
-            expr=f"split == '{split}'"
-        )
+        return survivors().filter(expr=f"split == '{split}'")
 
     return write_sharded_parquet(make, ["train", "val", "test"], out_dir,
                                  shard_col="split")

@@ -186,6 +186,9 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
         "seen_mode": cfg.seen_mode,
         "num_shards": cfg.num_shards,
         "limit": cfg.limit,
+        # bumped when RESULT_SCHEMA changes; a workdir checkpointed under an
+        # older layout is restarted cold instead of mixing schemas
+        "result_schema_version": _RESULT_SCHEMA_VERSION,
     }
     cfg_path = os.path.join(cfg.workdir, "run_config.json")
     prev_cfg = None
@@ -228,6 +231,16 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
         }
 
     budget = HostBudget(policy, cfg.round_virtual_sec, cfg.budget_shards)
+    # ST1: the driver owns the authoritative cookie jar. Each round ships a
+    # read-only snapshot to the fetch workers and merges the round's observed
+    # Set-Cookie headers back in seq order (slim per-host state; the merge
+    # reads only 4 slim columns of the round's result). Checkpointed per
+    # round (cookies.json) so resume restores session state.
+    jar = None
+    if cfg.spider.enable_cookie:
+        from ..state.cookiejar import CookieJar
+
+        jar = CookieJar.from_state(state.get("jar_state"))
     from ..stages.fetchparse import preload_corpus
 
     fp_base = dict(
@@ -265,6 +278,11 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
         fp_kwargs = dict(
             fp_base, download_time=virtual_download_time(r, cfg.round_virtual_sec)
         )
+        if jar is not None:
+            fp_kwargs.update(
+                jar_state=jar.to_state(),
+                virtual_now=r * cfg.round_virtual_sec,
+            )
         remaining = None
         if cfg.limit is not None:
             remaining = cfg.limit - state["fetched_ok"] - state["fetched_fail"]
@@ -306,8 +324,16 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
         if n_fail:
             state["failure_rounds"].append(r)
 
+        # merge the round's Set-Cookie observations into the jar, in seq
+        # order (deterministic; mirrors the oracle's end-of-round merge)
+        if jar is not None and n_sched:
+            _merge_round_cookies(jar, result_dir, r * cfg.round_virtual_sec)
+
         # ---- 6. checkpoint: seen delta + round meta ----
         n_new_seen = seen.dump_deltas(os.path.join(rdir, "seen_delta"))
+        if jar is not None:
+            with open(os.path.join(rdir, "cookies.json"), "w") as f:
+                json.dump(jar.to_state(), f)
         meta = {
             "round": r,
             "scheduled": n_sched,
@@ -477,12 +503,13 @@ def _apply_fetch(ds: "rd.Dataset", cfg: "CrawlConfig", fp_kwargs: dict) -> "rd.D
     Default: a task-pool closure over one driver-built FetchParse (the
     shared corpus tables make it stateless, so tasks scale elastically).
     ``cfg.fetch_use_actors``: an actor pool of ``cfg.fetch_concurrency``
-    FetchParse instances — the stateful-fetch shape (per-actor cookie jar /
-    browser process / HTTP session built once in ``__init__``, S4/ST6), the
-    production stand-in for the reference's long-lived Surf/Chrome
-    downloaders. Both paths emit identical result rows (fetch-side state
-    never enters results), which the actor-vs-task conformance test
-    asserts."""
+    FetchParse instances — the stateful-fetch shape (browser process / HTTP
+    session built once in ``__init__``, S4/ST6), the production stand-in
+    for the reference's long-lived Surf/Chrome downloaders. Cookie state is
+    round-granular in BOTH paths (read-only jar snapshot in, Set-Cookie
+    result column out; see state/cookiejar.py), so task and actor paths
+    emit byte-identical result rows — asserted by the actor-vs-task
+    conformance test."""
     if cfg.fetch_use_actors:
         return ds.map_batches(
             FetchParse,
@@ -574,6 +601,27 @@ def _candidates(cfg: CrawlConfig, state: dict, rounds_dir: str) -> rd.Dataset:
 def _count_ok(result_dir: str) -> int:
     t = _read_table(result_dir, RESULT_SCHEMA, columns=["ok"])
     return int(_bool_np(t["ok"]).sum()) if t.num_rows else 0
+
+
+def _merge_round_cookies(jar, result_dir: str, virtual_now: float) -> None:
+    """Fold the round's observed Set-Cookie headers into the driver jar in
+    seq order — the deterministic end-of-round merge both the engine and
+    the sequential oracle perform (round-granular ST1 visibility). Reads
+    only slim columns; state folded is per-host, not per-url."""
+    import pyarrow.compute as pc
+
+    t = _read_table(
+        result_dir, RESULT_SCHEMA, columns=["url", "seq", "ok", "set_cookie"]
+    )
+    if t.num_rows == 0:
+        return
+    t = t.filter(pc.and_(t["ok"].combine_chunks(),
+                         pc.not_equal(t["set_cookie"], "")))
+    if t.num_rows == 0:
+        return
+    t = t.sort_by("seq")
+    for url, sc in zip(t["url"].to_pylist(), t["set_cookie"].to_pylist()):
+        jar.set_cookie(url, sc, now=virtual_now)
 
 
 def _count_items(result_dir: str) -> int:
@@ -782,11 +830,25 @@ _RESUME_CRITICAL = (
     "num_shards",
 )
 
+# bump when RESULT_SCHEMA / round-dir layout changes; old workdirs are
+# restarted cold rather than read with a mismatched schema
+_RESULT_SCHEMA_VERSION = 2
+
 
 def _restore(cfg: CrawlConfig, seen: ShardedSeen, rounds_dir: str,
              prev_cfg: dict | None = None,
              cur_cfg: dict | None = None) -> dict | None:
     if not cfg.resume:
+        return None
+    if prev_cfg is not None and (
+        prev_cfg.get("result_schema_version") != _RESULT_SCHEMA_VERSION
+    ):
+        # engine upgrade, not a user config change: discard the old-layout
+        # checkpoints and start cold (stale round dirs would otherwise leak
+        # into crawl_log/items projections)
+        if os.path.isdir(rounds_dir):
+            shutil.rmtree(rounds_dir)
+            os.makedirs(rounds_dir)
         return None
     complete = []
     if os.path.isdir(rounds_dir):
@@ -823,6 +885,11 @@ def _restore(cfg: CrawlConfig, seen: ShardedSeen, rounds_dir: str,
     seen.restore_deltas(
         [os.path.join(rounds_dir, d, "seen_delta") for d in complete]
     )
+    jar_state = None
+    ck = os.path.join(rounds_dir, complete[-1], "cookies.json")
+    if os.path.exists(ck):
+        with open(ck) as f:
+            jar_state = json.load(f)
     return {
         "round": meta["round"] + 1,
         "fetched_ok": meta["fetched_ok_total"],
@@ -831,6 +898,7 @@ def _restore(cfg: CrawlConfig, seen: ShardedSeen, rounds_dir: str,
         "failures_requeued": meta["failures_requeued"],
         "failure_rounds": list(meta["failure_rounds"]),
         "per_round": per_round,
+        "jar_state": jar_state,
     }
 
 

@@ -25,8 +25,10 @@ import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from ..functions.hashing import dedup_key_array
-from ..functions.simnet import sim_fetch_attempts
+from ..functions.simnet import sim_fetch_attempts, sim_set_cookie
+from ..functions.uapool import fixed_ua, ua_for
 from ..functions.urlnorm import host_of
+from ..state.cookiejar import CookieJar
 from ..model import child_seq, virtual_download_time
 from ..spiderapi import DEFAULT_SPIDER, RuleContext, Spider
 from ..stages.normalize import seeds_to_frontier
@@ -70,6 +72,12 @@ def run_oracle(
     seeds_tbl = pq.read_table(os.path.join(corpus_dir, "seeds.parquet"))
     candidates = seeds_to_frontier(seeds_tbl, spider.entry_rule, keyins).to_pylist()
 
+    # ST1 twin of the engine's driver-owned jar: every fetch in round r sees
+    # the jar merged through round r-1; this round's Set-Cookie headers are
+    # merged after the round, in seq order — identical to
+    # crawl._merge_round_cookies, so items are byte-identical even for rules
+    # reading ctx.get_cookie()/ctx.user_agent.
+    jar = CookieJar() if spider.enable_cookie else None
     seen: set[int] = set()
     failures: list[dict] = []
     failures_requeued = False
@@ -139,6 +147,8 @@ def run_oracle(
 
         # 6. fetch + parse in order
         dt = virtual_download_time(round_idx, round_virtual_sec)
+        vnow = round_idx * round_virtual_sec
+        pending_cookies: list[tuple[str, str, str]] = []  # (seq, url, set_cookie)
         new_links: list[dict] = []
         for r in sched:
             html = pages.get(r["url"])
@@ -166,12 +176,22 @@ def run_oracle(
                 f["bypass_dedup"] = True
                 failures.append(f)
                 continue
+            if jar is not None:
+                cookie_hdr = jar.header(r["url"], now=vnow)
+                pending_cookies.append(
+                    (r["seq"], r["url"], sim_set_cookie(r["host"]))
+                )
+                ua = fixed_ua()  # EnableCookie pins the UA (param.go:88-90)
+            else:
+                cookie_hdr = ""
+                ua = ua_for(int(r["key"]), int(attempts))
             ctx = RuleContext(
                 url=r["url"], referer=r["referer"], rule=r["rule"],
                 depth=int(r["depth"]),
                 html_bytes=(b"" if r["method"] == "HEAD" else html),
                 temp=r["temp"], keyin=r["keyin"], download_time=dt,
                 method=r["method"], post_data=r["post_data"],
+                cookie=cookie_hdr, user_agent=ua, status=int(status),
             )
             spider.run_rule(ctx)
             for it in ctx.items:
@@ -209,6 +229,9 @@ def run_oracle(
                 if max_depth is None or child["depth"] <= max_depth:
                     new_links.append(child)
 
+        if jar is not None:
+            for _, url, sc in sorted(pending_cookies, key=lambda p: p[0]):
+                jar.set_cookie(url, sc, now=vnow)
         candidates = new_links + deferred
         round_idx += 1
         if limit is not None and fetched >= limit:

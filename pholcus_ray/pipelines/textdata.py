@@ -370,7 +370,21 @@ def join_pairs_with_doc_attr(pairs: rd.Dataset, attrs: rd.Dataset, attr: str,
 def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.5,
                       num_perm: int = 128, bands: int = 32,
                       join_partitions: int = 8) -> rd.Dataset:
-    """MinHash+LSH near-duplicate pairs over documents.
+    """MinHash+LSH near-duplicate pairs over documents, sorted by (a, b).
+
+    Query surface over :func:`minhash_lsh_pairs`; downstream pipelines
+    (ngram_jaccard_pairs) consume the UNSORTED pair stream directly — the
+    global sort is paid only where the ordered result is the product.
+    """
+    return minhash_lsh_pairs(
+        sf_dir, threshold, num_perm, bands, join_partitions
+    ).sort(["a", "b"])
+
+
+def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5,
+                      num_perm: int = 128, bands: int = 32,
+                      join_partitions: int = 8) -> rd.Dataset:
+    """MinHash+LSH near-duplicate pairs (unordered).
 
     ONE shingle->minhash pass (actor pool amortizes the permutation table)
     produces the compact (doc_id, sig) table, materialized in the object
@@ -423,12 +437,11 @@ def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.5,
         )
         return t.filter(pa.array(est >= threshold, pa.bool_()))
 
-    out = join_pairs_with_doc_attr(
+    return join_pairs_with_doc_attr(
         pairs, sig_ds, "sig",
         pair_schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
         num_partitions=join_partitions,
     ).map_batches(_verify, batch_format="pyarrow")
-    return out.sort(["a", "b"])
 
 
 # ---------------------------------------------------------------------------
@@ -555,7 +568,9 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3, n: int = 3,
     driver-side text dict, no O(corpus) broadcast per worker.
     """
     docs = _read_documents(sf_dir, columns=["doc_id", "text"])
-    cands = dedup_minhash_lsh(sf_dir, threshold=0.2,
+    # unsorted candidate stream: the join immediately re-shuffles, so a
+    # global sort here would be a pure wasted AllToAll barrier
+    cands = minhash_lsh_pairs(sf_dir, threshold=0.2,
                               join_partitions=join_partitions)
 
     out_schema = pa.schema(

@@ -195,10 +195,23 @@ def write_items_excel(workdir: str, out_dir: str, namespace: str = "pholcus",
         return "".join(out)
 
     n = max(1, len(sheets))
+    # Excel rejects workbooks with duplicate sheet names (31-char cap can
+    # collide distinct rule names): uniquify with a ~k suffix inside the cap
+    names: list[str] = []
+    used: set[str] = set()
+    for i, (r, _f, _d) in enumerate(sheets):
+        base = sanitize_filename(r)[:31] or f"Sheet{i+1}"
+        name, k = base, 2
+        while name in used:
+            suffix = f"~{k}"
+            name = base[: 31 - len(suffix)] + suffix
+            k += 1
+        used.add(name)
+        names.append(name)
     sheet_decls = "".join(
-        f'<sheet name="{_xml_escape(sanitize_filename(r)[:31]) or f"Sheet{i+1}"}"'
+        f'<sheet name="{_xml_escape(name)}"'
         f' sheetId="{i+1}" r:id="rId{i+1}"/>'
-        for i, (r, _f, _d) in enumerate(sheets)
+        for i, name in enumerate(names)
     ) or '<sheet name="Sheet1" sheetId="1" r:id="rId1"/>'
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
         z.writestr(
@@ -267,12 +280,22 @@ def write_items_sql(workdir: str, db_path: str, namespace: str = "pholcus",
     tables: list[str] = []
     try:
         cur = conn.cursor()
+
+        def _q(ident: str) -> str:
+            # standard SQL identifier quoting; field names come from
+            # rule-parsed page content, so they are untrusted
+            return '"' + ident.replace('"', '""') + '"'
+
         for rule, fields, rows in _rows_by_rule(workdir, item_fields) or []:
             tname = sanitize_filename(f"{namespace}__{rule}").replace(" ", "_")
-            cols = ", ".join(f'"{f}" TEXT' for f in fields)
-            cur.execute(f'CREATE TABLE IF NOT EXISTS "{tname}" ({cols})')
+            cols = ", ".join(f"{_q(f)} TEXT" for f in fields)
+            cur.execute(f"CREATE TABLE IF NOT EXISTS {_q(tname)} ({cols})")
             ph = ", ".join("?" for _ in fields)
-            sql = f'INSERT INTO "{tname}" VALUES ({ph})'
+            # explicit column list: a pre-existing table with extra or
+            # reordered columns gets values by NAME, not position (a
+            # mismatch raises instead of silently writing wrong columns)
+            col_list = ", ".join(_q(f) for f in fields)
+            sql = f"INSERT INTO {_q(tname)} ({col_list}) VALUES ({ph})"
             batch: list[tuple] = []
             for d in rows:
                 batch.append(

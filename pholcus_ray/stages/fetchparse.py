@@ -100,27 +100,34 @@ class FetchParse:
     """Actor-pool stage: frontier rows in -> result rows out (html dropped)."""
 
     def __init__(self, corpus_dir: str, spider: Spider, n_buckets: int,
-                 try_times: int, download_time: str, bucket_refs: dict | None = None):
+                 try_times: int, download_time: str, bucket_refs: dict | None = None,
+                 jar_state: dict | None = None, virtual_now: float = 0.0):
         self.corpus_dir = corpus_dir
         self.spider = spider
         self.n_buckets = n_buckets
         self.try_times = try_times
         self.download_time = download_time
+        self.virtual_now = virtual_now  # round's virtual clock (expiry checks)
         self.bucket_refs = (
             bucket_refs
             if bucket_refs is not None
             else preload_corpus(corpus_dir, n_buckets)
         )
-        # ST1: one jar per actor when the spider enables cookies — the
-        # per-process jar of the reference (surfer/surfer.go:39-51); with
+        # ST1: the reference shares one jar across its download engines
+        # (surfer/surfer.go:39-51), gated per spider by EnableCookie; with
         # cookies on, the UA is FIXED, else rotated per attempt
-        # (surfer/param.go:86-96). Cookies/UA are fetch-side headers; they
-        # never enter result rows, so engine/oracle conformance is
-        # unaffected by actor scheduling.
+        # (surfer/param.go:86-96). The distributed engine uses ROUND-granular
+        # visibility: every fetch in round r reads an identical read-only
+        # snapshot of the jar merged through round r-1 (shipped here as
+        # ``jar_state``), and the Set-Cookie header each response carries is
+        # emitted as a result column that the driver merges back in seq
+        # order at round end. That makes cookie state deterministic under
+        # any task/actor scheduling, so engine == sequential oracle even
+        # for rules that read ctx.get_cookie()/ctx.user_agent.
         if spider.enable_cookie:
             from ..state.cookiejar import CookieJar
 
-            self.jar: "CookieJar | None" = CookieJar()
+            self.jar: "CookieJar | None" = CookieJar.from_state(jar_state)
         else:
             self.jar = None
 
@@ -169,6 +176,7 @@ class FetchParse:
         items_col: list[list[str]] = []
         links_col: list[list[dict]] = []
         files_col: list[list[dict]] = []
+        set_cookies: list[str] = [""] * n
 
         for i in range(n):
             html = htmls[i]
@@ -190,8 +198,11 @@ class FetchParse:
             # keys its response on the URL alone.
             body = b"" if methods[i] == "HEAD" else html
             if self.jar is not None:
-                cookie_hdr = self.jar.header(urls[i])  # sent with THIS fetch
-                self.jar.set_cookie(urls[i], sim_set_cookie(hosts[i]))
+                # header sent with THIS fetch, from the round-start snapshot;
+                # the response's Set-Cookie is RECORDED (not applied) — the
+                # driver merges it at round end, on the virtual clock
+                cookie_hdr = self.jar.header(urls[i], now=self.virtual_now)
+                set_cookies[i] = sim_set_cookie(hosts[i])
                 ua = fixed_ua()  # EnableCookie pins the UA (param.go:88-90)
             else:
                 cookie_hdr = ""
@@ -241,6 +252,7 @@ class FetchParse:
                 "status": pa.array(statuses),
                 "ok": pa.array(ok),
                 "attempts": pa.array(attempts),
+                "set_cookie": pa.array(set_cookies, pa.string()),
                 "n_items": pa.array(
                     np.array([len(x) for x in items_col], dtype=np.int32)
                 ),

@@ -14,13 +14,18 @@ Secure filtering.  Expiry runs on the engine's VIRTUAL clock (the same
 substitution ``state/timer.py`` makes) so the distributed engine and the
 sequential oracle observe identical jars.
 
-Placement: one jar per FetchParse actor (``fetch_use_actors=True``), built
-in ``__init__`` — per-actor mutable state, never shipped through the
-object store.  The sandbox's simulated server issues a deterministic
-session cookie per host (functions/simnet.sim_set_cookie), so jar
-behavior is exercised end-to-end without a network.  Cookie-carrying
-requests across *different* actors see independent jars — same as the
-reference's per-process jar on a multi-node deployment.
+Placement: the DRIVER owns the authoritative jar; each crawl round ships a
+read-only snapshot (``to_state()`` in fp_kwargs) to every fetch worker and
+merges the round's observed Set-Cookie headers back in seq order
+(crawl._merge_round_cookies).  Visibility is therefore ROUND-granular —
+every fetch in round r sees the jar merged through round r-1 — which makes
+cookie state deterministic under any task/actor scheduling; the sequential
+oracle performs the identical merge, so items that embed ctx.get_cookie()
+are byte-identical engine-vs-oracle (tests/test_cookiejar.py).  Jar state
+is per-HOST, not per-URL: snapshots stay small and the per-round merge
+reads only slim result columns.  The sandbox's simulated server issues a
+deterministic session cookie per host (functions/simnet.sim_set_cookie),
+so jar behavior is exercised end-to-end without a network.
 """
 
 from __future__ import annotations
@@ -156,6 +161,36 @@ class CookieJar:
     def header(self, url: str, now: float = 0.0) -> str:
         """The Cookie header a request to ``url`` carries ('' when none)."""
         return "; ".join(f"{n}={v}" for n, v in self.cookies_for(url, now))
+
+    # --- snapshot plumbing (round-granular jar state) -----------------------
+    # The crawl engine ships a read-only jar SNAPSHOT to every fetch worker
+    # each round and merges the round's observed Set-Cookie headers back on
+    # the driver (slim per-host state, per-round delta). to_state() is a
+    # plain-JSON-able dict so snapshots ride fp_kwargs / round checkpoints.
+
+    def to_state(self) -> dict:
+        return {
+            "seq": self._seq,
+            "cookies": [
+                {
+                    "name": c.name, "value": c.value, "domain": c.domain,
+                    "host_only": c.host_only, "path": c.path,
+                    "secure": c.secure, "expires": c.expires, "seq": c.seq,
+                }
+                for c in self._store.values()
+            ],
+        }
+
+    @classmethod
+    def from_state(cls, state: dict | None) -> "CookieJar":
+        jar = cls()
+        if not state:
+            return jar
+        jar._seq = int(state.get("seq", 0))
+        for d in state.get("cookies", []):
+            c = _Cookie(**d)
+            jar._store[(c.domain, c.path, c.name)] = c
+        return jar
 
 
 __all__ = ["CookieJar"]

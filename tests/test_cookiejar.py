@@ -98,10 +98,12 @@ def _frontier_for(corpus_dir):
     return seeds_to_frontier(seeds)
 
 
-def test_fetchparse_cookie_jar_and_fixed_ua(ray_session, small_corpus):
-    """With enable_cookie: first contact with a host sends no cookie, every
-    later request to it carries the simulated server's per-host sid, and
-    the UA is pinned (param.go:88-90)."""
+def test_fetchparse_cookie_snapshot_and_fixed_ua(ray_session, small_corpus):
+    """ST1 round-granular contract: within a round every fetch reads the
+    round-start jar snapshot (first contact sends no cookie); the observed
+    Set-Cookie headers come back as the ``set_cookie`` result column; a
+    next-round FetchParse built from the merged jar sends the per-host sid.
+    With enable_cookie the UA is pinned (param.go:88-90)."""
     from pholcus_ray.functions.simnet import sim_set_cookie
     from pholcus_ray.functions.uapool import fixed_ua
     from pholcus_ray.spiderapi import Rule, RuleContext, Spider
@@ -118,19 +120,85 @@ def test_fetchparse_cookie_jar_and_fixed_ua(ray_session, small_corpus):
                     n_buckets=corpus_n_buckets(small_corpus), try_times=3,
                     download_time="t0")
     frontier = _frontier_for(small_corpus)
-    fp(frontier)
+    res = fp(frontier)
     first = {r["url"]: r for r in seen}
     assert all(r["cookie"] == "" for r in seen), "first contact sends no cookie"
     assert all(r["ua"] == fixed_ua() for r in seen), "EnableCookie pins the UA"
-
+    # the response's Set-Cookie is RECORDED in the result, not applied:
+    # a second fetch through the SAME instance still sees the snapshot
     seen.clear()
-    fp(frontier)  # same urls again through the SAME actor's jar
-    assert seen, "second pass must fetch"
+    fp(frontier)
+    assert seen and all(r["cookie"] == "" for r in seen), \
+        "round snapshot is read-only within the round"
+
+    # driver-side merge -> next round's snapshot carries the sid
+    jar = CookieJar()
+    for url, ok, sc in zip(res["url"].to_pylist(), res["ok"].to_pylist(),
+                           res["set_cookie"].to_pylist()):
+        if ok and sc:
+            jar.set_cookie(url, sc)
+    fp2 = FetchParse(corpus_dir=small_corpus, spider=sp,
+                     n_buckets=corpus_n_buckets(small_corpus), try_times=3,
+                     download_time="t1", jar_state=jar.to_state())
+    seen.clear()
+    fp2(frontier)
+    assert seen, "second round must fetch"
     for r in seen:
         host = r["url"].split("/")[2]
         want = sim_set_cookie(host).split(";")[0]
         assert r["cookie"] == want, f"{r['url']} must carry the host sid"
     assert set(first) == {r["url"] for r in seen}
+
+
+def _parse_cookie_echo(ctx):
+    """Rule whose ITEMS depend on fetch-side state (cookie/UA/status) — the
+    hardest conformance case for ST1: engine and oracle must agree byte-
+    for-byte on what every request carried."""
+    ctx.output({"cookie": ctx.cookie, "ua": ctx.user_agent,
+                "status": ctx.status, "title": ctx.title()})
+    for url, anchor in ctx.links():
+        ctx.add_queue(url, rule="page", anchor=anchor)
+
+
+def test_cookie_sessions_persist_across_rounds_and_match_oracle(
+        ray_session, small_corpus, tmp_path):
+    """End-to-end ST1: cookies set in round r are sent in round r+1 by the
+    ENGINE path (driver-merged jar snapshots), and items that embed the
+    cookie/UA are byte-identical to the sequential oracle's."""
+    import json as _json
+
+    from pholcus_ray.pipelines.crawl import CrawlConfig, items_table, run_crawl
+    from pholcus_ray.pipelines.oracle import run_oracle
+    from pholcus_ray.spiderapi import Rule, Spider
+
+    sp = Spider(name="cookie_echo",
+                rules={"page": Rule(parse=_parse_cookie_echo,
+                                    item_fields=["cookie", "ua", "status",
+                                                 "title"])},
+                enable_cookie=True)
+    wd = str(tmp_path / "cookiecrawl")
+    cfg = CrawlConfig(corpus_dir=small_corpus, workdir=wd,
+                      round_virtual_sec=64.0, num_shards=4,
+                      fetch_concurrency=2, spider=sp)
+    run_crawl(cfg)
+    eng = items_table(wd).to_pandas().sort_values(["url", "data"])
+
+    oracle = run_oracle(small_corpus, spider=sp, round_virtual_sec=64.0)
+    import pandas as pd
+
+    orc = pd.DataFrame(oracle.items).sort_values(["url", "data"])
+    assert len(eng) == len(orc)
+    assert (eng["data"].values == orc["data"].values).all(), \
+        "cookie/UA-bearing items must be byte-identical engine vs oracle"
+
+    # the session actually persisted: some round>=1 item carries a sid
+    later = eng[eng["round"] >= 1]
+    cookies = [_json.loads(d)["cookie"] for d in later["data"]]
+    assert any(c.startswith("sid=") for c in cookies), \
+        "a cookie set in an earlier round must be sent in a later round"
+    # and round-0 first contacts sent none
+    first = [_json.loads(d)["cookie"] for d in eng[eng["round"] == 0]["data"]]
+    assert all(c == "" for c in first)
 
 
 def test_fetchparse_no_cookie_rotates_ua(ray_session, small_corpus):
