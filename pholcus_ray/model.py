@@ -160,19 +160,9 @@ def cap_rank(priority: int, seq: str) -> bytes:
     return (_PRIO_MAX - int(priority)).to_bytes(4, "big") + seq.encode()
 
 
-def dedup_rank_column(bypass_arr, priority_arr, seq_arr) -> list[bytes]:
-    return [
-        dedup_rank(bool(b), int(p), s)
-        for b, p, s in zip(bypass_arr, priority_arr, seq_arr)
-    ]
-
-
-def cap_rank_column(priority_arr, seq_arr) -> list[bytes]:
-    return [cap_rank(int(p), s) for p, s in zip(priority_arr, seq_arr)]
-
-
 # --- vectorized (Arrow) rank builders: C-level kernels for the driver
-# control plane; byte-identical to the scalar builders above ---------------
+# control plane; byte-identical to the scalar builders above (the scalar
+# functions remain as the spec the property tests check against) -----------
 
 _PRIO_BYTES_TABLE = pa.array(
     [(_PRIO_MAX - p).to_bytes(4, "big") for p in range(256)], pa.binary()
@@ -185,7 +175,9 @@ def _prio_bytes(prio_col: pa.Array) -> pa.Array:
     import numpy as np
 
     pr = prio_col.to_numpy(zero_copy_only=False)
-    if pr.size and pr.max() > 255:
+    # negative priorities would index the lookup table from the end —
+    # fall back to the scalar spec outside the fast path's [0, 255] range
+    if pr.size and (pr.max() > 255 or pr.min() < 0):
         return pa.array([(int(_PRIO_MAX) - int(p)).to_bytes(4, "big") for p in pr],
                         pa.binary())
     return _PRIO_BYTES_TABLE.take(prio_col.cast(pa.int32()))

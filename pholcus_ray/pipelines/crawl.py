@@ -56,8 +56,6 @@ import ray.data as rd
 from ..model import (
     FRONTIER_SCHEMA,
     RESULT_SCHEMA,
-    cap_rank_arrow,
-    dedup_rank_arrow,
     virtual_download_time,
 )
 from ..spiderapi import DEFAULT_SPIDER, Spider
@@ -67,7 +65,6 @@ from ..stages.schedule import (
     ClaimSeen,
     ResolveCapSpill,
     ResolveSeenRobotsCapClaim,
-    spill_deferred,
 )
 from ..state.hostbudget import HostBudget
 from ..state.hostpolicy import HostPolicy
@@ -405,29 +402,6 @@ def _candidate_table(cfg: CrawlConfig, state: dict, rounds_dir: str) -> pa.Table
     return pa.concat_tables([links, deferred.select(links.column_names)])
 
 
-def _robots_filter_table(t: pa.Table, policy) -> pa.Table:
-    """Robots Disallow filter: only rows whose host actually HAS rules take
-    the per-row python path; everything else passes via a C-level is_in."""
-    from urllib.parse import urlsplit
-
-    import pyarrow.compute as pc
-
-    ruled = policy.hosts_with_rules()
-    if not ruled:
-        return t
-    hosts = t["host"]
-    affected = pc.is_in(hosts, value_set=pa.array(sorted(ruled), pa.string()))
-    aff_np = affected.to_numpy(zero_copy_only=False)
-    if not aff_np.any():
-        return t
-    keep = np.ones(t.num_rows, dtype=bool)
-    urls = t["url"].to_pylist()
-    hl = hosts.to_pylist()
-    for i in np.flatnonzero(aff_np):
-        keep[i] = policy.allowed(hl[i], urlsplit(urls[i]).path or "/")
-    return t.filter(pa.array(keep))
-
-
 def _sort_limit_table(t: pa.Table, remaining: int) -> pa.Table:
     import pyarrow.compute as pc
 
@@ -439,34 +413,18 @@ def _sort_limit_table(t: pa.Table, remaining: int) -> pa.Table:
 
 def _run_round_local(cfg, state, rounds_dir, rdir, seen, budget, policy,
                      fp_kwargs, remaining) -> tuple[int, int]:
-    """Driver-local round over pyarrow tables (same semantics functions)."""
-    from urllib.parse import urlsplit
-
+    """Driver-local round: THE SAME three stage objects as the distributed
+    path (stages/schedule.py), applied to one driver-held table instead of
+    a Dataset — one control-plane implementation, two execution shapes."""
     cand = _candidate_table(cfg, state, rounds_dir)
     n_deferred = 0
     sched = FRONTIER_SCHEMA.empty_table()
     if cand.num_rows:
-        keys = cand["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bypass = _bool_np(cand["bypass_dedup"])
-        reload_ = _bool_np(cand["reloadable"])
-        ranks = dedup_rank_arrow(cand["bypass_dedup"], cand["priority"], cand["seq"])
-        seen.claim(keys, ranks)
-        win = seen.resolve(keys, ranks, bypass | reload_)
-        t = cand.filter(pa.array(win))
-        if cfg.obey_robots and t.num_rows:
-            t = _robots_filter_table(t, policy)
+        ClaimSeen(seen)(cand)
+        t = ResolveSeenRobotsCapClaim(seen, budget, policy, cfg.obey_robots)(cand)
         if t.num_rows:
-            hosts = t["host"]
-            if isinstance(hosts, pa.ChunkedArray):
-                hosts = hosts.combine_chunks()
-            cranks = cap_rank_arrow(t["priority"], t["seq"])
-            budget.claim(hosts, cranks)
-            mask = budget.resolve(hosts, cranks)
-            deferred = t.filter(pa.array(~mask))
-            if deferred.num_rows:
-                spill_deferred(deferred, os.path.join(rdir, "deferred"))
-                n_deferred = deferred.num_rows
-            sched = t.filter(pa.array(mask))
+            sched = ResolveCapSpill(budget, os.path.join(rdir, "deferred"))(t)
+            n_deferred = t.num_rows - sched.num_rows
     if remaining is not None and sched.num_rows > remaining:
         sched = _sort_limit_table(sched, remaining)
     result_dir = os.path.join(rdir, "result")

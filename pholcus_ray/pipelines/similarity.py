@@ -23,8 +23,10 @@ def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """list<float> column -> (n, dim) float64 matrix, zero-copy flatten."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
     n = len(col)
+    if n == 0:  # reshape(0, -1) raises; width is unknowable from no rows
+        return np.empty((0, 0), dtype=np.float64)
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
     return flat.reshape(n, -1).astype(np.float64)
 
 
@@ -50,6 +52,9 @@ def ann_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> rd.Dataset:
     ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
 
     def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
         qv = ray.get(q_ref)
         m = _normalize(_to_matrix(t["embedding"]))
         cos = m @ qv
@@ -92,6 +97,10 @@ def knn_batch(sf_dir: str, n_queries: int = 5, k: int = 3) -> rd.Dataset:
     ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
 
     def local(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
         qids, qm = ray.get(q_ref)
         m = _normalize(_to_matrix(t["embedding"]))
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
@@ -213,6 +222,10 @@ def ann_ivf(sf_dir: str, k: int = 10, query_vec_id: int = 0,
     ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
 
     def local(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "cos": pa.array([], pa.float64())}
+            )
         Cm, q, probeset = ray.get(bc)
         m = _normalize(_to_matrix(tb["embedding"]))
         ids = tb["vec_id"].to_numpy(zero_copy_only=False)
@@ -271,6 +284,9 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.3,
 
     # ---- pass 1: per-cluster min cosine to own centroid (max angle) ----
     def radius_partial(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.table({"cluster": pa.array([], pa.int32()),
+                             "min_dot": pa.array([], pa.float64())})
         Cm = ray.get(c_ref)
         m = _normalize(_to_matrix(tb["embedding"]))
         sims = m @ Cm.T
@@ -309,6 +325,18 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.3,
 
     # ---- route each vector to its surviving cluster-pair groups ----
     def route(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            emb = tb["embedding"]
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            return pa.table(
+                {"pid": pa.array([], pa.int32()),
+                 "cluster": pa.array([], pa.int32()),
+                 "lo": pa.array([], pa.int32()),
+                 "hi": pa.array([], pa.int32()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "embedding": emb}
+            )
         Cm = ray.get(c_ref)
         routes = ray.get(routes_ref)
         m = _normalize(_to_matrix(tb["embedding"]))
@@ -398,6 +426,11 @@ def embedding_centroids(sf_dir: str) -> rd.Dataset:
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "sum_scaled": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
         m = _to_matrix(t["embedding"])                     # (n, d) float64
         scaled = np.floor(m * 1e6 + 0.5).astype(np.int64)  # exact ints
         labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)

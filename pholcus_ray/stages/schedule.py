@@ -40,6 +40,29 @@ from ..state.hostpolicy import HostPolicy
 from ..state.seen import ShardedSeen
 
 
+def robots_filter_table(t: pa.Table, policy: HostPolicy) -> pa.Table:
+    """Robots Disallow filter: only rows whose host actually HAS rules take
+    the per-row python path; everything else passes via a C-level is_in.
+    THE robots implementation — shared by the distributed stage below and
+    the driver-local round path (one copy, conformance depends on it)."""
+    import pyarrow.compute as pc
+
+    ruled = policy.hosts_with_rules()
+    if not ruled:
+        return t
+    hosts = t["host"]
+    affected = pc.is_in(hosts, value_set=pa.array(sorted(ruled), pa.string()))
+    aff_np = affected.to_numpy(zero_copy_only=False)
+    if not aff_np.any():
+        return t
+    keep = np.ones(t.num_rows, dtype=bool)
+    urls = t["url"].to_pylist()
+    hl = hosts.to_pylist()
+    for i in np.flatnonzero(aff_np):
+        keep[i] = policy.allowed(hl[i], urlsplit(urls[i]).path or "/")
+    return t.filter(pa.array(keep))
+
+
 def _ranks_of(batch: pa.Table):
     bypass = batch["bypass_dedup"].to_numpy(zero_copy_only=False)
     reload_ = batch["reloadable"].to_numpy(zero_copy_only=False)
@@ -62,10 +85,14 @@ class ClaimSeen:
 class ResolveSeenRobotsCapClaim:
     def __init__(self, seen: ShardedSeen, budget: HostBudget, policy_ref,
                  obey_robots: bool):
+        """``policy_ref`` is an ObjectRef (distributed path: one plasma copy
+        shared by every task) or a HostPolicy instance (driver-local path)."""
         self.seen = seen
         self.budget = budget
         self._policy_ref = policy_ref
-        self._policy: HostPolicy | None = None
+        self._policy: HostPolicy | None = (
+            policy_ref if isinstance(policy_ref, HostPolicy) else None
+        )
         self.obey_robots = obey_robots
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -79,13 +106,7 @@ class ResolveSeenRobotsCapClaim:
         if self.obey_robots:
             if self._policy is None:
                 self._policy = ray.get(self._policy_ref)
-            pol = self._policy
-            hosts = batch["host"].to_pylist()
-            urls = batch["url"].to_pylist()
-            keep = [
-                pol.allowed(h, urlsplit(u).path or "/") for h, u in zip(hosts, urls)
-            ]
-            batch = batch.filter(pa.array(keep, pa.bool_()))
+            batch = robots_filter_table(batch, self._policy)
             if batch.num_rows == 0:
                 return batch
         hosts = batch["host"]

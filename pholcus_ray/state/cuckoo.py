@@ -49,7 +49,12 @@ class CuckooFilter:
         self.table = np.zeros((n_buckets, bucket_size), dtype=np.uint16)
         self._rng = np.random.default_rng(seed)
         self.count = 0
-        self.overflow: set[int] = set()  # keys that failed eviction (rare)
+        # (fingerprint, bucket) pairs left homeless by an exhausted kick
+        # chain (rare). The chain conserves table occupancy, so the entry
+        # that loses its slot is the LAST EVICTED VICTIM, not the new key —
+        # stashing the victim's (fp, alternate-bucket) preserves the no-
+        # false-negative guarantee for every previously inserted key.
+        self.stash: set[tuple[int, int]] = set()
 
     # fingerprints are non-zero uint16; index2 = index1 ^ h(fp)
     def _fp_i1_i2(self, keys: np.ndarray):
@@ -65,9 +70,10 @@ class CuckooFilter:
         fp, i1, i2 = self._fp_i1_i2(keys)
         hit = (self.table[i1] == fp[:, None]).any(axis=1)
         hit |= (self.table[i2] == fp[:, None]).any(axis=1)
-        if self.overflow:
-            for j, k in enumerate(keys):
-                if not hit[j] and int(k) in self.overflow:
+        if self.stash:
+            for j in np.flatnonzero(~hit):
+                if (int(fp[j]), int(i1[j])) in self.stash or \
+                   (int(fp[j]), int(i2[j])) in self.stash:
                     hit[j] = True
         return hit
 
@@ -83,18 +89,18 @@ class CuckooFilter:
         ).any(axis=1)
         was_new = np.zeros(len(keys), dtype=bool)
         for j in range(len(keys)):
-            if present[j] or int(keys[j]) in self.overflow:
+            f, a, b = fp[j], i1[j], i2[j]
+            if present[j] or (int(f), int(a)) in self.stash or \
+                    (int(f), int(b)) in self.stash:
                 continue
             # re-check: an earlier insert in this call may have added this fp
-            f = fp[j]
-            a, b = i1[j], i2[j]
             if (self.table[a] == f).any() or (self.table[b] == f).any():
                 continue
             was_new[j] = True
-            self._insert_one(f, a, b, int(keys[j]))
+            self._insert_one(f, a, b)
         return was_new
 
-    def _insert_one(self, f: np.uint16, a: int, b: int, key: int) -> None:
+    def _insert_one(self, f: np.uint16, a: int, b: int) -> None:
         for idx in (a, b):
             row = self.table[idx]
             empty = np.flatnonzero(row == 0)
@@ -117,8 +123,11 @@ class CuckooFilter:
                 row[empty[0]] = cur
                 self.count += 1
                 return
-        # table effectively full for this fp: spill to exact overflow
-        self.overflow.add(key)
+        # kick chain exhausted: every swap conserved occupancy, so the new
+        # fp IS in the table and ``cur`` (the final evicted victim) is the
+        # homeless one; ``idx`` is cur's alternate bucket. Stash it so the
+        # victim's key still tests present.
+        self.stash.add((int(cur), int(idx)))
         self.count += 1
 
     def load_factor(self) -> float:
@@ -130,14 +139,14 @@ class CuckooFilter:
             "kind": "cuckoo",
             "table": self.table.copy(),
             "count": self.count,
-            "overflow": np.fromiter(self.overflow, dtype=np.uint64),
+            "stash": np.array(sorted(self.stash), dtype=np.uint64).reshape(-1, 2),
             "rng_state": self._rng.bit_generator.state,
         }
 
     def load(self, blob: dict) -> None:
         self.table = blob["table"].copy()
         self.count = int(blob["count"])
-        self.overflow = set(int(x) for x in blob["overflow"])
+        self.stash = {(int(f), int(i)) for f, i in blob["stash"]}
         self._rng.bit_generator.state = blob["rng_state"]
 
 

@@ -97,11 +97,9 @@ class HostBudget:
 
     @staticmethod
     def _slice(coll, sel: np.ndarray):
-        if isinstance(coll, list):
-            return [coll[i] for i in sel]
-        import pyarrow as pa
+        from .seen import slice_positions
 
-        return coll.take(pa.array(sel))
+        return slice_positions(coll, sel)
 
     def begin_round(self) -> None:
         ray.get([s.begin_round.remote() for s in self.shards])

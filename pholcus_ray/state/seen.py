@@ -24,14 +24,18 @@ import ray
 from .cuckoo import make_store
 
 
-def _slice_ranks(ranks, sel: np.ndarray):
-    """Slice a rank collection (python list OR arrow array) by positions —
-    arrow take is a C kernel; the python fallback keeps the oracle path."""
-    if isinstance(ranks, list):
-        return [ranks[i] for i in sel]
+def slice_positions(coll, sel: np.ndarray):
+    """Slice a collection (python list OR arrow array) by positions — arrow
+    take is a C kernel; the python fallback keeps the oracle path. Shared by
+    ShardedSeen and HostBudget (one copy of the routing slice)."""
+    if isinstance(coll, list):
+        return [coll[i] for i in sel]
     import pyarrow as pa
 
-    return ranks.take(pa.array(sel))
+    return coll.take(pa.array(sel))
+
+
+_slice_ranks = slice_positions  # local alias (historical name)
 
 
 @ray.remote(num_cpus=0)

@@ -40,7 +40,22 @@ def test_cuckoo_high_load_overflow_safe():
     f = CuckooFilter(capacity=1000, bucket_size=4)
     keys = _keys(1200, seed=3)
     f.insert_if_absent(keys)
-    assert f.contains(keys).all()  # overflow set catches eviction failures
+    assert f.contains(keys).all()  # stash catches eviction failures
+
+
+def test_cuckoo_kick_exhaustion_keeps_the_victim():
+    """Regression: an exhausted kick chain leaves the LAST EVICTED VICTIM
+    homeless (the new key's fp IS in the table after the first swap). The
+    stash must preserve the victim — under the old key-based overflow, a
+    previously inserted key tested absent and insert_if_absent re-reported
+    it new, breaking the dedup guarantee at high load."""
+    f = CuckooFilter(capacity=64, seed=3, max_kicks=2)
+    keys = _keys(400, seed=7)
+    f.insert_if_absent(keys)
+    assert f.stash, "tiny table + max_kicks=2 must exhaust some kick chains"
+    assert f.contains(keys).all(), "no false negatives, victims included"
+    assert not f.insert_if_absent(keys).any(), \
+        "re-inserting seen keys must never report was_new"
 
 
 def test_cuckoo_dump_load_roundtrip():
