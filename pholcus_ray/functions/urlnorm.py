@@ -39,13 +39,19 @@ def canonicalize(url: str) -> str | None:
     scheme = parts.scheme.lower()
     if scheme not in ("http", "https"):
         return None
-    netloc = parts.netloc.lower()
-    if "@" in netloc:  # userinfo kept as-is, host part lowered
-        userinfo, _, hostport = netloc.rpartition("@")
-        netloc = userinfo + "@" + hostport
-    host, sep, port = netloc.partition(":")
+    # userinfo kept AS-IS (credentials are case-sensitive and may contain
+    # ':'), only the host part is lowered; port split is IPv6-aware
+    userinfo, _, hostport = parts.netloc.rpartition("@")
+    hostport = hostport.lower()
+    if hostport.startswith("["):  # [v6-literal] with optional :port
+        host, _, rest = hostport.partition("]")
+        host += "]"
+        sep, port = (":", rest[1:]) if rest.startswith(":") else ("", "")
+    else:
+        host, sep, port = hostport.partition(":")
     if sep and port == _DEFAULT_PORTS.get(scheme):
-        netloc = host
+        hostport = host
+    netloc = userinfo + "@" + hostport if userinfo else hostport
     path = _resolve_dots(parts.path) or "/"
     return urlunsplit((scheme, netloc, path, parts.query, ""))
 
@@ -70,9 +76,12 @@ def _resolve_dots(path: str) -> str:
 
 
 def host_of(url: str) -> str:
-    """Lowercased host (no port) of an absolute URL."""
+    """Lowercased host (no port, no userinfo, no v6 brackets) of an
+    absolute URL — THE politeness/robots/cookie host key."""
     netloc = urlsplit(url).netloc.lower()
     netloc = netloc.rpartition("@")[2]
+    if netloc.startswith("["):  # IPv6 literal: '[::1]:8080' -> '::1'
+        return netloc.partition("]")[0][1:]
     return netloc.partition(":")[0]
 
 

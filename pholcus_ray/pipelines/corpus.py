@@ -26,7 +26,6 @@ Scale notes:
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np
@@ -37,6 +36,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
+from ..functions.hashing import md5_hex_array
 from .textdata import _read_documents, _tokens, dup_clusters
 
 
@@ -49,7 +49,7 @@ def _corpus_survivors(sf_dir: str, min_tokens: int = 5,
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         texts = t["text"].to_pylist()
         ntok = np.array([len(_tokens(x)) for x in texts], dtype=np.int64)
-        md5s = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in texts]
+        md5s = md5_hex_array(texts).tolist()
         keep = ntok >= min_tokens
         part = np.array([int(h[:2], 16) % 64 for h in md5s], dtype=np.int32)
         return pa.table(
@@ -87,9 +87,8 @@ def _corpus_survivors(sf_dir: str, min_tokens: int = 5,
         keep = ~np.isin(ids, ray.get(drop_ref), assume_unique=False)
         ids = ids[keep]
         ntok = t["n_tokens"].to_numpy(zero_copy_only=False)[keep]
-        split = ["train" if (h := hashlib.md5(str(int(i)).encode()).hexdigest()) < "c"
-                 else ("val" if h < "e" else "test")
-                 for i in ids]
+        split = ["train" if h < "c" else ("val" if h < "e" else "test")
+                 for h in md5_hex_array([int(i) for i in ids])]
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),

@@ -13,7 +13,6 @@ hashing; banding as in Mining of Massive Datasets ch.3).
 
 from __future__ import annotations
 
-import hashlib
 import os
 import re
 
@@ -24,7 +23,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
-from ..functions.hashing import hash64_array
+from ..functions.hashing import hash64_array, md5_hex_array
 
 _WS = re.compile(r"\s+")
 _MERSENNE = (1 << 61) - 1
@@ -76,7 +75,7 @@ def dedup_exact(sf_dir: str) -> rd.Dataset:
 
     def h(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
-        md5s = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in texts]
+        md5s = md5_hex_array(texts).tolist()
         part = (hash64_array(md5s) % np.uint64(64)).astype(np.int32)
         return pa.table(
             {
@@ -127,9 +126,39 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(hash64_array(shingles) % np.uint64(_MERSENNE))
 
 
+_P61 = np.uint64(_MERSENNE)
+
+
+def _mulmod_p61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Exact (a * x) mod (2^61 - 1) for a, x < 2^61, element-wise.
+
+    numpy has no 128-bit integers, and a plain uint64 multiply of ~2^61
+    operands wraps mod 2^64 before any reduction — which silently breaks
+    the universal-hash guarantee the minhash construction relies on. Split
+    into 32-bit limbs (each partial product fits uint64) and reduce with
+    2^61 ≡ 1 (mod p): 2^64 ≡ 2^3, and mid·2^32 = m1·2^61 + m0·2^32 ≡
+    m1 + m0·2^32. Verified against python big-int arithmetic in tests.
+    """
+    M32 = np.uint64(0xFFFFFFFF)
+    a1, a0 = a >> np.uint64(32), a & M32           # a1 < 2^29
+    x1, x0 = x >> np.uint64(32), x & M32           # x1 < 2^29
+
+    def fold(v):
+        return (v & _P61) + (v >> np.uint64(61))
+
+    hi = fold((a1 * x1) << np.uint64(3))           # a1x1 < 2^58; ·2^64 ≡ ·2^3
+    mid = a1 * x0 + a0 * x1                        # < 2^62, fits
+    m1, m0 = mid >> np.uint64(29), mid & np.uint64((1 << 29) - 1)
+    lo = fold(a0 * x0)                             # < 2^64, fits exactly
+    r = fold(fold(hi + m1 + fold(m0 << np.uint64(32)) + lo))
+    return np.where(r >= _P61, r - _P61, r)
+
+
 def _minhash_sig(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    # h_i(x) = (a_i * x + b_i) mod p, vectorized over (perm, shingle)
-    vals = (a[:, None] * sh[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+    # h_i(x) = (a_i * x + b_i) mod p, vectorized over (perm, shingle);
+    # the multiply is exact mod p (see _mulmod_p61), not wrapped mod 2^64
+    vals = _mulmod_p61(a[:, None], sh[None, :]) + b[:, None]  # < 2p, fits
+    vals = np.where(vals >= _P61, vals - _P61, vals)
     return vals.min(axis=1)
 
 
@@ -465,7 +494,14 @@ def _simhash64(texts: list[str]) -> np.ndarray:
 
 def simhash_docs(sf_dir: str) -> rd.Dataset:
     """64-bit SimHash per document (Charikar's similarity hash), plus a
-    16-bit band decomposition for bucketed near-dup search."""
+    16-bit band decomposition for bucketed near-dup search — sorted query
+    surface over :func:`_simhash_rows` (downstream pipelines consume the
+    unsorted stream; the global sort is paid only where order is the
+    product)."""
+    return _simhash_rows(sf_dir).sort("doc_id")
+
+
+def _simhash_rows(sf_dir: str) -> rd.Dataset:
     ds = _read_documents(sf_dir, columns=["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
@@ -501,7 +537,7 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     n_bands = next(b for b in (1, 2, 4, 8, 16) if b > max_hamming)
     band_bits = 64 // n_bands
     mask = np.uint64((1 << band_bits) - 1)
-    sh = simhash_docs(sf_dir)
+    sh = _simhash_rows(sf_dir)
 
     def explode(t: pa.Table) -> pa.Table:
         hs = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -569,8 +605,10 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3, n: int = 3,
     """
     docs = _read_documents(sf_dir, columns=["doc_id", "text"])
     # unsorted candidate stream: the join immediately re-shuffles, so a
-    # global sort here would be a pure wasted AllToAll barrier
-    cands = minhash_lsh_pairs(sf_dir, threshold=0.2,
+    # global sort here would be a pure wasted AllToAll barrier. The LSH
+    # pre-filter must admit every pair the caller's exact threshold could
+    # keep — clamp it to min(0.2, threshold), never above.
+    cands = minhash_lsh_pairs(sf_dir, threshold=min(0.2, threshold),
                               join_partitions=join_partitions)
 
     out_schema = pa.schema(
@@ -915,10 +953,9 @@ def doc_fingerprint(sf_dir: str) -> rd.Dataset:
     ds = _read_documents(sf_dir, columns=["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
-        fps = [
-            hashlib.md5(_WS.sub(" ", x.strip().lower()).encode("utf-8")).hexdigest()
-            for x in t["text"].to_pylist()
-        ]
+        fps = md5_hex_array(
+            [_WS.sub(" ", x.strip().lower()) for x in t["text"].to_pylist()]
+        )
         return pa.table({"doc_id": t["doc_id"], "fingerprint": pa.array(fps, pa.string())})
 
     return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
@@ -1025,7 +1062,7 @@ def split_by_hash(sf_dir: str) -> rd.Dataset:
 
     def assign(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        hx = [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids]
+        hx = md5_hex_array([int(i) for i in ids])
         split = ["train" if h < "c" else ("val" if h < "e" else "test")
                  for h in hx]
         return pa.table({"doc_id": pa.array(ids, pa.int64()),

@@ -71,11 +71,23 @@ def _host_name(h: int) -> str:
 
 
 def _zipf_counts(n_pages: int, n_hosts: int, a: float = 1.15) -> list[int]:
+    # every host needs >= 1 page, so more hosts than pages is unsatisfiable
+    # (the old code handed the hot host a NEGATIVE count in that case)
+    if n_hosts > n_pages:
+        raise ValueError(
+            f"n_hosts ({n_hosts}) must be <= n_pages ({n_pages})"
+        )
     w = 1.0 / np.arange(1, n_hosts + 1) ** a
     w /= w.sum()
     counts = np.maximum(1, np.floor(w * n_pages).astype(int))
-    # give the remainder to the hot host
+    # give the remainder to the hot host (the floor of the non-clamped
+    # hosts keeps counts.sum() <= n_pages whenever n_hosts <= n_pages)
     counts[0] += n_pages - counts.sum()
+    if counts[0] < 1:  # many tiny hosts can still overdraw the hot host
+        raise ValueError(
+            f"zipf split infeasible: n_hosts {n_hosts} too large for "
+            f"n_pages {n_pages}"
+        )
     return counts.tolist()
 
 

@@ -148,8 +148,10 @@ def explode_links(batch: pa.Table) -> pa.Table:
     # for any row the pattern misses. The optional userinfo group mirrors
     # host_of (urlnorm.py:72): netloc after the last '@', before ':port' —
     # without it, 'http://alice@host/' keyed politeness on 'alice@host'.
+    # '[' ']' are excluded so IPv6 literals miss the pattern and take the
+    # host_of fallback (the regex would otherwise stop at the first ':').
     hosts_struct = pc.extract_regex(
-        url_col, pattern=r"^[a-z+.-]+://(?:[^/?#]*@)?(?P<h>[^/:?#@]+)"
+        url_col, pattern=r"^[a-z+.-]+://(?:[^/?#]*@)?(?P<h>[^/:?#@\[\]]+)"
     )
     hosts = hosts_struct.field("h") if hosts_struct.null_count == 0 else pa.array(
         host_array(url_col.to_pylist()), pa.string()

@@ -104,6 +104,27 @@ def test_dedup_exact_finds_planted_dups(ray_session, dup_docs_dir):
     assert dups.set_index("keep_id")["n_copies"].to_dict() == {0: 2, 3: 2}
 
 
+def test_mulmod_p61_exact_vs_bigint():
+    """The vectorized Mersenne mulmod must equal python big-int arithmetic
+    (a plain uint64 multiply would wrap mod 2^64 and bias the minhash)."""
+    import numpy as np
+
+    from pholcus_ray.pipelines.textdata import _MERSENNE, _mulmod_p61
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(1, _MERSENNE, size=500, dtype=np.int64).astype(np.uint64)
+    x = rng.integers(0, _MERSENNE, size=500, dtype=np.int64).astype(np.uint64)
+    got = _mulmod_p61(a, x)
+    want = [(int(ai) * int(xi)) % _MERSENNE for ai, xi in zip(a, x)]
+    assert got.tolist() == want
+    # boundary values: p-1 squared, zero, one
+    edge = np.array([_MERSENNE - 1, 0, 1, _MERSENNE - 1], dtype=np.uint64)
+    other = np.array([_MERSENNE - 1, 5, _MERSENNE - 1, 1], dtype=np.uint64)
+    assert _mulmod_p61(edge, other).tolist() == [
+        ((_MERSENNE - 1) ** 2) % _MERSENNE, 0, _MERSENNE - 1, _MERSENNE - 1
+    ]
+
+
 def test_minhash_lsh_finds_near_dups(ray_session, dup_docs_dir):
     from pholcus_ray.pipelines.textdata import dedup_minhash_lsh
 
