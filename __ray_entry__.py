@@ -39,6 +39,8 @@ def _corpus_for(sf_dir: str) -> str:
 def _crawl_workdir(sf_dir: str) -> str:
     """Run (or reuse — run_crawl resumes to a no-op on a complete workdir)
     the crawl for this SF scale and return its workdir."""
+    import shutil
+
     from pholcus_ray.pipelines.crawl import CrawlConfig, run_crawl
 
     corpus = _corpus_for(sf_dir)
@@ -50,7 +52,13 @@ def _crawl_workdir(sf_dir: str) -> str:
         num_shards=8,
         fetch_batch_size=512,
     )
-    run_crawl(cfg)
+    try:
+        run_crawl(cfg)
+    except ValueError:
+        # stale cached workdir from an older corpus format / config (resume
+        # validation refuses the mismatch): restart it cold
+        shutil.rmtree(wd, ignore_errors=True)
+        run_crawl(cfg)
     return wd
 
 

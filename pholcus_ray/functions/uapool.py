@@ -32,32 +32,43 @@ _pool: tuple[str, ...] = _DEFAULT_POOL
 
 
 def set_pool(agents: list[str]) -> None:
-    """Replace the UA pool (agent.go's static list is user-config in spirit)."""
+    """Replace the DRIVER's default UA pool (agent.go's static list is
+    user-config in spirit). A module global never reaches distributed fetch
+    workers — the crawl captures ``current_pool()`` into the FetchParse
+    kwargs at config time, so both execution paths see the same pool."""
     global _pool
     if not agents:
         raise ValueError("UA pool must not be empty")
     _pool = tuple(agents)
 
 
-def fixed_ua() -> str:
+def current_pool() -> tuple[str, ...]:
+    """The driver's pool, captured into fetch-stage kwargs (ships to
+    workers; never read from the module global inside a worker)."""
+    return _pool
+
+
+def fixed_ua(pool: tuple[str, ...] | None = None) -> str:
     """The pinned UA used when Spider.EnableCookie is on (param.go:88-90:
     cookie-carrying sessions keep one identity; rotation would break them)."""
-    return _pool[0]
+    return (pool or _pool)[0]
 
 
-def ua_for(key: int, attempt: int) -> str:
+def ua_for(key: int, attempt: int, pool: tuple[str, ...] | None = None) -> str:
     """Deterministic UA for one fetch attempt; distinct attempts of the same
     request rotate through the pool (surf.go:170-177 re-roll semantics)."""
-    return _pool[(int(key) ^ (attempt * 0x9E3779B9)) % len(_pool)]
+    p = pool or _pool
+    return p[(int(key) ^ (attempt * 0x9E3779B9)) % len(p)]
 
 
-def ua_column(keys: np.ndarray, attempts: np.ndarray) -> list[str]:
+def ua_column(keys: np.ndarray, attempts: np.ndarray,
+              pool: tuple[str, ...] | None = None) -> list[str]:
     """Vectorized batch variant for the fetch stage."""
+    p = pool or _pool
     idx = (keys.astype(np.uint64)
            ^ (attempts.astype(np.uint64) * np.uint64(0x9E3779B9))) \
-        % np.uint64(len(_pool))
-    pool = _pool
-    return [pool[int(i)] for i in idx]
+        % np.uint64(len(p))
+    return [p[int(i)] for i in idx]
 
 
-__all__ = ["set_pool", "fixed_ua", "ua_for", "ua_column"]
+__all__ = ["set_pool", "current_pool", "fixed_ua", "ua_for", "ua_column"]

@@ -127,10 +127,13 @@ def child_seq(parent_seq: str, ordinal: int) -> str:
     return parent_seq + f"{ordinal:08x}"
 
 
-def virtual_download_time(round_idx: int, round_virtual_sec: float) -> str:
+def virtual_download_time(round_idx: int, round_virtual_sec: float,
+                          t0_sec: float = 0.0) -> str:
     """Deterministic per-round DownloadTime (replaces wall-clock,
-    data/data.go:37-45's DownloadTime column)."""
-    return (_VIRTUAL_T0 + timedelta(seconds=round_idx * round_virtual_sec)).isoformat()
+    data/data.go:37-45's DownloadTime column). ``t0_sec`` offsets the whole
+    run on the virtual clock (recurring crawls start at their fire time)."""
+    return (_VIRTUAL_T0 + timedelta(
+        seconds=t0_sec + round_idx * round_virtual_sec)).isoformat()
 
 
 def empty_table(schema: pa.Schema) -> pa.Table:

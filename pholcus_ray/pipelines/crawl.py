@@ -107,6 +107,12 @@ class CrawlConfig:
     # (SuccessInherit/FailureInherit, history.go:83-264): its seen set
     # pre-loads the dedup filter and its final failures are requeued once
     inherit_from: str | None = None
+    # custom UA pool (ST3); None = capture the driver's uapool.current_pool()
+    # at launch (shipped in fetch kwargs so distributed workers match)
+    ua_pool: tuple[str, ...] | None = None
+    # virtual-clock start of this run (ST7: a recurring crawl's tick starts
+    # at its timer fire time, so DownloadTime / cookie expiry advance)
+    virtual_t0_sec: float = 0.0
 
 
 @dataclass
@@ -179,6 +185,7 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
     cfg_json = {
         "corpus_dir": cfg.corpus_dir,
         "round_virtual_sec": cfg.round_virtual_sec,
+        "virtual_t0_sec": cfg.virtual_t0_sec,
         "default_delay_sec": cfg.default_delay_sec,
         "seen_mode": cfg.seen_mode,
         "num_shards": cfg.num_shards,
@@ -240,12 +247,15 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
         jar = CookieJar.from_state(state.get("jar_state"))
     from ..stages.fetchparse import preload_corpus
 
+    from ..functions.uapool import current_pool
+
     fp_base = dict(
         corpus_dir=cfg.corpus_dir,
         spider=cfg.spider,
         n_buckets=n_buckets,
         try_times=cfg.try_times,
         bucket_refs=preload_corpus(cfg.corpus_dir, n_buckets),
+        ua_pool=tuple(cfg.ua_pool) if cfg.ua_pool else current_pool(),
     )
 
     while state["round"] < cfg.max_rounds:
@@ -273,12 +283,15 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
         seen.begin_round()
         budget.begin_round()
         fp_kwargs = dict(
-            fp_base, download_time=virtual_download_time(r, cfg.round_virtual_sec)
+            fp_base,
+            download_time=virtual_download_time(
+                r, cfg.round_virtual_sec, cfg.virtual_t0_sec
+            ),
         )
         if jar is not None:
             fp_kwargs.update(
                 jar_state=jar.to_state(),
-                virtual_now=r * cfg.round_virtual_sec,
+                virtual_now=cfg.virtual_t0_sec + r * cfg.round_virtual_sec,
             )
         remaining = None
         if cfg.limit is not None:
@@ -324,7 +337,9 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
         # merge the round's Set-Cookie observations into the jar, in seq
         # order (deterministic; mirrors the oracle's end-of-round merge)
         if jar is not None and n_sched:
-            _merge_round_cookies(jar, result_dir, r * cfg.round_virtual_sec)
+            _merge_round_cookies(
+                jar, result_dir, cfg.virtual_t0_sec + r * cfg.round_virtual_sec
+            )
 
         # ---- 6. checkpoint: seen delta + round meta ----
         n_new_seen = seen.dump_deltas(os.path.join(rdir, "seen_delta"))
@@ -634,7 +649,8 @@ def _result_to_crawl_log(t: pa.Table, round_idx: int) -> pa.Table:
     )
 
 
-def _result_to_items(t: pa.Table, round_idx: int, round_virtual_sec: float) -> pa.Table:
+def _result_to_items(t: pa.Table, round_idx: int, round_virtual_sec: float,
+                     t0_sec: float = 0.0) -> pa.Table:
     import pyarrow.compute as pc
 
     from ..model import ITEMS_SCHEMA
@@ -647,7 +663,7 @@ def _result_to_items(t: pa.Table, round_idx: int, round_virtual_sec: float) -> p
     urls = t["url"].to_pylist()
     refs = t["referer"].to_pylist()
     rules = t["rule"].to_pylist()
-    dt = virtual_download_time(round_idx, round_virtual_sec)
+    dt = virtual_download_time(round_idx, round_virtual_sec, t0_sec)
     return pa.table(
         {
             "rule": pa.array([rules[p] for p in parents], pa.string()),
@@ -784,8 +800,8 @@ def _inherit_history(cfg: CrawlConfig, seen: ShardedSeen,
 # num_shards re-routes seen keys (key % S), a changed seen_mode/clock/corpus
 # silently produces a different crawl from the checkpointed prefix.
 _RESUME_CRITICAL = (
-    "corpus_dir", "round_virtual_sec", "default_delay_sec", "seen_mode",
-    "num_shards",
+    "corpus_dir", "round_virtual_sec", "virtual_t0_sec", "default_delay_sec",
+    "seen_mode", "num_shards",
 )
 
 # bump when RESULT_SCHEMA / round-dir layout changes; old workdirs are
@@ -810,7 +826,13 @@ def _restore(cfg: CrawlConfig, seen: ShardedSeen, rounds_dir: str,
         return None
     complete = []
     if os.path.isdir(rounds_dir):
-        for d in sorted(os.listdir(rounds_dir)):
+        def _round_no(name: str) -> int:  # numeric order past %05d padding
+            try:
+                return int(name.rsplit("_", 1)[1])
+            except (IndexError, ValueError):
+                return -1
+
+        for d in sorted(os.listdir(rounds_dir), key=_round_no):
             if os.path.exists(os.path.join(rounds_dir, d, "_COMPLETE.json")):
                 complete.append(d)
             else:
@@ -880,16 +902,20 @@ def _finalize(cfg: CrawlConfig, state: dict, seen: ShardedSeen,
     fail_tbl = _failure_rows(rounds_dir, state["failure_rounds"])
     pq.write_table(fail_tbl, os.path.join(final_dir, "failures.parquet"))
 
+    # deferred rows of the FINAL round are unprocessed work iff the loop
+    # exited early (limit/max_rounds); a quiescence exit consumed them
+    # (a round with deferred > 0 always yields a next-round estimate > 0)
+    per_round = state["per_round"]
     summary = CrawlSummary(
         rounds=state["round"],
         fetched_ok=state["fetched_ok"],
         fetched_fail=state["fetched_fail"],
         items=state["items"],
         seen_total=seen_total,
-        deferred_final=0,
+        deferred_final=per_round[-1]["deferred"] if per_round else 0,
         failures_final=fail_tbl.num_rows,
         workdir=cfg.workdir,
-        per_round=state["per_round"],
+        per_round=per_round,
     )
     with open(os.path.join(final_dir, "summary.json"), "w") as f:
         json.dump(
@@ -908,19 +934,25 @@ def _round_dirs(workdir: str) -> list[tuple[int, str]]:
     import re
 
     out = []
-    for d in sorted(glob.glob(os.path.join(workdir, "rounds", "round_*"))):
+    for d in glob.glob(os.path.join(workdir, "rounds", "round_*")):
         m = re.search(r"round_(\d+)$", d)
         if m and os.path.exists(os.path.join(d, "_COMPLETE.json")):
             out.append((int(m.group(1)), d))
+    # numeric, not lexicographic: 'round_100000' (6 digits past the %05d
+    # padding) must sort after 'round_99999'
+    out.sort()
     return out
 
 
-def _run_round_virtual_sec(workdir: str) -> float:
+def _run_clock(workdir: str) -> tuple[float, float]:
+    """(round_virtual_sec, virtual_t0_sec) the workdir was crawled with."""
     cfg_path = os.path.join(workdir, "run_config.json")
     if os.path.exists(cfg_path):
         with open(cfg_path) as f:
-            return float(json.load(f).get("round_virtual_sec", 16.0))
-    return 16.0
+            c = json.load(f)
+        return (float(c.get("round_virtual_sec", 16.0)),
+                float(c.get("virtual_t0_sec", 0.0)))
+    return 16.0, 0.0
 
 
 def crawl_log_table(workdir: str) -> pa.Table:
@@ -949,12 +981,12 @@ def crawl_log_table(workdir: str) -> pa.Table:
 def items_table(workdir: str) -> pa.Table:
     from ..model import ITEMS_SCHEMA
 
-    rvs = _run_round_virtual_sec(workdir)
+    rvs, t0 = _run_clock(workdir)
     parts = []
     for r, d in _round_dirs(workdir):
         t = _read_table(os.path.join(d, "result"), RESULT_SCHEMA)
         if t.num_rows:
-            it = _result_to_items(t, r, rvs)
+            it = _result_to_items(t, r, rvs, t0)
             if it.num_rows:
                 parts.append(it)
     if not parts:
@@ -964,14 +996,14 @@ def items_table(workdir: str) -> pa.Table:
 
 def items_dataset(workdir: str) -> rd.Dataset:
     """Streaming items projection over all rounds (scale path)."""
-    rvs = _run_round_virtual_sec(workdir)
+    rvs, t0 = _run_clock(workdir)
     dss = []
     for r, d in _round_dirs(workdir):
         res_dir = os.path.join(d, "result")
         if _has_files(res_dir):
             dss.append(
                 rd.read_parquet(res_dir).map_batches(
-                    lambda t, _r=r, _v=rvs: _result_to_items(t, _r, _v),
+                    lambda t, _r=r, _v=rvs, _t0=t0: _result_to_items(t, _r, _v, _t0),
                     batch_format="pyarrow",
                 )
             )

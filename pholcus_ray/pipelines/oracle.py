@@ -56,6 +56,7 @@ def run_oracle(
     max_depth: int | None = None,
     obey_robots: bool = True,
     max_rounds: int = 10_000,
+    ua_pool: tuple[str, ...] | None = None,
 ) -> OracleResult:
     pages = {
         u: h
@@ -181,10 +182,11 @@ def run_oracle(
                 pending_cookies.append(
                     (r["seq"], r["url"], sim_set_cookie(r["host"]))
                 )
-                ua = fixed_ua()  # EnableCookie pins the UA (param.go:88-90)
+                # EnableCookie pins the UA (param.go:88-90)
+                ua = fixed_ua(ua_pool)
             else:
                 cookie_hdr = ""
-                ua = ua_for(int(r["key"]), int(attempts))
+                ua = ua_for(int(r["key"]), int(attempts), ua_pool)
             ctx = RuleContext(
                 url=r["url"], referer=r["referer"], rule=r["rule"],
                 depth=int(r["depth"]),

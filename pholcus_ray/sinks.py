@@ -48,20 +48,18 @@ def sanitize_filename(name: str) -> str:
 
 
 def write_items_parquet(workdir: str, out_dir: str) -> int:
-    """Items -> parquet partitioned by rule (the native sink). Rule
-    cardinality is tiny (the spider's Trunk), so one streamed filtered
-    write per rule; each filter is a vectorized map_batches."""
+    """Items -> parquet hive-partitioned by rule (the native sink): ONE
+    streamed scan with ``partition_cols`` instead of a scan per rule. The
+    out dir is replaced wholesale — ray's write_parquet APPENDs uuid-named
+    files by default, so re-running into a kept dir would duplicate every
+    row (the same reason crawl._write rmtrees first)."""
+    import shutil
+
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
-    rules = sorted(items_dataset(workdir).unique("rule"))
-    for rule in rules:
-        sub = items_dataset(workdir).map_batches(
-            lambda t, _r=rule: t.filter(pc.equal(t["rule"], _r)),
-            batch_format="pyarrow",
-        )
-        rdir = os.path.join(out_dir, f"rule={sanitize_filename(rule)}")
-        os.makedirs(rdir, exist_ok=True)
-        sub.write_parquet(rdir)
-    return len(rules)
+    items_dataset(workdir).write_parquet(out_dir, partition_cols=["rule"])
+    return sum(1 for d in os.listdir(out_dir) if d.startswith("rule="))
 
 
 def write_items_csv(workdir: str, out_dir: str, namespace: str = "pholcus",
@@ -172,12 +170,18 @@ def write_items_excel(workdir: str, out_dir: str, namespace: str = "pholcus",
     path = os.path.join(out_dir, f"{sanitize_filename(namespace)}.xlsx")
 
     def _cell(v) -> str:
+        import math
+
         if v is None:
             v = ""
         if isinstance(v, bool):
             v = json.dumps(v)
         if isinstance(v, (int, float)):
-            return f"<c t=\"n\"><v>{v}</v></c>"
+            # NaN/inf are invalid spreadsheetML numerics (Excel refuses the
+            # whole workbook); write them as inline strings instead
+            if isinstance(v, int) or math.isfinite(v):
+                return f"<c t=\"n\"><v>{v}</v></c>"
+            v = str(v)
         if not isinstance(v, str):
             v = json.dumps(v, ensure_ascii=False)
         return f"<c t=\"inlineStr\"><is><t>{_xml_escape(v)}</t></is></c>"
@@ -290,6 +294,10 @@ def write_items_sql(workdir: str, db_path: str, namespace: str = "pholcus",
             tname = sanitize_filename(f"{namespace}__{rule}").replace(" ", "_")
             cols = ", ".join(f"{_q(f)} TEXT" for f in fields)
             cur.execute(f"CREATE TABLE IF NOT EXISTS {_q(tname)} ({cols})")
+            # idempotent rerun: the sink exports THE workdir's item set, so
+            # a pre-existing table is replaced, not appended (re-running the
+            # CLI on a resumed workdir would otherwise duplicate every row)
+            cur.execute(f"DELETE FROM {_q(tname)}")
             ph = ", ".join("?" for _ in fields)
             # explicit column list: a pre-existing table with extra or
             # reordered columns gets values by NAME, not position (a

@@ -101,13 +101,17 @@ class FetchParse:
 
     def __init__(self, corpus_dir: str, spider: Spider, n_buckets: int,
                  try_times: int, download_time: str, bucket_refs: dict | None = None,
-                 jar_state: dict | None = None, virtual_now: float = 0.0):
+                 jar_state: dict | None = None, virtual_now: float = 0.0,
+                 ua_pool: tuple[str, ...] | None = None):
         self.corpus_dir = corpus_dir
         self.spider = spider
         self.n_buckets = n_buckets
         self.try_times = try_times
         self.download_time = download_time
         self.virtual_now = virtual_now  # round's virtual clock (expiry checks)
+        # UA pool ships in kwargs (a worker's freshly-imported module global
+        # would be the default pool, silently diverging from the driver's)
+        self.ua_pool = tuple(ua_pool) if ua_pool else None
         self.bucket_refs = (
             bucket_refs
             if bucket_refs is not None
@@ -203,10 +207,11 @@ class FetchParse:
                 # driver merges it at round end, on the virtual clock
                 cookie_hdr = self.jar.header(urls[i], now=self.virtual_now)
                 set_cookies[i] = sim_set_cookie(hosts[i])
-                ua = fixed_ua()  # EnableCookie pins the UA (param.go:88-90)
+                # EnableCookie pins the UA (param.go:88-90)
+                ua = fixed_ua(self.ua_pool)
             else:
                 cookie_hdr = ""
-                ua = ua_for(int(keys[i]), int(attempts[i]))
+                ua = ua_for(int(keys[i]), int(attempts[i]), self.ua_pool)
             ctx = RuleContext(
                 url=urls[i], referer=referers[i], rule=rules[i],
                 depth=int(depths[i]), html_bytes=body, temp=temps[i],

@@ -49,9 +49,14 @@ def parse_robots(body: str) -> tuple[list[str], float | None]:
             disallow.append(v)
         elif active and k == "crawl-delay":
             try:
-                delay = float(v)
+                d = float(v)
             except ValueError:
-                pass
+                continue
+            # robots bodies are untrusted page content: reject non-finite
+            # and negative delays; 0 is kept (meaning "no delay" — see
+            # cap_per_round, which treats it as uncapped, not 1/0)
+            if math.isfinite(d) and d >= 0:
+                delay = d
     return disallow, delay
 
 
@@ -91,4 +96,7 @@ class HostPolicy:
         return self._delay.get(host, self.default_delay_sec)
 
     def cap_per_round(self, host: str, round_virtual_sec: float) -> int:
-        return max(1, math.floor(round_virtual_sec / self.delay(host)))
+        d = self.delay(host)
+        if d <= 0:  # Crawl-delay: 0 (or a 0 default) = politeness-uncapped
+            return 1 << 30
+        return max(1, math.floor(round_virtual_sec / d))

@@ -59,20 +59,25 @@ def fire_schedule(timer, start_sec: float, ticks: int) -> list[float]:
 
 def run_recurring(base_cfg, timer, ticks: int):
     """Re-arm the crawl ``ticks`` times (timer.go re-fire loop): tick i runs
-    in ``<workdir>/tick_{i}`` inheriting tick i-1's history, so an unchanged
-    corpus yields zero refetches after the first tick and a grown corpus
-    yields exactly the delta. Returns the per-tick CrawlSummary list."""
+    in ``<workdir>/tick_{i}`` at the timer's i-th virtual FIRE TIME,
+    inheriting tick i-1's history, so an unchanged corpus yields zero
+    refetches after the first tick and a grown corpus yields exactly the
+    delta. Each tick's virtual clock starts at its fire time (keyins carry
+    no clock, so the offset rides ``virtual_t0_sec``), making DownloadTime
+    and cookie expiry advance across ticks the way timer.go's re-fired
+    crawls advance in wall time. Returns the per-tick CrawlSummary list."""
     from dataclasses import replace
 
     from ..pipelines.crawl import run_crawl
 
     summaries = []
     prev_wd = base_cfg.inherit_from
-    for i in range(ticks):
+    for i, fire_sec in enumerate(fire_schedule(timer, 0.0, ticks)):
         cfg = replace(
             base_cfg,
             workdir=os.path.join(base_cfg.workdir, f"tick_{i}"),
             inherit_from=prev_wd,
+            virtual_t0_sec=fire_sec,
         )
         summaries.append(run_crawl(cfg))
         prev_wd = cfg.workdir

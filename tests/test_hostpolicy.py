@@ -18,6 +18,19 @@ def test_parse_robots_ignores_other_agents():
     assert dis == [] and delay is None
 
 
+def test_hostile_crawl_delay_values():
+    """robots bodies are untrusted page content: Crawl-delay of 0 must not
+    divide-by-zero the budget actor, and nan/inf/negative are rejected."""
+    pol = HostPolicy(default_delay_sec=1.0)
+    _, d0 = parse_robots("User-agent: *\nCrawl-delay: 0\n")
+    assert d0 == 0.0
+    pol._delay["zero.com"] = 0.0
+    assert pol.cap_per_round("zero.com", 16.0) == 1 << 30  # uncapped, no crash
+    for v in ("nan", "inf", "-inf", "-3"):
+        _, d = parse_robots(f"User-agent: *\nCrawl-delay: {v}\n")
+        assert d is None, v
+
+
 def test_policy_allowed_and_caps():
     pol = HostPolicy(default_delay_sec=1.0)
     pol._disallow["h.com"] = ["/private/"]

@@ -44,3 +44,15 @@ def test_run_recurring_chains_history(ray_session, small_corpus, tmp_path):
         assert s[i].fetched_ok + s[i].fetched_fail <= s[i - 1].fetched_fail * 2
     # failures shrink or persist, never grow
     assert s[2].fetched_fail <= s[1].fetched_fail <= s[0].fetched_fail
+    # each tick's virtual clock starts at ITS timer fire time, so
+    # DownloadTime advances across ticks (timer.go re-fire semantics)
+    from pholcus_ray.pipelines.crawl import items_table
+
+    day = {}
+    for i in (0, 1):
+        it = items_table(s[i].workdir).to_pandas()
+        if len(it):
+            day[i] = sorted(set(d[:10] for d in it["download_time"]))
+    if 0 in day and 1 in day:
+        assert max(day[0]) < min(day[1]), \
+            "tick 1 items must carry later virtual dates than tick 0"
