@@ -57,6 +57,7 @@ def run_oracle(
     obey_robots: bool = True,
     max_rounds: int = 10_000,
     ua_pool: tuple[str, ...] | None = None,
+    virtual_t0_sec: float = 0.0,
 ) -> OracleResult:
     pages = {
         u: h
@@ -94,6 +95,11 @@ def run_oracle(
                 candidates = failures
                 failures = []
                 continue
+            break
+        # quota exhausted: break BEFORE dedup/seen insertion, mirroring the
+        # engine's remaining<=0 check ahead of claim/resolve (crawl.py) —
+        # otherwise limit=0 would still insert the round's keys into seen
+        if limit is not None and limit - fetched <= 0:
             break
 
         # 1. intra-round winner per key (bypass first, priority desc, seq asc)
@@ -147,8 +153,8 @@ def run_oracle(
             continue
 
         # 6. fetch + parse in order
-        dt = virtual_download_time(round_idx, round_virtual_sec)
-        vnow = round_idx * round_virtual_sec
+        dt = virtual_download_time(round_idx, round_virtual_sec, virtual_t0_sec)
+        vnow = virtual_t0_sec + round_idx * round_virtual_sec
         pending_cookies: list[tuple[str, str, str]] = []  # (seq, url, set_cookie)
         new_links: list[dict] = []
         for r in sched:

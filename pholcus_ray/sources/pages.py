@@ -46,6 +46,11 @@ import pyarrow.parquet as pq
 
 from ..functions.hashing import hash64_array
 
+# corpus FORMAT version: bump on ANY generator change that alters output
+# (CLAUDE.md invariant). Single constant — it keys BOTH the manifest params
+# check and cached_corpus's cache-dir hash, which must never desync.
+_FORMAT = 6
+
 PAGES_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
@@ -307,7 +312,7 @@ def make_corpus(
         "zh_frac": zh_frac,
         "page_weight": page_weight,
         "far_links": far_links,
-        "format": 6,
+        "format": _FORMAT,
     }
     manifest_path = os.path.join(out_dir, "manifest.json")
     if os.path.exists(manifest_path):
@@ -393,7 +398,7 @@ def cached_corpus(n_pages: int, n_hosts: int, seed: int = 42, n_buckets: int = 1
     """Generate (or reuse) a corpus under a params-keyed cache dir."""
     key = hashlib.md5(
         json.dumps(
-            [n_pages, n_hosts, seed, n_buckets, page_weight, far_links, 6],
+            [n_pages, n_hosts, seed, n_buckets, page_weight, far_links, _FORMAT],
             sort_keys=True,
         ).encode()
     ).hexdigest()[:12]

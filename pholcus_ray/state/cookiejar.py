@@ -113,7 +113,17 @@ class CookieJar:
                     pass
             elif k == "expires" and expires is None:
                 try:
-                    expires = parsedate_to_datetime(v).timestamp()
+                    # convert the wall-clock date to VIRTUAL seconds (the
+                    # clock all expiry comparisons use; model._VIRTUAL_T0 is
+                    # virtual t=0). A past-dated Expires — the standard
+                    # delete-cookie idiom — lands negative and expires on
+                    # arrival, exactly as on a real clock.
+                    from ..model import _VIRTUAL_T0
+
+                    parsed = parsedate_to_datetime(v)
+                    if parsed.tzinfo is not None:
+                        parsed = parsed.replace(tzinfo=None)
+                    expires = (parsed - _VIRTUAL_T0).total_seconds()
                 except (TypeError, ValueError):
                     pass
         key = (domain, path, name)

@@ -76,6 +76,28 @@ def test_jar_max_age_expiry_virtual_clock():
     assert jar.header("http://h/", now=1.0) == ""
 
 
+def test_jar_expires_on_virtual_clock():
+    """Expires dates convert to VIRTUAL seconds (model._VIRTUAL_T0 = t0):
+    the standard past-dated delete-cookie idiom works, and future dates
+    expire when the virtual clock passes them."""
+    from datetime import timedelta
+
+    from pholcus_ray.model import _VIRTUAL_T0
+
+    jar = CookieJar()
+    jar.set_cookie("http://h/", "sid=live; Path=/", now=0.0)
+    # canonical deletion idiom: long-past Expires removes the cookie
+    jar.set_cookie("http://h/", "sid=deleted; Path=/; "
+                   "Expires=Wed, 21 Oct 2015 07:28:00 GMT", now=0.0)
+    assert jar.header("http://h/", now=0.0) == ""
+    # a future wall date = (date - _VIRTUAL_T0) virtual seconds
+    future = (_VIRTUAL_T0 + timedelta(seconds=500)).strftime(
+        "%a, %d %b %Y %H:%M:%S GMT")
+    jar.set_cookie("http://h/", f"s2=x; Path=/; Expires={future}", now=0.0)
+    assert jar.header("http://h/", now=499.0) == "s2=x"
+    assert jar.header("http://h/", now=500.0) == ""
+
+
 def test_jar_secure_filter_and_seed():
     jar = CookieJar()
     jar.set_cookie("https://h/", "s=1; Path=/; Secure")

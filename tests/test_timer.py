@@ -56,3 +56,26 @@ def test_run_recurring_chains_history(ray_session, small_corpus, tmp_path):
     if 0 in day and 1 in day:
         assert max(day[0]) < min(day[1]), \
             "tick 1 items must carry later virtual dates than tick 0"
+
+
+def test_virtual_t0_conformance(ray_session, small_corpus, tmp_path):
+    """Engine and oracle agree byte-for-byte when the run starts at a
+    non-zero virtual time (the recurring-tick shape)."""
+    import pandas as pd
+
+    from pholcus_ray.pipelines.crawl import items_table, run_crawl
+    from pholcus_ray.pipelines.oracle import run_oracle
+
+    t0 = 86_400.0
+    cfg = CrawlConfig(corpus_dir=small_corpus, workdir=str(tmp_path / "t0"),
+                      round_virtual_sec=RVS, fetch_concurrency=2,
+                      num_shards=4, virtual_t0_sec=t0)
+    run_crawl(cfg)
+    eng = items_table(cfg.workdir).to_pandas().sort_values(["url", "data"])
+    orc = run_oracle(small_corpus, round_virtual_sec=RVS, virtual_t0_sec=t0)
+    odf = pd.DataFrame(orc.items).sort_values(["url", "data"])
+    assert len(eng) == len(odf)
+    assert (eng["download_time"].values == odf["download_time"].values).all()
+    assert (eng["data"].values == odf["data"].values).all()
+    # and the clock actually moved: dates are a day past virtual t=0
+    assert min(eng["download_time"]) >= "2026-03-16"

@@ -54,6 +54,11 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
     qs = E.queries()
     sqls = E.oracle_sql()
     failures = 0
+    if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            print(f"FAIL  unknown query name(s): {unknown}")
+            return 1
     for name, fn in qs.items():
         if only and name not in only:
             continue
