@@ -130,6 +130,13 @@ def test_failure_semantics(crawl_pair):
     fail = pq.read_table(os.path.join(wd, "final", "failures.parquet"))
     assert fail.num_rows == len(oracle.failures)
     assert summary.failures_final == len(oracle.failures)
+    # CONTENT, not just cardinality: the writer selecting the wrong rows
+    # (e.g. last-round requeues instead of permanent failures) would keep
+    # the count while poisoning inherit_from consumers
+    assert sorted(fail["url"].to_pylist()) == \
+        sorted(f["url"] for f in oracle.failures)
+    assert sorted(fail["attempts_done"].to_pylist()) == \
+        sorted(int(f["attempts_done"]) for f in oracle.failures)
 
 
 def test_politeness_caps_respected(crawl_pair, small_corpus):

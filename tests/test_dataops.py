@@ -58,6 +58,11 @@ def test_sql_oracled_query(ray_session, ducksf, name):
     assert list(df.columns) == list(odf.columns)
     assert len(df) == len(odf)
     for c in df.columns:
+        # dtype parity FIRST: the driver gate's value hash is dtype-
+        # sensitive (int64 vs float64 was the round-1 5-query failure), so
+        # a values-only comparison would not predict the gate
+        assert df[c].dtype == odf[c].dtype, \
+            f"{name}.{c}: {df[c].dtype} != {odf[c].dtype}"
         a, b = df[c].values, odf[c].values
         assert (pd.Series(a) == pd.Series(b)).all(), f"{name}.{c}"
 
@@ -250,6 +255,9 @@ def test_ann_ivf_recall(ray_session):
     # recall must still rise with nprobe and reach 1.0 at nprobe=n_clusters
     ivf4 = ann_ivf(SF, k=10, nprobe=4).to_pandas()
     ivf8 = ann_ivf(SF, k=10, n_clusters=8, nprobe=8).to_pandas()
+    # result size is exactly k — recall via intersection alone would also
+    # accept a regression that returns every probed vector
+    assert len(ivf4) == 10 and len(ivf8) == 10
     r4 = len(set(brute["vec_id"]) & set(ivf4["vec_id"])) / 10
     r8 = len(set(brute["vec_id"]) & set(ivf8["vec_id"])) / 10
     assert r4 >= 0.5

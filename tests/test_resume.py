@@ -46,6 +46,16 @@ def test_resume_reproduces_one_shot(ray_session, small_corpus, tmp_path):
     kf, kr = url_seen_keys(wd_full), url_seen_keys(wd_part)
     assert len(kf) == len(kr) and (kf == kr).all()
 
+    # ITEMS too: a resume bug that re-parses a completed round (duplicated
+    # rows) or skips item writes would keep the log + seen set identical
+    from pholcus_ray.pipelines.crawl import items_table
+
+    itf = items_table(wd_full).to_pandas().sort_values(["url", "data"])
+    itr = items_table(wd_part).to_pandas().sort_values(["url", "data"])
+    assert len(itf) == len(itr)
+    for c in ("url", "data", "download_time", "round"):
+        assert (itf[c].values == itr[c].values).all(), c
+
 
 def test_resume_discards_incomplete_round(ray_session, small_corpus, tmp_path):
     """A round dir without _COMPLETE.json is re-run from scratch."""
@@ -68,6 +78,26 @@ def test_resume_discards_incomplete_round(ray_session, small_corpus, tmp_path):
     assert s.fetched_ok > 0
     assert os.path.exists(os.path.join(dirty, "_COMPLETE.json"))
     assert not os.path.exists(os.path.join(dirty, "result", "garbage.txt"))
+
+    # the re-run round's OUTPUT equals a clean one-shot run's, not merely
+    # "something completed": stale-frontier or append-to-partial bugs would
+    # otherwise pass on the marker checks alone
+    from pholcus_ray.pipelines.crawl import items_table
+
+    wd_clean = str(tmp_path / "clean")
+    clean = CrawlConfig(
+        corpus_dir=small_corpus, workdir=wd_clean, round_virtual_sec=RVS,
+        fetch_concurrency=2, num_shards=4,
+    )
+    run_crawl(clean)
+    lc = crawl_log_table(wd_clean).to_pandas()
+    ld = crawl_log_table(wd).to_pandas()
+    assert len(lc) == len(ld)
+    for c in lc.columns:
+        assert (lc[c].values == ld[c].values).all(), c
+    ic = items_table(wd_clean).to_pandas().sort_values(["url", "data"])
+    idd = items_table(wd).to_pandas().sort_values(["url", "data"])
+    assert (ic["data"].values == idd["data"].values).all()
 
 
 def test_resume_rejects_changed_critical_config(ray_session, small_corpus, tmp_path):

@@ -70,10 +70,27 @@ def test_multi_rule_dispatch_and_temp(two_rule_run):
     kinds = items["data"].map(lambda d: json.loads(d)["kind"])
     assert set(kinds) == {"list", "detail"}
     det = items[kinds == "detail"]
-    d0 = json.loads(det["data"].iloc[0])
-    assert d0["from"].startswith("http://")     # temp carried through
-    assert d0["ordinal"] >= 0
-    assert set(items[kinds == "detail"]["rule"]) == {"detail"}
+    # EVERY detail row must carry its enqueuer's temp (not just the first)
+    for _, row in det.iterrows():
+        d = json.loads(row["data"])
+        assert d["from"].startswith("http://"), row["url"]
+        assert d["ordinal"] >= 0, row["url"]
+    assert set(det["rule"]) == {"detail"}
+
+
+def test_multi_rule_items_match_oracle(two_rule_run, small_corpus):
+    """Byte-identical ITEMS (not just the crawl log) for the two-rule +
+    keyin spider — temp/keyin corruption in later fan-out rows would pass
+    a log-only comparison."""
+    import pandas as pd
+
+    wd, _ = two_rule_run
+    o = run_oracle(small_corpus, spider=TWO_RULE_SPIDER,
+                   keyins=["alpha", "beta"], round_virtual_sec=RVS)
+    eng = items_table(wd).to_pandas().sort_values(["url", "data"])
+    orc = pd.DataFrame(o.items).sort_values(["url", "data"])
+    assert len(eng) == len(orc)
+    assert (eng["data"].values == orc["data"].values).all()
 
 
 def test_keyin_fanout(two_rule_run):
@@ -118,12 +135,25 @@ def test_file_sink_and_csv_sink(two_rule_run, tmp_path):
     some = sorted(os.listdir(base))[0]
     assert open(os.path.join(base, some), "rb").read()  # real payload
 
+    fields_by_rule = {r: TWO_RULE_SPIDER.rules[r].item_fields
+                      for r in TWO_RULE_SPIDER.rules}
     csvs = write_items_csv(wd, str(tmp_path / "csv"), namespace="ns",
-                           item_fields={r: TWO_RULE_SPIDER.rules[r].item_fields
-                                        for r in TWO_RULE_SPIDER.rules})
+                           item_fields=fields_by_rule)
     assert len(csvs) == 2
-    head = open(csvs[0], encoding="utf-8-sig").readline()
-    assert head.startswith("kind,")  # ItemFields header order
+    import csv as _csv
+
+    for path in csvs:
+        rule = os.path.basename(path).rsplit("__", 1)[1][:-4]
+        with open(path, encoding="utf-8-sig") as f:
+            rows = list(_csv.reader(f))
+        # the EXACT header: ItemFields for THIS rule in order, then the
+        # three default columns (output_csv.go parity)
+        assert rows[0] == fields_by_rule[rule] + ["Url", "ParentUrl",
+                                                  "DownloadTime"], path
+        assert len(rows) > 1
+        k = rows[0].index("kind")
+        want_kind = {"page": "list", "detail": "detail"}[rule]
+        assert all(r[k] == want_kind for r in rows[1:]), path
 
     n_rules = write_items_parquet(wd, str(tmp_path / "pq"))
     assert n_rules == 2
@@ -139,11 +169,22 @@ def test_cuckoo_seen_mode_matches_exact(ray_session, small_corpus, tmp_path):
         corpus_dir=small_corpus, workdir=wd_c, round_virtual_sec=RVS,
         num_shards=4, seen_mode="cuckoo", capacity_per_shard=1 << 16,
     )
+    import pandas as pd
+
     s = run_crawl(cfg)
     o = run_oracle(small_corpus, round_virtual_sec=RVS)
     assert s.fetched_ok == sum(1 for r in o.crawl_log if r["ok"])
-    log = crawl_log_table(wd_c).to_pandas()
-    assert len(log) == len(o.crawl_log)
+    # full per-row log equality, same as the exact-mode conformance test —
+    # count-only comparison would miss round/ordering/attempt drift
+    elog = crawl_log_table(wd_c).to_pandas()
+    olog = (
+        pd.DataFrame(o.crawl_log)
+        .sort_values(["round", "priority", "seq"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    assert len(elog) == len(olog)
+    for c in elog.columns:
+        assert (elog[c].values == olog[c].values).all(), c
 
 
 def test_reloadable_bypasses_dedup(ray_session, small_corpus, tmp_path):
@@ -270,16 +311,23 @@ def test_excel_and_sql_sinks(two_rule_run, tmp_path):
     with zipfile.ZipFile(xlsx) as z:
         names = z.namelist()
         assert "xl/workbook.xml" in names
-        sheets = [n for n in names if n.startswith("xl/worksheets/")]
-        assert len(sheets) == 2  # one sheet per rule
         ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
-        root = ElementTree.fromstring(z.read(sheets[0]))
-        rows = root.findall(f"{ns}sheetData/{ns}row")
-        assert len(rows) > 1  # header + data
-        header = [c.find(f"{ns}is/{ns}t").text for c in rows[0]]
-        assert header[: len(fields["detail"])] in (
-            fields["detail"], fields["page"]
-        )
+        wb = ElementTree.fromstring(z.read("xl/workbook.xml"))
+        sheet_names = [s.get("name") for s in wb.findall(f"{ns}sheets/{ns}sheet")]
+        assert sorted(sheet_names) == ["detail", "page"]  # one per rule
+        # EVERY sheet: exact ItemFields header for ITS rule + correct data
+        for i, rule in enumerate(sheet_names):
+            root = ElementTree.fromstring(z.read(f"xl/worksheets/sheet{i+1}.xml"))
+            rows = root.findall(f"{ns}sheetData/{ns}row")
+            assert len(rows) > 1, rule  # header + data
+            header = [c.find(f"{ns}is/{ns}t").text for c in rows[0]]
+            assert header == fields[rule] + ["Url", "ParentUrl",
+                                             "DownloadTime"], rule
+            k = header.index("kind")
+            want_kind = {"page": "list", "detail": "detail"}[rule]
+            for r in rows[1:]:
+                cell = r[k].find(f"{ns}is/{ns}t")
+                assert cell is not None and cell.text == want_kind
 
     db = str(tmp_path / "items.db")
     tables = get_sink("sql")(wd, db, namespace="ns", item_fields=fields)

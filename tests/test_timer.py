@@ -53,9 +53,12 @@ def test_run_recurring_chains_history(ray_session, small_corpus, tmp_path):
         it = items_table(s[i].workdir).to_pandas()
         if len(it):
             day[i] = sorted(set(d[:10] for d in it["download_time"]))
-    if 0 in day and 1 in day:
-        assert max(day[0]) < min(day[1]), \
-            "tick 1 items must carry later virtual dates than tick 0"
+    # ticks 0 and 1 MUST have items (tick 0 crawls the corpus; tick 1
+    # retries tick 0's failures) — a silent skip here would unpin the
+    # advancing-clock semantics this test exists for
+    assert 0 in day and 1 in day, f"ticks missing items: {sorted(day)}"
+    assert max(day[0]) < min(day[1]), \
+        "tick 1 items must carry later virtual dates than tick 0"
 
 
 def test_virtual_t0_conformance(ray_session, small_corpus, tmp_path):
