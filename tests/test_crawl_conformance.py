@@ -159,3 +159,35 @@ def test_robots_disallow_never_fetched(crawl_pair):
     wd, _, _ = crawl_pair
     elog = crawl_log_table(wd).to_pandas()
     assert not elog["url"].str.contains("/private/").any()
+
+
+@pytest.mark.parametrize("seed,n_pages,n_hosts", [(7, 150, 3), (99, 100, 6)])
+def test_conformance_across_corpus_seeds(ray_session, tmp_path, seed,
+                                         n_pages, n_hosts):
+    """The byte-equality invariant must hold on DIFFERENT link graphs, not
+    just the shared fixture corpus: vary generator seed, host count, and
+    page count (different zipf splits, failure markers, robots layouts)."""
+    import pandas as pd
+
+    from pholcus_ray.sources.pages import cached_corpus
+
+    corpus = cached_corpus(n_pages=n_pages, n_hosts=n_hosts, seed=seed)
+    wd = str(tmp_path / f"seed{seed}")
+    run_crawl(CrawlConfig(corpus_dir=corpus, workdir=wd,
+                          round_virtual_sec=RVS, fetch_concurrency=2,
+                          num_shards=4))
+    o = run_oracle(corpus, round_virtual_sec=RVS)
+    elog = crawl_log_table(wd).to_pandas()
+    olog = (
+        pd.DataFrame(o.crawl_log)
+        .sort_values(["round", "priority", "seq"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    assert len(elog) == len(olog) and len(elog) > 0
+    for c in elog.columns:
+        assert (elog[c].values == olog[c].values).all(), (seed, c)
+    eng_items = items_table(wd).to_pandas().sort_values(["url", "data"])
+    orc_items = pd.DataFrame(o.items).sort_values(["url", "data"])
+    assert (eng_items["data"].values == orc_items["data"].values).all()
+    ek = url_seen_keys(wd)
+    assert len(ek) == len(o.url_seen) and (ek == o.url_seen).all()
