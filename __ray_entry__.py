@@ -365,6 +365,40 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents ORDER BY doc_id
         """,
+        "lang_id": r"""
+            -- the engine's exact deterministic heuristic (textdata.
+            -- langid_predict): '' -> und; CJK char ratio > 0.05 -> zh; else
+            -- argmax stopword hit-rate over (en,es,de,fr) with first-in-
+            -- order tie-breaking (a later lang wins only with a STRICTLY
+            -- greater score); all-zero scores -> en
+            WITH t AS (
+              SELECT text,
+                     length(text) AS L,
+                     length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE list_transform(
+                              regexp_split_to_array(trim(text), '\s+'),
+                              w -> lower(w)) END AS toks
+              FROM documents
+            ), s AS (
+              SELECT text, L, cjk,
+                     len(list_filter(toks, w -> w IN ('the','and','of','to','a','in','is','that','it','for'))) * 1.0 / greatest(1, len(toks)) AS se,
+                     len(list_filter(toks, w -> w IN ('el','la','de','que','y','en','un','una','los','las'))) * 1.0 / greatest(1, len(toks)) AS ss,
+                     len(list_filter(toks, w -> w IN ('der','die','das','und','ist','nicht','ein','mit','für','auf'))) * 1.0 / greatest(1, len(toks)) AS sd,
+                     len(list_filter(toks, w -> w IN ('le','la','les','de','des','et','est','une','dans','pour'))) * 1.0 / greatest(1, len(toks)) AS sf
+              FROM t
+            ), p AS (
+              SELECT CASE
+                WHEN text = '' THEN 'und'
+                WHEN cjk * 1.0 / greatest(1, L) > 0.05 THEN 'zh'
+                WHEN sf > se AND sf > ss AND sf > sd THEN 'fr'
+                WHEN sd > se AND sd > ss THEN 'de'
+                WHEN ss > se THEN 'es'
+                ELSE 'en' END AS lang_pred
+              FROM s
+            )
+            SELECT lang_pred, COUNT(*) AS n FROM p GROUP BY 1 ORDER BY 1
+        """,
         "ann_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings WHERE vec_id = 0)

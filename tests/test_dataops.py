@@ -48,7 +48,7 @@ def ducksf():
      "events_sliding_window", "ann_ivf_full_probe", "value_quantiles",
      "split_by_hash", "dup_clusters", "events_prop_stats",
      "training_corpus_summary", "embedding_centroids",
-     "contamination_check"],
+     "contamination_check", "lang_id"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -109,7 +109,39 @@ def test_dedup_exact_finds_planted_dups(ray_session, dup_docs_dir):
     assert dups.set_index("keep_id")["n_copies"].to_dict() == {0: 2, 3: 2}
 
 
-def test_mulmod_p61_exact_vs_bigint():
+def test_langid_sql_oracle_parity_adversarial():
+    """The lang_id SQL oracle must reproduce langid_predict on the hard
+    cases the sf corpora don't exercise: empty/whitespace docs, every
+    stopword profile, cross-language ties (first-in-order wins), the CJK
+    ratio boundary, and unicode case-folding."""
+    import duckdb
+    import pyarrow as pa
+
+    import __ray_entry__ as E
+    from pholcus_ray.pipelines.textdata import langid_predict
+
+    texts = [
+        "", "   ", "the cat and the dog is in it for a that",
+        "el que la y en un una los las de",
+        "der die das und ist nicht ein mit für auf",
+        "le la les de des et est une dans pour",
+        "de la le",          # es/fr overlap -> fr wins strictly
+        "und the de",        # three-way tie -> en (first in order)
+        "一二三四五六七八九十 hello",
+        "one 一 two three four five six seven eight nine ten eleven twelve",
+        "FÜR UND IST DAS",   # unicode lower()
+        "xyz qqq www",       # zero scores -> en
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    sql = E.oracle_sql()["lang_id"]
+    got = dict(con.execute(sql).fetchall())
+    want: dict = {}
+    for p in langid_predict(texts):
+        want[p] = want.get(p, 0) + 1
+    assert got == want
     """The vectorized Mersenne mulmod must equal python big-int arithmetic
     (a plain uint64 multiply would wrap mod 2^64 and bias the minhash)."""
     import numpy as np
