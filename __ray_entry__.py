@@ -365,6 +365,50 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents ORDER BY doc_id
         """,
+        "text_quality": r"""
+            -- full quality-feature parity: the engine rounds ratios half-UP
+            -- (floor(v*1e6+0.5)/1e6) precisely so this oracle can mirror it
+            -- (python round() is half-even, DuckDB ROUND half-away). The
+            -- corpus is ASCII, so RE2's ascii \w == python's unicode \w here.
+            WITH t AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS toks
+              FROM documents
+            ), f AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+                         AS n_bpe_tokens,
+                     length(regexp_replace(text, '[0-9A-Za-z\t\n\f\r\v ]', '', 'g'))
+                         AS punct,
+                     length(text) AS L,
+                     len(list_filter(toks, w -> lower(w) IN
+                         ('the','a','an','of','to','in','and','or','is',
+                          'are','for','on','with','as','at','by'))) AS stop_hits,
+                     COALESCE(list_sum(list_transform(toks, w -> length(w))), 0)
+                         AS sum_len
+              FROM t
+            ), r AS (
+              SELECT doc_id, n_tokens, n_bpe_tokens,
+                     FLOOR(punct * 1.0 / greatest(1, L) * 1000000 + 0.5)
+                         / 1000000.0 AS punct_ratio,
+                     FLOOR(stop_hits * 1.0 / greatest(1, n_tokens) * 1000000
+                           + 0.5) / 1000000.0 AS stop_ratio,
+                     FLOOR(sum_len * 1.0 / greatest(1, n_tokens) * 1000000
+                           + 0.5) / 1000000.0 AS mean_token_len
+              FROM f
+            )
+            SELECT doc_id, n_tokens, n_bpe_tokens, punct_ratio, stop_ratio,
+                   mean_token_len,
+                   FLOOR((CASE WHEN n_tokens BETWEEN 5 AND 100000
+                               THEN 1.0 ELSE 0.3 END)
+                         * (1.0 - least(punct_ratio * 4, 0.9))
+                         * (0.5 + least(stop_ratio * 2.5, 0.5))
+                         * 1000000 + 0.5) / 1000000.0 AS quality
+            FROM r ORDER BY doc_id
+        """,
         "lang_id": r"""
             -- the engine's exact deterministic heuristic (textdata.
             -- langid_predict): '' -> und; CJK char ratio > 0.05 -> zh; else

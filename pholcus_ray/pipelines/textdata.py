@@ -847,6 +847,15 @@ def text_quality_stats(sf_dir: str) -> rd.Dataset:
 _BPE_RE = re.compile(r"\w+|[^\w\s]")
 
 
+def _round6(v: float) -> float:
+    """Half-UP rounding to 6 decimals — python round() is half-to-even,
+    DuckDB ROUND is half-away; floor(v*1e6+0.5) is the one scheme both
+    sides compute bit-identically (the SQL oracle mirrors it)."""
+    import math
+
+    return math.floor(v * 1e6 + 0.5) / 1e6
+
+
 def text_quality(sf_dir: str) -> rd.Dataset:
     """Per-doc quality features: whitespace tokens, BPE-ish tokens,
     punct ratio, stopword ratio, mean token length, quality score."""
@@ -869,14 +878,13 @@ def text_quality(sf_dir: str) -> rd.Dataset:
             bpe = _BPE_RE.findall(x)
             n = max(1, len(toks))
             punct = sum(1 for c in x if not c.isalnum() and not c.isspace())
-            pr = round(punct / max(1, len(x)), 6)
-            sr = round(sum(1 for w in toks if w.lower() in stop) / n, 6)
-            mtl = round(sum(len(w) for w in toks) / n, 6)
-            q = round(
+            pr = _round6(punct / max(1, len(x)))
+            sr = _round6(sum(1 for w in toks if w.lower() in stop) / n)
+            mtl = _round6(sum(len(w) for w in toks) / n)
+            q = _round6(
                 (1.0 if 5 <= len(toks) <= 100000 else 0.3)
                 * (1.0 - min(pr * 4, 0.9))
-                * (0.5 + min(sr * 2.5, 0.5)),
-                6,
+                * (0.5 + min(sr * 2.5, 0.5))
             )
             rows["n_tokens"].append(len(toks))
             rows["n_bpe_tokens"].append(len(bpe))

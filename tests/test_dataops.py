@@ -48,7 +48,7 @@ def ducksf():
      "events_sliding_window", "ann_ivf_full_probe", "value_quantiles",
      "split_by_hash", "dup_clusters", "events_prop_stats",
      "training_corpus_summary", "embedding_centroids",
-     "contamination_check", "lang_id"],
+     "contamination_check", "lang_id", "text_quality"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
