@@ -146,12 +146,6 @@ def _has_files(path: str) -> bool:
     return _nrows(path) > 0
 
 
-def _read(path: str, schema: pa.Schema) -> rd.Dataset:
-    if _has_files(path):
-        return rd.read_parquet(path)
-    return rd.from_arrow(schema.empty_table())
-
-
 def _write(ds: rd.Dataset, path: str, schema: pa.Schema) -> int:
     """Write a dataset to a fresh dir; guarantee at least schema metadata."""
     if os.path.isdir(path):
@@ -190,6 +184,14 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
         "seen_mode": cfg.seen_mode,
         "num_shards": cfg.num_shards,
         "limit": cfg.limit,
+        "try_times": cfg.try_times,
+        "obey_robots": cfg.obey_robots,
+        "max_depth": cfg.max_depth,
+        "keyins": list(cfg.keyins),
+        "seeds_path": cfg.seeds_path,
+        "spider": cfg.spider.name,
+        "inherit_from": cfg.inherit_from,
+        "ua_pool": list(cfg.ua_pool) if cfg.ua_pool else None,
         # bumped when RESULT_SCHEMA changes; a workdir checkpointed under an
         # older layout is restarted cold instead of mixing schemas
         "result_schema_version": _RESULT_SCHEMA_VERSION,
@@ -215,6 +217,16 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
     with open(cfg_path, "w") as f:
         json.dump(cfg_json, f, indent=2)
     if state is None:
+        # COLD START on a previously-used workdir (resume=False, or nothing
+        # restorable): clear every prior run's artifacts — stale complete
+        # round dirs would otherwise leak into crawl_log/items projections,
+        # a stale final/url_seen.parquet would outlive a seen-mode change,
+        # and a stale inherited/ delta would be replayed by a later resume.
+        for sub in ("rounds", "final", "inherited"):
+            p = os.path.join(cfg.workdir, sub)
+            if os.path.isdir(p) and os.listdir(p):
+                shutil.rmtree(p)
+        os.makedirs(rounds_dir, exist_ok=True)
         seeds_tbl = pq.read_table(
             cfg.seeds_path or os.path.join(cfg.corpus_dir, "seeds.parquet")
         )
@@ -393,6 +405,11 @@ def _estimate_candidates(cfg: CrawlConfig, state: dict, rounds_dir: str) -> int:
 # ``items`` payload keeps candidate builds to slim-column reads
 _EXPLODE_COLUMNS = ["url", "seq", "depth", "keyin", "links"]
 
+# _result_to_items touches only these; reading the full schema would drag
+# the heavy links list-structs and binary file payloads through every items
+# projection (and every sink built on it)
+_ITEMS_COLUMNS = ["url", "referer", "rule", "items"]
+
 
 def _candidate_table(cfg: CrawlConfig, state: dict, rounds_dir: str) -> pa.Table:
     """Driver-local candidate table (small rounds only)."""
@@ -535,8 +552,10 @@ def _run_round_distributed(cfg, state, rounds_dir, rdir, seen, budget,
         resolve_claim, batch_format="pyarrow"
     ).materialize()  # BARRIER: all politeness claims registered
     ds = fresh.map_batches(resolve_cap, batch_format="pyarrow")
-    if remaining is not None:
-        # quota needs the global order; sort is itself an AllToAll barrier
+    if remaining is not None and remaining < est:
+        # quota can only bind when remaining < est (est >= scheduled rows);
+        # only then is the global-order AllToAll sort paid — a slack limit
+        # must not violate the no-round-loop-shuffles invariant
         ds = ds.sort(["priority", "seq"], descending=[True, False]).limit(remaining)
     result = _apply_fetch(ds, cfg, fp_kwargs)
     n_sched = _write(result, os.path.join(rdir, "result"), RESULT_SCHEMA)
@@ -801,7 +820,8 @@ def _inherit_history(cfg: CrawlConfig, seen: ShardedSeen,
 # silently produces a different crawl from the checkpointed prefix.
 _RESUME_CRITICAL = (
     "corpus_dir", "round_virtual_sec", "virtual_t0_sec", "default_delay_sec",
-    "seen_mode", "num_shards",
+    "seen_mode", "num_shards", "try_times", "obey_robots", "max_depth",
+    "keyins", "seeds_path", "spider", "inherit_from", "ua_pool",
 )
 
 # bump when RESULT_SCHEMA / round-dir layout changes; old workdirs are
@@ -984,7 +1004,8 @@ def items_table(workdir: str) -> pa.Table:
     rvs, t0 = _run_clock(workdir)
     parts = []
     for r, d in _round_dirs(workdir):
-        t = _read_table(os.path.join(d, "result"), RESULT_SCHEMA)
+        t = _read_table(os.path.join(d, "result"), RESULT_SCHEMA,
+                        columns=_ITEMS_COLUMNS)
         if t.num_rows:
             it = _result_to_items(t, r, rvs, t0)
             if it.num_rows:
@@ -1002,7 +1023,7 @@ def items_dataset(workdir: str) -> rd.Dataset:
         res_dir = os.path.join(d, "result")
         if _has_files(res_dir):
             dss.append(
-                rd.read_parquet(res_dir).map_batches(
+                rd.read_parquet(res_dir, columns=_ITEMS_COLUMNS).map_batches(
                     lambda t, _r=r, _v=rvs, _t0=t0: _result_to_items(t, _r, _v, _t0),
                     batch_format="pyarrow",
                 )
@@ -1018,7 +1039,13 @@ def items_dataset(workdir: str) -> rd.Dataset:
 
 
 def url_seen_keys(workdir: str) -> np.ndarray:
-    t = pq.read_table(os.path.join(workdir, "final", "url_seen.parquet"))
+    p = os.path.join(workdir, "final", "url_seen.parquet")
+    if not os.path.exists(p):
+        raise FileNotFoundError(
+            f"{p}: the exact url_seen dump is written only for "
+            "seen_mode='exact' runs (a cuckoo filter cannot enumerate keys)"
+        )
+    t = pq.read_table(p)
     return t["key"].to_numpy()
 
 

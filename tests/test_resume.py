@@ -100,6 +100,34 @@ def test_resume_discards_incomplete_round(ray_session, small_corpus, tmp_path):
     assert (ic["data"].values == idd["data"].values).all()
 
 
+def test_cold_start_clears_prior_runs_artifacts(ray_session, small_corpus,
+                                                tmp_path):
+    """resume=False on a used workdir (the remedy the resume-validation
+    error recommends) must NOT mix the old run's round dirs into the new
+    run's projections: a 10-round run restarted cold as a 2-round run
+    leaves exactly 2 round dirs, and crawl_log sees only them."""
+    import os
+
+    wd = str(tmp_path / "reuse")
+    cfg = CrawlConfig(corpus_dir=small_corpus, workdir=wd,
+                      round_virtual_sec=RVS, fetch_concurrency=2,
+                      num_shards=4)
+    s_full = run_crawl(cfg)
+    assert s_full.rounds > 2
+
+    cfg2 = CrawlConfig(corpus_dir=small_corpus, workdir=wd,
+                       round_virtual_sec=RVS, fetch_concurrency=2,
+                       num_shards=4, max_rounds=2, resume=False)
+    s2 = run_crawl(cfg2)
+    assert s2.rounds == 2
+    rounds = [d for d in os.listdir(os.path.join(wd, "rounds"))
+              if d.startswith("round_")]
+    assert len(rounds) == 2, f"stale round dirs survived: {sorted(rounds)}"
+    log = crawl_log_table(wd).to_pandas()
+    assert set(log["round"]) <= {0, 1}
+    assert s2.fetched_ok + s2.fetched_fail == len(log)
+
+
 def test_resume_rejects_changed_critical_config(ray_session, small_corpus, tmp_path):
     """Resuming with a different num_shards would re-route seen keys
     (key % S) and silently mis-shard the restored set — must fail loudly."""
