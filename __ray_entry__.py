@@ -447,7 +447,7 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id,
-                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos
+                   round_even(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos
             FROM embeddings e, q
             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, e.vec_id
             LIMIT 10
@@ -456,7 +456,7 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id,
-                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos
+                   round_even(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos
             FROM embeddings e, q
             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, e.vec_id
             LIMIT 10
@@ -640,7 +640,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": """
             WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
             SELECT a.vec_id AS a, b.vec_id AS b,
-                   ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+                   round_even(list_cosine_similarity(a.emb, b.emb), 6) AS cos
             FROM e2 a, e2 b
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.emb, b.emb) >= 0.3
@@ -668,7 +668,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_batch": """
             WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                   ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cos,
+                   round_even(list_cosine_similarity(a.emb, b.emb), 6) AS cos,
                    CAST(row_number() OVER (
                         PARTITION BY a.vec_id
                         ORDER BY list_cosine_similarity(a.emb, b.emb) DESC, b.vec_id

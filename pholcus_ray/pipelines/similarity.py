@@ -241,14 +241,26 @@ def ann_ivf(sf_dir: str, k: int = 10, query_vec_id: int = 0,
         return pa.table(
             {
                 "vec_id": pa.array(ids[order], pa.int64()),
-                "cos": pa.array(np.round(cos[order], 6), pa.float64()),
+                # UNROUNDED through the global sort: rounding first would
+                # rank by the 6-decimal bin and desync the full-probe SQL
+                # oracle, which orders by exact cosine (ann_topk pattern)
+                "cos": pa.array(cos[order], pa.float64()),
             }
+        )
+
+    def round_cos(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.set_column(
+            t.schema.get_field_index("cos"), "cos",
+            pa.array(np.round(t["cos"].to_numpy(zero_copy_only=False), 6)),
         )
 
     return (
         ds.map_batches(local, batch_format="pyarrow")
         .sort([("cos"), ("vec_id")], descending=[True, False])
         .limit(k)
+        .map_batches(round_cos, batch_format="pyarrow")
     )
 
 

@@ -317,9 +317,13 @@ def join_pairs_with_doc_attr(pairs: rd.Dataset, attrs: rd.Dataset, attr: str,
             "part": pa.array((did.astype(np.uint64) % nparts).astype(np.int32)),
             "doc_id": t["doc_id"],
             "attr": t[attr],
-            "side": pa.nulls(n, pa.int8()),
-            "a": pa.nulls(n, pa.int64()),
-            "b": pa.nulls(n, pa.int64()),
+            # -1 SENTINELS, not nulls: a null int64 column round-trips
+            # through the pandas map_groups as float64, which silently
+            # corrupts doc ids above 2^53 (the realistic key width for
+            # content-hash ids at corpus scale)
+            "side": pa.array(np.full(n, -1, np.int8)),
+            "a": pa.array(np.full(n, -1, np.int64)),
+            "b": pa.array(np.full(n, -1, np.int64)),
         }
         for c in extra_cols:
             cols[c] = pa.nulls(n, pair_schema.field(c).type)
@@ -348,7 +352,7 @@ def join_pairs_with_doc_attr(pairs: rd.Dataset, attrs: rd.Dataset, attr: str,
         return pa.table(cols)
 
     def _attach(g: pd.DataFrame) -> pd.DataFrame:
-        is_doc = g["side"].isna()
+        is_doc = g["side"] == -1
         lut = dict(zip(g.loc[is_doc, "doc_id"], g.loc[is_doc, "attr"]))
         # pair dedup is FUSED here: all copies of a pair's side-0 row land
         # in partition a%P and all side-1 copies in b%P, so a local
@@ -425,6 +429,11 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5,
     (join_pairs_with_doc_attr). Nothing touches the driver; no per-worker
     O(corpus) lookup is ever built.
     """
+    if num_perm % bands:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be a multiple of bands ({bands}) "
+            "for equal-width LSH banding"
+        )
     ds = _read_documents(sf_dir, columns=["doc_id", "text"])
     sig_ds = ds.map_batches(
         MinHasher,
@@ -517,7 +526,7 @@ def _simhash_rows(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
@@ -605,9 +614,14 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3, n: int = 3,
     """
     docs = _read_documents(sf_dir, columns=["doc_id", "text"])
     # unsorted candidate stream: the join immediately re-shuffles, so a
-    # global sort here would be a pure wasted AllToAll barrier. The LSH
-    # pre-filter must admit every pair the caller's exact threshold could
-    # keep — clamp it to min(0.2, threshold), never above.
+    # global sort here would be a pure wasted AllToAll barrier. NOTE the
+    # candidate metric is WORD-shingle MinHash while the verify is exact
+    # CHAR-n-gram Jaccard — recall is therefore approximate (a pair of
+    # word-permuted docs can share most char-grams yet no word shingles);
+    # clamping the pre-filter to min(0.2, threshold) only guarantees the
+    # estimate-threshold never exceeds the caller's. For COMPLETE
+    # char-gram recall use ngram_jaccard_exact (prefix-filtered set-
+    # similarity join, no LSH).
     cands = minhash_lsh_pairs(sf_dir, threshold=min(0.2, threshold),
                               join_partitions=join_partitions)
 
@@ -624,7 +638,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3, n: int = 3,
             sb = _char_ngrams(tb, n)
             j = len(sa & sb) / max(1, len(sa | sb))
             keep.append(j >= threshold)
-            jac.append(round(j, 6))
+            jac.append(_round6(j))  # half-UP: the repo's ratio convention
         t = t.append_column("jaccard", pa.array(jac, pa.float64()))
         return t.filter(pa.array(keep, pa.bool_())).drop_columns(
             ["est_jaccard", "text_a", "text_b"]
@@ -679,9 +693,14 @@ def ngram_jaccard_exact(sf_dir: str, threshold: float = 0.6, n: int = 3,
     makes the indexed gram groups small, so the per-gram pair blowup that
     sinks a naive token join (sum of count² over hot grams) never forms.
 
-    Grams travel as 64-bit hashes; hash collisions only merge grams, which
-    can only raise estimated overlap — candidates stay a superset and the
-    text-based verify keeps the output exact. The gram doc-frequency table
+    Grams travel as 64-bit hashes. A collision between grams on the SAME
+    side usually merges them and raises estimated overlap (candidates stay
+    a superset); the one exception is a collision between two grams inside
+    the true intersection, which can shrink the hashed intersection and —
+    with probability ~2^-63 per gram pair — drop a qualifying candidate
+    before the text-based verify. Exactness is therefore modulo 63-bit
+    hash collisions, the same caveat as every hash-partitioned dedup in
+    this module. The gram doc-frequency table
     is broadcast (bounded by the observed char-n-gram space); for corpora
     whose gram space outgrows a broadcast, swap it for a dataset-side
     frequency join keyed the same way.
