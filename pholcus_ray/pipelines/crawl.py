@@ -173,9 +173,15 @@ def _bool_np(col) -> np.ndarray:
 
 
 def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
+    from ..functions.uapool import current_pool
+
     os.makedirs(cfg.workdir, exist_ok=True)
     rounds_dir = os.path.join(cfg.workdir, "rounds")
     os.makedirs(rounds_dir, exist_ok=True)
+    # the EFFECTIVE pool (driver default captured at launch when cfg has
+    # none) is what must be validated on resume — recording a null would
+    # let a resumed process continue with a silently different default
+    ua_pool = tuple(cfg.ua_pool) if cfg.ua_pool else current_pool()
     cfg_json = {
         "corpus_dir": cfg.corpus_dir,
         "round_virtual_sec": cfg.round_virtual_sec,
@@ -191,7 +197,7 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
         "seeds_path": cfg.seeds_path,
         "spider": cfg.spider.name,
         "inherit_from": cfg.inherit_from,
-        "ua_pool": list(cfg.ua_pool) if cfg.ua_pool else None,
+        "ua_pool": list(ua_pool),
         # bumped when RESULT_SCHEMA changes; a workdir checkpointed under an
         # older layout is restarted cold instead of mixing schemas
         "result_schema_version": _RESULT_SCHEMA_VERSION,
@@ -259,15 +265,13 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
         jar = CookieJar.from_state(state.get("jar_state"))
     from ..stages.fetchparse import preload_corpus
 
-    from ..functions.uapool import current_pool
-
     fp_base = dict(
         corpus_dir=cfg.corpus_dir,
         spider=cfg.spider,
         n_buckets=n_buckets,
         try_times=cfg.try_times,
         bucket_refs=preload_corpus(cfg.corpus_dir, n_buckets),
-        ua_pool=tuple(cfg.ua_pool) if cfg.ua_pool else current_pool(),
+        ua_pool=ua_pool,
     )
 
     while state["round"] < cfg.max_rounds:
@@ -846,13 +850,19 @@ def _restore(cfg: CrawlConfig, seen: ShardedSeen, rounds_dir: str,
         return None
     complete = []
     if os.path.isdir(rounds_dir):
-        def _round_no(name: str) -> int:  # numeric order past %05d padding
-            try:
-                return int(name.rsplit("_", 1)[1])
-            except (IndexError, ValueError):
-                return -1
+        import re as _re
 
-        for d in sorted(os.listdir(rounds_dir), key=_round_no):
+        # only genuine round dirs participate, in NUMERIC order (lexical
+        # order breaks past the %05d padding); a stray file (.nfsXXXX,
+        # editor temp) must be ignored, not treated as an incomplete round
+        # — breaking on it would empty `complete` and the cold-start path
+        # would then wipe every real checkpoint
+        rdirs = sorted(
+            (int(m.group(1)), d)
+            for d in os.listdir(rounds_dir)
+            if (m := _re.fullmatch(r"round_(\d+)", d))
+        )
+        for _n, d in rdirs:
             if os.path.exists(os.path.join(rounds_dir, d, "_COMPLETE.json")):
                 complete.append(d)
             else:

@@ -141,10 +141,8 @@ def run_oracle(
         # 5. global order + limit quota
         sched.sort(key=lambda r: (-r["priority"], r["seq"]))
         if limit is not None:
-            remaining = limit - fetched
-            if remaining <= 0:
-                break
-            sched = sched[:remaining]
+            # remaining > 0 is guaranteed by the top-of-loop quota break
+            sched = sched[: limit - fetched]
         if not sched:
             # mirror the engine exactly: a round with candidates but zero
             # survivors still consumes a round number

@@ -249,8 +249,6 @@ def ann_ivf(sf_dir: str, k: int = 10, query_vec_id: int = 0,
         )
 
     def round_cos(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         return t.set_column(
             t.schema.get_field_index("cos"), "cos",
             pa.array(np.round(t["cos"].to_numpy(zero_copy_only=False), 6)),

@@ -55,10 +55,25 @@ def write_items_parquet(workdir: str, out_dir: str) -> int:
     row (the same reason crawl._write rmtrees first)."""
     import shutil
 
-    if os.path.isdir(out_dir):
-        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
-    items_dataset(workdir).write_parquet(out_dir, partition_cols=["rule"])
+    # replace only OUR rule= partition dirs — the out dir may hold other
+    # exports; nuking the whole tree would destroy unrelated user content
+    for d in os.listdir(out_dir):
+        if d.startswith("rule="):
+            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+
+    def sanitize_rule(t: pa.Table) -> pa.Table:
+        # partition values become path components: same sanitization as the
+        # per-rule csv/excel/sql sinks
+        idx = t.schema.get_field_index("rule")
+        return t.set_column(
+            idx, "rule",
+            pa.array([sanitize_filename(r) for r in t["rule"].to_pylist()],
+                     pa.string()),
+        )
+
+    ds = items_dataset(workdir).map_batches(sanitize_rule, batch_format="pyarrow")
+    ds.write_parquet(out_dir, partition_cols=["rule"])
     return sum(1 for d in os.listdir(out_dir) if d.startswith("rule="))
 
 

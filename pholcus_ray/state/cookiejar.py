@@ -122,7 +122,13 @@ class CookieJar:
 
                     parsed = parsedate_to_datetime(v)
                     if parsed.tzinfo is not None:
-                        parsed = parsed.replace(tzinfo=None)
+                        # convert to UTC wall time (dropping tzinfo directly
+                        # would shift expiry by the zone offset)
+                        from datetime import timezone
+
+                        parsed = parsed.astimezone(timezone.utc).replace(
+                            tzinfo=None
+                        )
                     expires = (parsed - _VIRTUAL_T0).total_seconds()
                 except (TypeError, ValueError):
                     pass
