@@ -41,7 +41,11 @@ def _crawl_workdir(sf_dir: str) -> str:
     the crawl for this SF scale and return its workdir."""
     import shutil
 
-    from pholcus_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from pholcus_ray.pipelines.crawl import (
+        CrawlConfig,
+        ResumeConfigMismatch,
+        run_crawl,
+    )
 
     corpus = _corpus_for(sf_dir)
     wd = os.path.join("/tmp/pholcus_ray_runs", _sf_name(sf_dir))
@@ -54,9 +58,11 @@ def _crawl_workdir(sf_dir: str) -> str:
     )
     try:
         run_crawl(cfg)
-    except ValueError:
+    except ResumeConfigMismatch:
         # stale cached workdir from an older corpus format / config (resume
-        # validation refuses the mismatch): restart it cold
+        # validation refuses the mismatch): restart it cold. ONLY this
+        # exception — a generic ValueError is a real bug and must not
+        # destroy a valid checkpoint.
         shutil.rmtree(wd, ignore_errors=True)
         run_crawl(cfg)
     return wd
@@ -297,7 +303,12 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(r.event_id, -1) AS prior_event_id,
                    COALESCE(epoch_us(l.ts) - epoch_us(r.ts), -1) AS gap_us
             FROM (SELECT * FROM events WHERE event_type = 'purchase') l
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+            -- right side pre-deduped to one row per (user_id, ts) keeping
+            -- max event_id: DuckDB ASOF's pick among equal timestamps is
+            -- unspecified, so the tie-break is stated on BOTH sides
+            ASOF LEFT JOIN (SELECT user_id, ts, MAX(event_id) AS event_id
+                            FROM events WHERE event_type = 'click'
+                            GROUP BY user_id, ts) r
               ON l.user_id = r.user_id AND r.ts <= l.ts
             ORDER BY l.event_id
         """,

@@ -221,12 +221,12 @@ def extract_article(html_text: str) -> str:
 
 
 def floor_n(f: float, n: int) -> float:
-    """Floor f to n decimals (reference Floor, common.go:101-104 uses
-    math.Floor: toward -inf, so floor_n(-1.15, 1) == -1.2, not -1.1)."""
+    """Truncate f to n decimals (reference Floor, common.go:101-104 uses
+    math.Trunc: toward zero, so floor_n(-1.15, 1) == -1.1, not -1.2)."""
     import math
 
     scale = 10**n
-    return math.floor(f * scale) / scale
+    return math.trunc(f * scale) / scale
 
 
 def is_num(s: str) -> bool:

@@ -775,7 +775,7 @@ def _inherit_history(cfg: CrawlConfig, seen: ShardedSeen,
             if k in prev and prev[k] != getattr(cfg, k)
         ]
         if bad:
-            raise ValueError(
+            raise ResumeConfigMismatch(
                 f"cannot inherit from {prev_wd!r}: "
                 + ", ".join(f"{k} {prev[k]!r} != {getattr(cfg, k)!r}" for k in bad)
             )
@@ -817,6 +817,14 @@ def _inherit_history(cfg: CrawlConfig, seen: ShardedSeen,
 
 
 # --- resume -----------------------------------------------------------------
+
+
+class ResumeConfigMismatch(ValueError):
+    """A cached workdir's recorded run_config conflicts with the requested
+    one (resume or inherit validation). Callers that cache workdirs may
+    safely rmtree + restart cold on THIS exception only — a generic
+    ValueError from anywhere else signals a real bug and must not destroy
+    a valid checkpoint (round-2 advisor finding)."""
 
 
 # run_config keys that must be identical to resume a workdir: a changed
@@ -875,7 +883,7 @@ def _restore(cfg: CrawlConfig, seen: ShardedSeen, rounds_dir: str,
             if k in prev_cfg and prev_cfg[k] != cur_cfg.get(k)
         ]
         if diff:
-            raise ValueError(
+            raise ResumeConfigMismatch(
                 f"cannot resume {rounds_dir!r}: config changed for "
                 + ", ".join(f"{k} {prev_cfg[k]!r} -> {cur_cfg.get(k)!r}"
                             for k in diff)

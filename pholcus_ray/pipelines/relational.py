@@ -355,6 +355,11 @@ def events_asof_join(sf_dir: str, left_type: str = "purchase",
             ["ts", "event_id"], kind="mergesort")
         right = g[g["event_type"] == right_type].sort_values(
             ["ts", "event_id"], kind="mergesort")
+        # Explicit tie-break among right rows with identical (user_id, ts):
+        # keep max event_id. DuckDB's ASOF pick among equal timestamps is
+        # unspecified, so the oracle SQL pre-aggregates the same way — the
+        # rule is STATED on both sides rather than inherited from sort order.
+        right = right.drop_duplicates(subset=["user_id", "ts"], keep="last")
         # carry the right-side timestamp under its own name (merge_asof
         # keeps only the left 'on' column)
         right = right.assign(ts_r_us=right["ts"].astype("int64"))

