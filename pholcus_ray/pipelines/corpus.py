@@ -77,9 +77,18 @@ def _corpus_survivors(sf_dir: str, min_tokens: int = 5,
     # near-dup removal: drop non-canonical members of the (whole-corpus)
     # near-dup clusters. The drop set is small by construction (only docs
     # that HAVE a near-dup); broadcast once, filter vectorized.
-    clusters = dup_clusters(sf_dir, threshold=dup_threshold)
-    mask = pc.not_equal(clusters["doc_id"], clusters["cluster_id"])
-    drop = np.asarray(clusters.filter(mask)["doc_id"].combine_chunks())
+    def non_canonical(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        mask = pc.not_equal(t["doc_id"], t["cluster_id"])
+        return t.filter(mask).select(["doc_id"])
+
+    drop_rows = (
+        dup_clusters(sf_dir, threshold=dup_threshold)
+        .map_batches(non_canonical, batch_format="pyarrow")
+        .take_all()
+    )
+    drop = np.array([r["doc_id"] for r in drop_rows], dtype=np.int64)
     drop_ref = ray.put(np.sort(drop))
 
     def apply_gates(t: pa.Table) -> pa.Table:
