@@ -341,9 +341,8 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
         # items / crawl_log / failures are PROJECTIONS of result.parquet —
         # derived lazily (items_table / crawl_log_table / failure rows at
         # requeue) instead of three extra dataset executions per round.
-        n_ok = _count_ok(result_dir) if n_sched else 0
+        n_ok, n_items = _count_ok_items(result_dir) if n_sched else (0, 0)
         n_fail = n_sched - n_ok
-        n_items = _count_items(result_dir) if n_sched else 0
         state["fetched_ok"] += n_ok
         state["fetched_fail"] += n_fail
         state["items"] += n_items
@@ -594,9 +593,16 @@ def _candidates(cfg: CrawlConfig, state: dict, rounds_dir: str) -> rd.Dataset:
 
 
 
-def _count_ok(result_dir: str) -> int:
-    t = _read_table(result_dir, RESULT_SCHEMA, columns=["ok"])
-    return int(_bool_np(t["ok"]).sum()) if t.num_rows else 0
+def _count_ok_items(result_dir: str) -> tuple[int, int]:
+    """(ok count, item count) in ONE column-pruned read of the round's
+    result lineage (was two separate single-column scans)."""
+    t = _read_table(result_dir, RESULT_SCHEMA, columns=["ok", "n_items"])
+    if t.num_rows == 0:
+        return 0, 0
+    return (
+        int(_bool_np(t["ok"]).sum()),
+        int(t["n_items"].to_numpy(zero_copy_only=False).sum()),
+    )
 
 
 def _merge_round_cookies(jar, result_dir: str, virtual_now: float) -> None:
@@ -618,13 +624,6 @@ def _merge_round_cookies(jar, result_dir: str, virtual_now: float) -> None:
     t = t.sort_by("seq")
     for url, sc in zip(t["url"].to_pylist(), t["set_cookie"].to_pylist()):
         jar.set_cookie(url, sc, now=virtual_now)
-
-
-def _count_items(result_dir: str) -> int:
-    t = _read_table(result_dir, RESULT_SCHEMA, columns=["n_items"])
-    if t.num_rows == 0:
-        return 0
-    return int(t["n_items"].to_numpy(zero_copy_only=False).sum())
 
 
 def _count_links(result_dir: str, max_depth: int | None = None) -> int:

