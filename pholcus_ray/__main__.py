@@ -19,6 +19,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--workdir", required=True, help="checkpoint/output dir")
     ap.add_argument("--spider", default="site_text",
                     help="registered spider name (see pholcus_ray.spiderapi)")
+    ap.add_argument("--rules", default=None, metavar="DIR",
+                    help="load declarative *.spider.{json,yaml} files from "
+                         "DIR before resolving --spider (dynamic-rule "
+                         "surface, SURVEY.md ST8; see pholcus_ray.rulefile)")
     ap.add_argument("--keyins", default="", help="comma-separated keyin tokens")
     ap.add_argument("--limit", type=int, default=None, help="maxPage quota")
     ap.add_argument("--max-depth", type=int, default=None)
@@ -48,6 +52,11 @@ def main(argv: list[str] | None = None) -> int:
 
     from .pipelines.crawl import CrawlConfig, run_crawl
     from .spiderapi import get_spider
+
+    if args.rules:
+        from .rulefile import load_spider_dir
+
+        load_spider_dir(args.rules)
 
     cfg = CrawlConfig(
         corpus_dir=args.corpus,
