@@ -232,26 +232,63 @@ def bench_queries() -> tuple[dict, dict]:
     return best, {name: sorted(v) for name, v in runs.items()}
 
 
+def phase_probe(nproc: int = 8, parses: int = 4_000) -> float:
+    """~4s pure-multiprocessing parse probe (no Ray): parses/sec at this
+    instant. Recorded before/after the legs so a machine slow phase shows
+    up IN the bench JSON instead of masquerading as an engine regression
+    (round-2 lesson: the driver's 110.6s crawl sample was a post-load slow
+    phase; a 14s standalone run followed minutes later)."""
+    import multiprocessing as mp
+
+    import pyarrow.dataset as pads
+
+    from pholcus_ray.sources.pages import cached_corpus
+
+    sf_name = os.path.basename(os.path.normpath(SF_DIR))
+    n_pages, n_hosts, w = _BENCH_SCALES.get(sf_name, _BENCH_SCALES["sf0.1"])
+    corpus = cached_corpus(n_pages=n_pages, n_hosts=n_hosts, n_buckets=32,
+                           page_weight=w, far_links=2)
+    global _HW_PAGES
+    _HW_PAGES = pads.dataset(os.path.join(corpus, "pages")).head(
+        500, columns=["html"])["html"].to_pylist()
+    chunk = parses // (nproc * 2)
+    t0 = time.time()
+    with mp.get_context("fork").Pool(nproc) as pool:
+        pool.map(_hw_parse_chunk, [chunk] * (nproc * 2))
+    return round(chunk * nproc * 2 / (time.time() - t0), 1)
+
+
+def _cooldown(sec: float = 60.0) -> None:
+    """Idle through the post-load slow-phase recovery window (measured:
+    a crawl leg run immediately after the sustained legs lands 5-7x slow,
+    the same leg after minutes of idle is fast — see BASELINE.md)."""
+    time.sleep(sec)
+
+
 def main(sustained_only: bool = False) -> None:
     _init_ray()
-    sustained = bench_sustained()
-    query_runs: dict = {}
     if sustained_only:
-        crawl, queries = None, {}
+        sustained = bench_sustained()
+        crawl, queries, query_runs = None, {}, {}
+        probes = {}
     else:
-        # best-of-2 with a thermal-recovery idle between runs: this VM has
-        # multi-hour performance phases (identical legs measured 55.7-113.2s
-        # across a day, see BASELINE.md "scaling vs thermal phases") and a
-        # single-shot sample lands wherever the machine happens to be; both
-        # raw values are reported alongside the headline
-        time.sleep(45)
+        # LEG ORDER: crawl first (coldest machine — the engine-semantics
+        # workload is the most phase-sensitive: 14s fast vs 95-108s in the
+        # post-load slow mode), then the sustained legs, then queries.
+        # Cooldowns between major legs sit inside the measured recovery
+        # window; every leg is best-of-2 with both raw values reported.
+        probes = {"probe_before": phase_probe()}
+        crawl = bench_crawl()
+        _cooldown()
+        sustained = bench_sustained()
+        _cooldown(45)
         s2 = bench_sustained()
         runs = sorted([sustained["sec"], s2["sec"]])
         if s2["sec"] < sustained["sec"]:
             sustained = s2
         sustained = dict(sustained, sec_runs=runs)
-        crawl = bench_crawl()
         queries, query_runs = bench_queries()
+        probes["probe_after"] = phase_probe()
     sf = os.path.basename(os.path.normpath(SF_DIR))
     print(
         json.dumps(
@@ -265,6 +302,7 @@ def main(sustained_only: bool = False) -> None:
                 "sustained": sustained,
                 "crawl": crawl,
                 "query_runs": query_runs,
+                **probes,
             }
         )
     )
