@@ -146,53 +146,73 @@ def write_items_csv_streaming(workdir: str, out_dir: str,
         ctx.execution_options.preserve_order = prev_preserve
 
 
+def _streamed_rules(workdir: str) -> list[str]:
+    """Distinct rule names of the streamed item set (small take_all)."""
+    from .pipelines.crawl import items_dataset
+
+    def distinct(t: pa.Table) -> pa.Table:
+        col = t["rule"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({"rule": pc.unique(col)})
+
+    rows = items_dataset(workdir).map_batches(
+        distinct, batch_format="pyarrow").take_all()
+    return sorted({r["rule"] for r in rows})
+
+
+def _streamed_rule_ds(workdir: str, rule: str):
+    """One rule's items as a lazy (ordered) Dataset."""
+    from .pipelines.crawl import items_dataset
+
+    def only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["rule"], rule))
+
+    return items_dataset(workdir).map_batches(only, batch_format="pyarrow")
+
+
+def _discover_fields_streaming(sub, rule: str,
+                               item_fields: dict[str, list[str]] | None,
+                               ) -> list[str]:
+    """Field list for one rule's streamed item set: ItemFields + the
+    first-5-rows default-column probe when pinned, else exact first-seen
+    order folded from per-batch ordered key lists — O(fields) driver state
+    either way (shared by the streaming CSV and SQL sinks)."""
+    if item_fields and rule in item_fields:
+        fields = list(item_fields[rule])
+        head = [json.loads(r["data"]) for r in sub.limit(5).take_all()]
+        extra = [k for k in ("Url", "ParentUrl", "DownloadTime")
+                 if any(k in d for d in head)]
+        return fields + [f for f in extra if f not in fields]
+
+    def keys_of(t: pa.Table) -> pa.Table:
+        seen_b: list[str] = []
+        for x in t["data"].to_pylist():
+            for k in json.loads(x):
+                if k not in seen_b:
+                    seen_b.append(k)
+        return pa.table({"keys": pa.array([json.dumps(seen_b)])})
+
+    fields: list[str] = []
+    for b in sub.map_batches(keys_of, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+        for lst in b["keys"].to_pylist():
+            for k in json.loads(lst):
+                if k not in fields:
+                    fields.append(k)
+    return fields
+
+
 def _write_items_csv_streaming(out_dir: str, namespace: str,
                                item_fields: dict[str, list[str]] | None,
                                workdir: str) -> list[str]:
     import csv
     import io
 
-    from .pipelines.crawl import items_dataset
-
-    def _rules_of() -> list[str]:
-        def distinct(t: pa.Table) -> pa.Table:
-            return pa.table({"rule": pc.unique(t["rule"].combine_chunks()
-                                               if isinstance(t["rule"], pa.ChunkedArray)
-                                               else t["rule"])})
-        rows = items_dataset(workdir).map_batches(
-            distinct, batch_format="pyarrow").take_all()
-        return sorted({r["rule"] for r in rows})
-
-    def _rule_ds(rule: str):
-        def only(t: pa.Table) -> pa.Table:
-            return t.filter(pc.equal(t["rule"], rule))
-        return items_dataset(workdir).map_batches(only, batch_format="pyarrow")
-
     written: list[str] = []
-    for rule in _rules_of():
-        sub = _rule_ds(rule)
-        if item_fields and rule in item_fields:
-            fields = list(item_fields[rule])
-            head = [json.loads(r["data"]) for r in sub.limit(5).take_all()]
-            extra = [k for k in ("Url", "ParentUrl", "DownloadTime")
-                     if any(k in d for d in head)]
-            fields += [f for f in extra if f not in fields]
-        else:
-            def keys_of(t: pa.Table) -> pa.Table:
-                seen_b: list[str] = []
-                for x in t["data"].to_pylist():
-                    for k in json.loads(x):
-                        if k not in seen_b:
-                            seen_b.append(k)
-                return pa.table({"keys": pa.array([json.dumps(seen_b)])})
-
-            fields = []
-            for b in sub.map_batches(keys_of, batch_format="pyarrow") \
-                        .iter_batches(batch_format="pyarrow"):
-                for lst in b["keys"].to_pylist():
-                    for k in json.loads(lst):
-                        if k not in fields:
-                            fields.append(k)
+    for rule in _streamed_rules(workdir):
+        sub = _streamed_rule_ds(workdir, rule)
+        fields = _discover_fields_streaming(sub, rule, item_fields)
 
         def render(t: pa.Table, _fields=tuple(fields)) -> pa.Table:
             buf = io.StringIO()
@@ -454,6 +474,62 @@ def write_items_sql(workdir: str, db_path: str, namespace: str = "pholcus",
         conn.commit()
     finally:
         conn.close()
+    return tables
+
+
+def write_items_sql_streaming(workdir: str, db_path: str,
+                              namespace: str = "pholcus",
+                              item_fields: dict[str, list[str]] | None = None,
+                              connect_fn: Callable | None = None,
+                              batch_rows: int = 512) -> list[str]:
+    """Unbounded-item-set SQL export: same tables/rows as
+    :func:`write_items_sql` but the item set streams to the connection in
+    ``batch_rows`` batches via ordered ``iter_batches`` — O(batch) driver
+    memory, the reference collector's own shape (collector.go:104-117
+    streams 512-row batches to output_mysql.go). Field discovery shares the
+    streaming CSV sink's two-pass protocol."""
+    import sqlite3
+
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    prev_preserve = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    conn = (connect_fn or (lambda: sqlite3.connect(db_path)))()
+    tables: list[str] = []
+    try:
+        cur = conn.cursor()
+
+        def _q(ident: str) -> str:
+            return '"' + ident.replace('"', '""') + '"'
+
+        for rule in _streamed_rules(workdir):
+            sub = _streamed_rule_ds(workdir, rule)
+            fields = _discover_fields_streaming(sub, rule, item_fields)
+            tname = sanitize_filename(f"{namespace}__{rule}").replace(" ", "_")
+            cols = ", ".join(f"{_q(f)} TEXT" for f in fields)
+            cur.execute(f"CREATE TABLE IF NOT EXISTS {_q(tname)} ({cols})")
+            cur.execute(f"DELETE FROM {_q(tname)}")
+            ph = ", ".join("?" for _ in fields)
+            col_list = ", ".join(_q(f) for f in fields)
+            sql = f"INSERT INTO {_q(tname)} ({col_list}) VALUES ({ph})"
+            for b in sub.iter_batches(batch_size=batch_rows,
+                                      batch_format="pyarrow"):
+                rows = []
+                for x in b["data"].to_pylist():
+                    d = json.loads(x)
+                    rows.append(tuple(
+                        v if isinstance(v, str)
+                        else json.dumps(v, ensure_ascii=False)
+                        for v in (d.get(f, "") for f in fields)
+                    ))
+                if rows:
+                    cur.executemany(sql, rows)
+            tables.append(tname)
+        conn.commit()
+    finally:
+        conn.close()
+        ctx.execution_options.preserve_order = prev_preserve
     return tables
 
 

@@ -161,6 +161,32 @@ def test_file_sink_and_csv_sink(two_rule_run, tmp_path):
     assert t.num_rows > 0
 
 
+def test_streaming_sql_matches_collected_rows(two_rule_run, tmp_path):
+    """The streaming SQL export must produce the same tables with identical
+    row content AND insert order as the collected writer (rowid order =
+    items order), pinned and discovered field modes."""
+    import sqlite3
+
+    from pholcus_ray.sinks import write_items_sql, write_items_sql_streaming
+
+    wd, _ = two_rule_run
+    fields_by_rule = {r: TWO_RULE_SPIDER.rules[r].item_fields
+                      for r in TWO_RULE_SPIDER.rules}
+    for tag, fbr in (("pinned", fields_by_rule), ("discovered", None)):
+        db_a = str(tmp_path / f"a_{tag}.db")
+        db_b = str(tmp_path / f"b_{tag}.db")
+        ta = write_items_sql(wd, db_a, namespace="ns", item_fields=fbr)
+        tb = write_items_sql_streaming(wd, db_b, namespace="ns",
+                                       item_fields=fbr)
+        assert ta == tb
+        ca, cb = sqlite3.connect(db_a), sqlite3.connect(db_b)
+        for t in ta:
+            ra = ca.execute(f'SELECT * FROM "{t}" ORDER BY rowid').fetchall()
+            rb = cb.execute(f'SELECT * FROM "{t}" ORDER BY rowid').fetchall()
+            assert ra == rb and len(ra) > 0, (tag, t)
+        ca.close(), cb.close()
+
+
 def test_streaming_csv_matches_collected_bytes(two_rule_run, tmp_path):
     """The unbounded-item streaming CSV export must produce byte-identical
     files to the collected reference-parity writer — with ItemFields pinned
