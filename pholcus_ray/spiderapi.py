@@ -321,7 +321,15 @@ _REGISTRY: dict[str, Spider] = {}
 
 
 def register(spider: Spider) -> Spider:
-    _REGISTRY[spider.name] = spider
+    """Register a spider; a duplicate name gets a numeric suffix ``(2)``,
+    ``(3)``, … instead of clobbering (species.go:25-38 Add semantics)."""
+    name = spider.name
+    i = 2
+    while name in _REGISTRY:
+        name = f"{spider.name}({i})"
+        i += 1
+    spider.name = name
+    _REGISTRY[name] = spider
     return spider
 
 
@@ -329,8 +337,26 @@ def get_spider(name: str) -> Spider:
     return _REGISTRY[name]
 
 
+def _pinyin_initials_key(name: str) -> bytes:
+    """Approximate pinyin sort key (species.go:41-59; common/pinyin
+    SortInitials sorts menu entries by each rune's pinyin spelling).
+
+    Instead of shipping a pinyin table, this exploits a public property of
+    the GB2312 code chart: its level-1 hanzi block (0xB0A1-0xD7F9, the
+    ~3,755 most common characters) is ordered BY PINYIN, so encoding each
+    rune with the stdlib gb18030 codec yields pinyin-relative order for
+    common hanzi while ASCII bytes sort as themselves. Known divergences
+    from the reference, accepted for a menu ordering: rare (level-2+)
+    hanzi fall back to radical order, and hanzi always sort after ASCII
+    rather than interleaving with the romanized spelling."""
+    return b"".join(ch.encode("gb18030", errors="replace") for ch in name)
+
+
 def list_spiders() -> list[str]:
-    return sorted(_REGISTRY)
+    """Registered spider names in the reference's menu order — pinyin
+    initials (species.go:41-59), which equals plain lexicographic order
+    for pure-ASCII names."""
+    return sorted(_REGISTRY, key=_pinyin_initials_key)
 
 
 # --- the default spider: full-site text+link extraction --------------------

@@ -512,3 +512,34 @@ def test_queue_and_document_sinks(two_rule_run):
     assert j["type"].startswith("ns__0-10__")
     content = _json.loads(j["content"])
     assert {"Url", "ParentUrl", "DownloadTime"} <= set(content)
+
+
+def test_registry_dup_suffix_and_pinyin_order():
+    """species.go parity: duplicate-name register gains a (2)/(3) suffix
+    (Add, species.go:25-38); list_spiders returns pinyin menu order via the
+    GB2312-level-1 trick (Get -> pinyin.SortInitials, species.go:41-59)."""
+    from pholcus_ray import spiderapi
+    from pholcus_ray.spiderapi import list_spiders, register
+
+    added = []
+    try:
+        # 安(an) < 北(bei) < 上(shang) < 天(tian) in pinyin; their raw
+        # unicode codepoints sort 上 < 北 < 天 < 安 — so this asserts the
+        # key really is pinyin-relative, not codepoint order.
+        for name in ["天猫", "上海站", "安居客", "北京房"]:
+            sp = register(Spider(name=name, rules={}))
+            added.append(sp.name)
+        names = [n for n in list_spiders() if n in set(added)]
+        assert names == ["安居客", "北京房", "上海站", "天猫"]
+
+        d1 = register(Spider(name="dupname", rules={}))
+        d2 = register(Spider(name="dupname", rules={}))
+        d3 = register(Spider(name="dupname", rules={}))
+        added += [d1.name, d2.name, d3.name]
+        assert (d1.name, d2.name, d3.name) == ("dupname", "dupname(2)", "dupname(3)")
+        # ASCII-only ordering is unchanged by the pinyin key
+        ascii_names = [n for n in list_spiders() if n.isascii()]
+        assert ascii_names == sorted(ascii_names)
+    finally:
+        for n in added:
+            spiderapi._REGISTRY.pop(n, None)
