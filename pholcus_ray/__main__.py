@@ -80,7 +80,7 @@ def main(argv: list[str] | None = None) -> int:
         from .sinks import get_sink
 
         out = args.out or os.path.join(args.workdir, "out")
-        if args.sink == "sql":
+        if args.sink in ("sql", "sql_streaming"):
             out = args.out or os.path.join(args.workdir, "items.db")
         get_sink(args.sink)(args.workdir, out)
         report["sink"] = {"type": args.sink, "out": out}

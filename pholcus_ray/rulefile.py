@@ -196,7 +196,8 @@ def spider_from_dict(d: dict) -> Spider:
             entry_rule=entry,
             not_default_field=bool(d.get("not_default_field", False)),
             enable_cookie=bool(d.get("enable_cookie", False)),
-        )
+        ),
+        replace=True,  # rule files hot-reload: latest definition wins
     )
 
 

@@ -303,6 +303,110 @@ def _xml_escape(s: str) -> str:
     )
 
 
+def _excel_cell(v) -> str:
+    import math
+
+    if v is None:
+        v = ""
+    if isinstance(v, bool):
+        v = json.dumps(v)
+    if isinstance(v, (int, float)):
+        # NaN/inf are invalid spreadsheetML numerics (Excel refuses the
+        # whole workbook); write them as inline strings instead
+        if isinstance(v, int) or math.isfinite(v):
+            return f"<c t=\"n\"><v>{v}</v></c>"
+        v = str(v)
+    if not isinstance(v, str):
+        v = json.dumps(v, ensure_ascii=False)
+    return f"<c t=\"inlineStr\"><is><t>{_xml_escape(v)}</t></is></c>"
+
+
+_SHEET_XML_OPEN = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                   '<worksheet xmlns="http://schemas.openxmlformats.org/'
+                   'spreadsheetml/2006/main"><sheetData>')
+_SHEET_XML_CLOSE = "</sheetData></worksheet>"
+
+
+def _excel_row_xml(fields: list[str] | tuple[str, ...], d: dict) -> str:
+    return "<row>" + "".join(_excel_cell(d.get(f, "")) for f in fields) + "</row>"
+
+
+def _excel_sheet_xml(fields: list[str], rows: list[dict]) -> str:
+    out = [_SHEET_XML_OPEN,
+           "<row>" + "".join(_excel_cell(f) for f in fields) + "</row>"]
+    out.extend(_excel_row_xml(fields, d) for d in rows)
+    out.append(_SHEET_XML_CLOSE)
+    return "".join(out)
+
+
+def _excel_sheet_names(rules: list[str]) -> list[str]:
+    """Excel rejects workbooks with duplicate sheet names (31-char cap can
+    collide distinct rule names): uniquify with a ~k suffix inside the cap."""
+    names: list[str] = []
+    used: set[str] = set()
+    for i, r in enumerate(rules):
+        base = sanitize_filename(r)[:31] or f"Sheet{i+1}"
+        name, k = base, 2
+        while name in used:
+            suffix = f"~{k}"
+            name = base[: 31 - len(suffix)] + suffix
+            k += 1
+        used.add(name)
+        names.append(name)
+    return names
+
+
+def _write_xlsx_shell(z, names: list[str]) -> None:
+    """The non-sheet OPC parts of the workbook (shared by the collected and
+    streaming Excel writers, so the two emit identical members)."""
+    n = max(1, len(names))
+    sheet_decls = "".join(
+        f'<sheet name="{_xml_escape(name)}"'
+        f' sheetId="{i+1}" r:id="rId{i+1}"/>'
+        for i, name in enumerate(names)
+    ) or '<sheet name="Sheet1" sheetId="1" r:id="rId1"/>'
+    z.writestr(
+        "[Content_Types].xml",
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        + "".join(
+            f'<Override PartName="/xl/worksheets/sheet{i+1}.xml" '
+            'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            for i in range(n)
+        )
+        + "</Types>",
+    )
+    z.writestr(
+        "_rels/.rels",
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>",
+    )
+    z.writestr(
+        "xl/workbook.xml",
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f"<sheets>{sheet_decls}</sheets></workbook>",
+    )
+    z.writestr(
+        "xl/_rels/workbook.xml.rels",
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i+1}" Type="http://schemas.openxmlformats.org/'
+            f'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet{i+1}.xml"/>'
+            for i in range(n)
+        )
+        + "</Relationships>",
+    )
+
+
 def write_items_excel(workdir: str, out_dir: str, namespace: str = "pholcus",
                       item_fields: dict[str, list[str]] | None = None) -> str:
     """Items -> one .xlsx per namespace, one sheet per rule with an
@@ -321,101 +425,70 @@ def write_items_excel(workdir: str, out_dir: str, namespace: str = "pholcus",
     )
     path = os.path.join(out_dir, f"{sanitize_filename(namespace)}.xlsx")
 
-    def _cell(v) -> str:
-        import math
-
-        if v is None:
-            v = ""
-        if isinstance(v, bool):
-            v = json.dumps(v)
-        if isinstance(v, (int, float)):
-            # NaN/inf are invalid spreadsheetML numerics (Excel refuses the
-            # whole workbook); write them as inline strings instead
-            if isinstance(v, int) or math.isfinite(v):
-                return f"<c t=\"n\"><v>{v}</v></c>"
-            v = str(v)
-        if not isinstance(v, str):
-            v = json.dumps(v, ensure_ascii=False)
-        return f"<c t=\"inlineStr\"><is><t>{_xml_escape(v)}</t></is></c>"
-
-    def _sheet_xml(fields: list[str], rows: list[dict]) -> str:
-        out = ['<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-               '<worksheet xmlns="http://schemas.openxmlformats.org/'
-               'spreadsheetml/2006/main"><sheetData>']
-        out.append("<row>" + "".join(_cell(f) for f in fields) + "</row>")
-        for d in rows:
-            out.append(
-                "<row>" + "".join(_cell(d.get(f, "")) for f in fields) + "</row>"
-            )
-        out.append("</sheetData></worksheet>")
-        return "".join(out)
-
-    n = max(1, len(sheets))
-    # Excel rejects workbooks with duplicate sheet names (31-char cap can
-    # collide distinct rule names): uniquify with a ~k suffix inside the cap
-    names: list[str] = []
-    used: set[str] = set()
-    for i, (r, _f, _d) in enumerate(sheets):
-        base = sanitize_filename(r)[:31] or f"Sheet{i+1}"
-        name, k = base, 2
-        while name in used:
-            suffix = f"~{k}"
-            name = base[: 31 - len(suffix)] + suffix
-            k += 1
-        used.add(name)
-        names.append(name)
-    sheet_decls = "".join(
-        f'<sheet name="{_xml_escape(name)}"'
-        f' sheetId="{i+1}" r:id="rId{i+1}"/>'
-        for i, name in enumerate(names)
-    ) or '<sheet name="Sheet1" sheetId="1" r:id="rId1"/>'
+    names = _excel_sheet_names([r for r, _f, _d in sheets])
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
-        z.writestr(
-            "[Content_Types].xml",
-            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-            '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
-            '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
-            '<Default Extension="xml" ContentType="application/xml"/>'
-            '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
-            + "".join(
-                f'<Override PartName="/xl/worksheets/sheet{i+1}.xml" '
-                'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
-                for i in range(n)
-            )
-            + "</Types>",
-        )
-        z.writestr(
-            "_rels/.rels",
-            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
-            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
-            'officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
-            "</Relationships>",
-        )
-        z.writestr(
-            "xl/workbook.xml",
-            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-            '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
-            'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-            f"<sheets>{sheet_decls}</sheets></workbook>",
-        )
-        z.writestr(
-            "xl/_rels/workbook.xml.rels",
-            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
-            + "".join(
-                f'<Relationship Id="rId{i+1}" Type="http://schemas.openxmlformats.org/'
-                f'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet{i+1}.xml"/>'
-                for i in range(n)
-            )
-            + "</Relationships>",
-        )
+        _write_xlsx_shell(z, names)
         if sheets:
             for i, (_r, fields, rows) in enumerate(sheets):
-                z.writestr(f"xl/worksheets/sheet{i+1}.xml", _sheet_xml(fields, rows))
+                z.writestr(f"xl/worksheets/sheet{i+1}.xml",
+                           _excel_sheet_xml(fields, rows))
         else:
-            z.writestr("xl/worksheets/sheet1.xml", _sheet_xml([], []))
+            z.writestr("xl/worksheets/sheet1.xml", _excel_sheet_xml([], []))
     return path
+
+
+def write_items_excel_streaming(workdir: str, out_dir: str,
+                                namespace: str = "pholcus",
+                                item_fields: dict[str, list[str]] | None = None,
+                                ) -> str:
+    """Unbounded-item-set Excel export: the same workbook as
+    :func:`write_items_excel` (member-for-member identical XML for any
+    bounded input) but each sheet's row XML is rendered per batch in
+    workers and streamed into the zip member through ``ZipFile.open(mode=
+    "w")`` — O(batch) driver memory, same two ordered passes per rule as
+    the streaming CSV/SQL sinks (collector.go:104-117 streams batches the
+    same way). xlsx is a zip, so the container itself needs no end-of-file
+    rewrite: members are written sequentially and the central directory
+    lands at close."""
+    import zipfile
+
+    from ray.data import DataContext
+
+    os.makedirs(out_dir, exist_ok=True)
+    ctx = DataContext.get_current()
+    prev_preserve = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        rules = _streamed_rules(workdir)
+        names = _excel_sheet_names(rules)
+        path = os.path.join(out_dir, f"{sanitize_filename(namespace)}.xlsx")
+        with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+            _write_xlsx_shell(z, names)
+            if not rules:
+                z.writestr("xl/worksheets/sheet1.xml", _excel_sheet_xml([], []))
+            for i, rule in enumerate(rules):
+                sub = _streamed_rule_ds(workdir, rule)
+                fields = _discover_fields_streaming(sub, rule, item_fields)
+
+                def render(t: pa.Table, _fields=tuple(fields)) -> pa.Table:
+                    chunks = [_excel_row_xml(_fields, json.loads(x))
+                              for x in t["data"].to_pylist()]
+                    return pa.table({"chunk": pa.array(["".join(chunks)])})
+
+                info = zipfile.ZipInfo(f"xl/worksheets/sheet{i+1}.xml")
+                info.compress_type = zipfile.ZIP_DEFLATED
+                with z.open(info, mode="w", force_zip64=True) as f:
+                    f.write(_SHEET_XML_OPEN.encode())
+                    f.write(("<row>" + "".join(
+                        _excel_cell(c) for c in fields) + "</row>").encode())
+                    for b in sub.map_batches(render, batch_format="pyarrow") \
+                                .iter_batches(batch_format="pyarrow"):
+                        for chunk in b["chunk"].to_pylist():
+                            f.write(chunk.encode())
+                    f.write(_SHEET_XML_CLOSE.encode())
+        return path
+    finally:
+        ctx.execution_options.preserve_order = prev_preserve
 
 
 def write_items_sql(workdir: str, db_path: str, namespace: str = "pholcus",
@@ -684,6 +757,11 @@ SINKS: dict[str, Callable] = {
     "files": write_files,
     "excel": write_items_excel,
     "sql": write_items_sql,
+    # streaming variants: identical output, O(batch) driver memory — for
+    # unbounded item sets (collector.go streams every sink the same way)
+    "csv_streaming": write_items_csv_streaming,
+    "excel_streaming": write_items_excel_streaming,
+    "sql_streaming": write_items_sql_streaming,
     # queue/document sinks take a `client`/`producer` kwarg (the services
     # are absent in this sandbox; any wire client with the documented
     # 1-method surface slots in)

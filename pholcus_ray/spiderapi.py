@@ -320,14 +320,17 @@ class Spider:
 _REGISTRY: dict[str, Spider] = {}
 
 
-def register(spider: Spider) -> Spider:
+def register(spider: Spider, replace: bool = False) -> Spider:
     """Register a spider; a duplicate name gets a numeric suffix ``(2)``,
-    ``(3)``, … instead of clobbering (species.go:25-38 Add semantics)."""
+    ``(3)``, … instead of clobbering (species.go:25-38 Add semantics).
+    ``replace=True`` is the hot-reload path (rule files): the incoming
+    spider takes over its name — latest wins."""
     name = spider.name
-    i = 2
-    while name in _REGISTRY:
-        name = f"{spider.name}({i})"
-        i += 1
+    if not replace:
+        i = 2
+        while name in _REGISTRY:
+            name = f"{spider.name}({i})"
+            i += 1
     spider.name = name
     _REGISTRY[name] = spider
     return spider

@@ -543,3 +543,26 @@ def test_registry_dup_suffix_and_pinyin_order():
     finally:
         for n in added:
             spiderapi._REGISTRY.pop(n, None)
+
+
+def test_streaming_excel_matches_collected_members(two_rule_run, tmp_path):
+    """The unbounded-item streaming Excel export must produce a workbook
+    member-for-member identical to the collected writer (zip local
+    timestamps may differ; the XML payload must not) — pinned ItemFields
+    AND first-seen field discovery."""
+    import zipfile
+
+    from pholcus_ray.sinks import write_items_excel, write_items_excel_streaming
+
+    wd, _ = two_rule_run
+    fields_by_rule = {r: TWO_RULE_SPIDER.rules[r].item_fields
+                      for r in TWO_RULE_SPIDER.rules}
+    for tag, fbr in (("pinned", fields_by_rule), ("discovered", None)):
+        a = write_items_excel(wd, str(tmp_path / f"xc_{tag}"), namespace="ns",
+                              item_fields=fbr)
+        b = write_items_excel_streaming(wd, str(tmp_path / f"xs_{tag}"),
+                                        namespace="ns", item_fields=fbr)
+        with zipfile.ZipFile(a) as za, zipfile.ZipFile(b) as zb:
+            assert za.namelist() == zb.namelist(), tag
+            for name in za.namelist():
+                assert za.read(name) == zb.read(name), (tag, name)
