@@ -566,12 +566,28 @@ def _run_round_distributed(cfg, state, rounds_dir, rdir, seen, budget,
     return n_sched, n_deferred
 
 
+def _frontier_blocks(t: pa.Table) -> rd.Dataset:
+    """An in-memory frontier table as a Dataset with cluster-width block
+    granularity. ``rd.from_arrow(table)`` yields ONE block, and every
+    downstream ``map_batches`` of the distributed round runs one task per
+    block — a 320k-seed round measured exactly that failure mode: the whole
+    claim→resolve→fetch chain serialized onto a single core while 31 idled.
+    Slice with the same adaptive chunking as the hybrid round's fetch
+    dispatch (~4 blocks per CPU, 64-2048 rows) so the control plane and the
+    data plane parallelize from the first block."""
+    if t.num_rows == 0:
+        return rd.from_arrow(t)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    chunk = max(64, min(2048, t.num_rows // (ncpu * 4) + 1))
+    return rd.from_arrow([t.slice(i, chunk) for i in range(0, t.num_rows, chunk)])
+
+
 def _candidates(cfg: CrawlConfig, state: dict, rounds_dir: str) -> rd.Dataset:
     """Build this round's candidate frontier dataset (lazy)."""
     if "seed_frontier" in state:
-        return rd.from_arrow(state["seed_frontier"])
+        return _frontier_blocks(state["seed_frontier"])
     if "requeue_table" in state:
-        return rd.from_arrow(state["requeue_table"])
+        return _frontier_blocks(state["requeue_table"])
     prev = os.path.join(rounds_dir, f"round_{state['round'] - 1:05d}")
     res_dir = os.path.join(prev, "result")
     if _has_files(res_dir):

@@ -191,3 +191,25 @@ def test_conformance_across_corpus_seeds(ray_session, tmp_path, seed,
     assert (eng_items["data"].values == orc_items["data"].values).all()
     ek = url_seen_keys(wd)
     assert len(ek) == len(o.url_seen) and (ek == o.url_seen).all()
+
+
+def test_frontier_blocks_parallel_granularity(ray_session):
+    """The distributed round path must never collapse an in-memory frontier
+    into one block: rd.from_arrow(table) is single-block, which serializes
+    the whole claim->resolve->fetch chain onto one task (a 320k-seed
+    scaling leg measured exactly that: 1 core busy, 31 idle). The helper
+    has to emit ~4 blocks/CPU with every row preserved in order."""
+    import pyarrow as pa
+
+    from pholcus_ray.pipelines.crawl import _frontier_blocks
+
+    n = 50_000
+    t = pa.table({"url": [f"http://h/{i}" for i in range(n)],
+                  "seq": pa.array(range(n), pa.int64())})
+    ds = _frontier_blocks(t)
+    nblocks = ds.materialize().num_blocks()
+    assert nblocks > 4, nblocks  # parallel even on the 4-cpu test session
+    got = ds.to_pandas()
+    assert len(got) == n and (got["seq"].values == range(n)).all()
+    # empty frontier stays a valid (single empty block) dataset
+    assert _frontier_blocks(t.slice(0, 0)).count() == 0
