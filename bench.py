@@ -278,7 +278,20 @@ def main(sustained_only: bool = False) -> None:
         # post-load slow mode), then the sustained legs, then queries.
         # Cooldowns between major legs sit inside the measured recovery
         # window; every leg is best-of-2 with both raw values reported.
-        probes = {"probe_before": phase_probe()}
+        #
+        # ADAPTIVE PRE-COOLDOWN: if the opening probe says the machine is
+        # still in the post-load slow mode (e.g. the bench was launched
+        # right after a test-suite or correctness-gate run), idle through
+        # the recovery window before timing anything. Measured phases on
+        # this VM: fast ~5,500-6,500 parses/s, slow 1,200-3,300; recovery
+        # is minutes-scale. All probe samples land in the JSON.
+        pre = [phase_probe()]
+        while pre[-1] < 4_500 and len(pre) <= 3:
+            time.sleep(150)
+            pre.append(phase_probe())
+        probes = {"probe_before": pre[-1]}
+        if len(pre) > 1:
+            probes["probe_precooldown"] = pre
         crawl = bench_crawl()
         _cooldown()
         sustained = bench_sustained()
@@ -416,6 +429,12 @@ def scaling() -> None:
     cached_corpus(n_pages=pages, n_hosts=n_hosts, n_buckets=32,
                   page_weight=w, far_links=2)
     _settle(30)  # settle generation heat + whatever ran before the bench
+    # adaptive pre-cooldown (same protocol as main()): don't start the
+    # cold 32-cpu leg inside a post-load slow phase
+    pre = [phase_probe()]
+    while pre[-1] < 4_500 and len(pre) <= 3:
+        time.sleep(150)
+        pre.append(phase_probe())
     r_hi = run(hi)
     _settle()
     r_lo = run(lo)
@@ -435,6 +454,7 @@ def scaling() -> None:
                 "sec_lo": r_lo["sustained"]["sec"],
                 "sec_hi": r_hi["sustained"]["sec"],
                 "scaling_efficiency": round(eff, 3),
+                "probe_precooldown": pre,
                 "hw_ceiling": hw,
                 "efficiency_vs_hw_ceiling": round(
                     eff / hw["hw_efficiency"], 3
