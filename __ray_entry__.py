@@ -236,6 +236,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_jaccard_exact": T.word_jaccard_exact,
         "dup_clusters": T.dup_clusters,
         "split_by_hash": T.split_by_hash,
+        "pii_scrub": T.pii_scrub,
+        "repetition_quality": T.repetition_quality,
+        "term_df": T.term_df,
         "hll_distinct_users": T.hll_distinct_users,
         "contamination_check": T.contamination_check,
         # capstone composition: quality gate -> exact dedup -> near-dup
@@ -269,7 +272,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# python str.strip() removes ALL ASCII whitespace; DuckDB's bare trim()
+# removes only spaces, so text with trailing \n/\t would tokenize
+# differently on the two sides (latent until a fixture planted one —
+# the sf corpora have no edge whitespace). Every oracle's trim is
+# rewritten to the whitespace-set form in ONE documented place instead
+# of 24 hand-edited call sites.
+_SQL_WS = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+
+
+def _ws_trim(sql: str) -> str:
+    return (sql
+            .replace("trim(text)", f"trim(text, {_SQL_WS})")
+            .replace("trim(lower(text))", f"trim(lower(text), {_SQL_WS})"))
+
+
 def oracle_sql() -> dict[str, str]:
+    return {k: _ws_trim(v) for k, v in _oracle_sql_raw().items()}
+
+
+def _oracle_sql_raw() -> dict[str, str]:
     return {
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
@@ -617,6 +639,73 @@ def oracle_sql() -> dict[str, str]:
                         WHEN md5(CAST(doc_id AS VARCHAR)) < 'e' THEN 'val'
                         ELSE 'test' END AS split
             FROM documents ORDER BY doc_id
+        """,
+        "pii_scrub": r"""
+            -- counts on the ORIGINAL text; redaction applied sequentially
+            -- email -> ipv4 -> phone (mirrors textdata._PII_PATTERNS).
+            -- DuckDB regexp_* and pyarrow.compute are both RE2: bit-exact.
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                       '\+?\d[\d\- ]{7,}\d')) AS BIGINT) AS n_phone,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                       '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g')) AS scrubbed_md5
+            FROM documents ORDER BY doc_id
+        """,
+        "repetition_quality": r"""
+            -- Gopher-style repetition signals; ratios use the engine's
+            -- half-UP _round6 scheme in the SAME float op order
+            -- ((x/n)*1e6), see textdata.repetition_quality
+            WITH d AS (
+              SELECT doc_id,
+                     string_split(text, chr(10)) AS lines,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS toks
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, MAX(c) AS topc FROM (
+                SELECT doc_id, COUNT(*) AS c
+                FROM (SELECT doc_id, UNNEST(toks) AS tok FROM d)
+                GROUP BY doc_id, tok
+              ) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(lines) - len(list_distinct(lines)) AS BIGINT)
+                       AS n_dup_lines,
+                   FLOOR((len(lines) - len(list_distinct(lines))) * 1.0
+                         / greatest(1, len(lines)) * 1000000 + 0.5)
+                       / 1000000.0 AS dup_line_frac,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(toks) - len(list_distinct(toks)) AS BIGINT)
+                       AS n_dup_tokens,
+                   FLOOR((len(toks) - len(list_distinct(toks))) * 1.0
+                         / greatest(1, len(toks)) * 1000000 + 0.5)
+                       / 1000000.0 AS dup_token_frac,
+                   FLOOR(COALESCE(tf.topc, 0) * 1.0
+                         / greatest(1, len(toks)) * 1000000 + 0.5)
+                       / 1000000.0 AS top_token_frac
+            FROM d LEFT JOIN tf USING (doc_id) ORDER BY d.doc_id
+        """,
+        "term_df": r"""
+            -- top-100 tokens by document frequency (distinct per doc),
+            -- ties broken by token asc; UTF-8 byte order == code-point
+            -- order, so DuckDB/Arrow/python string sorts agree
+            SELECT token, COUNT(*) AS df FROM (
+              SELECT DISTINCT doc_id,
+                     UNNEST(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\s+')
+                            END) AS token
+              FROM documents
+            ) GROUP BY 1 ORDER BY df DESC, token LIMIT 100
         """,
         "dup_clusters": r"""
             -- connected components over the exact n-gram near-dup graph

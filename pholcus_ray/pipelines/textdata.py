@@ -1162,6 +1162,135 @@ def doc_fingerprint(sf_dir: str) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing, repetition quality (Gopher-style), vocabulary DF
+# ---------------------------------------------------------------------------
+
+# (name, RE2 pattern, replacement) applied in order; counts are taken on
+# the ORIGINAL text, redaction is sequential. Both pyarrow.compute string
+# kernels and DuckDB regexp_* are RE2, so the SQL oracle is bit-exact.
+_PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_scrub(sf_dir: str) -> rd.Dataset:
+    """PII detection + redaction per doc: counts of email/IPv4/phone
+    matches plus the md5 of the redacted text (emails, then IPs, then
+    phone numbers replaced by typed placeholder tokens).
+
+    Fully vectorized: the regex scan and replace run as pyarrow.compute
+    RE2 kernels over the Arrow string column — no Python loop touches
+    text. A pre-training scrub pass at 100 TB is exactly this shape: one
+    streaming map_batches, no shuffle (the sort here is only for the
+    deterministic oracle comparison).
+    """
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = t["text"]
+        out: dict = {"doc_id": t["doc_id"]}
+        scrubbed = col
+        for name, pat, repl in _PII_PATTERNS:
+            out[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(col, pat), pa.int64())
+            scrubbed = pc.replace_substring_regex(scrubbed, pat, repl)
+        out["scrubbed_md5"] = pa.array(
+            md5_hex_array(scrubbed.to_pylist()), pa.string())
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+def repetition_quality(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition signals per doc (Rae et al. 2021, app. A:
+    MassiveWeb repetition filters): duplicate-line fraction, duplicate-
+    token fraction, and most-frequent-token fraction. High values flag
+    boilerplate/spam pages that exact+near dedup both miss (the dup is
+    WITHIN the doc, not across docs).
+
+    Lines split on \\n; tokens are the shared whitespace tokenization
+    (_tokens). Ratios use the half-UP _round6 scheme the SQL oracle
+    mirrors. Per-doc feature extraction: inherently a per-row loop over
+    line/token multisets, but batched (set/Counter are C-level) and
+    shuffle-free.
+    """
+    from collections import Counter
+
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        cols: dict = {k: [] for k in (
+            "n_lines", "n_dup_lines", "dup_line_frac",
+            "n_tokens", "n_dup_tokens", "dup_token_frac", "top_token_frac")}
+        for x in t["text"].to_pylist():
+            lines = x.split("\n")
+            nl = len(lines)
+            ndl = nl - len(set(lines))
+            tk = _tokens(x)
+            nt = len(tk)
+            c = Counter(tk)
+            ndt = nt - len(c)
+            top = max(c.values(), default=0)
+            cols["n_lines"].append(nl)
+            cols["n_dup_lines"].append(ndl)
+            cols["dup_line_frac"].append(_round6(ndl / max(1, nl)))
+            cols["n_tokens"].append(nt)
+            cols["n_dup_tokens"].append(ndt)
+            cols["dup_token_frac"].append(_round6(ndt / max(1, nt)))
+            cols["top_token_frac"].append(_round6(top / max(1, nt)))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_lines": pa.array(cols["n_lines"], pa.int64()),
+            "n_dup_lines": pa.array(cols["n_dup_lines"], pa.int64()),
+            "dup_line_frac": pa.array(cols["dup_line_frac"], pa.float64()),
+            "n_tokens": pa.array(cols["n_tokens"], pa.int64()),
+            "n_dup_tokens": pa.array(cols["n_dup_tokens"], pa.int64()),
+            "dup_token_frac": pa.array(cols["dup_token_frac"], pa.float64()),
+            "top_token_frac": pa.array(cols["top_token_frac"], pa.float64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+def term_df(sf_dir: str, top_k: int = 100) -> rd.Dataset:
+    """Corpus vocabulary document frequency: the top_k tokens by the
+    number of documents containing them (ties broken by token asc).
+
+    Scale design: DF partials are combined INSIDE each batch (one
+    Counter over per-doc token SETS), so the groupby shuffle carries
+    (token, partial_df) rows — vocab-sized, not corpus-token-sized. No
+    per-partition top-K pre-pruning before the groupby: that would be
+    UNSAFE for global DF (a token can rank below K in every partition
+    yet be top-K globally); the final rank is a full vocab sort, which
+    at 100 TB is ~1e8-1e9 light rows — small next to the corpus.
+    """
+    from collections import Counter
+
+    ds = _read_documents(sf_dir, columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t["text"].to_pylist():
+            c.update(set(_tokens(x)))
+        return pa.table({
+            "token": pa.array(list(c.keys()), pa.string()),
+            "df_part": pa.array(list(c.values()), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df_part", alias_name="df"))
+        .sort(["df", "token"], descending=[True, False])
+        .limit(top_k)
+    )
+
+
+# ---------------------------------------------------------------------------
 # HyperLogLog sketch (mergeable approximate count-distinct)
 # ---------------------------------------------------------------------------
 

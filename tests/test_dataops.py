@@ -48,7 +48,8 @@ def ducksf():
      "events_sliding_window", "ann_ivf_full_probe", "value_quantiles",
      "split_by_hash", "dup_clusters", "events_prop_stats",
      "training_corpus_summary", "embedding_centroids",
-     "contamination_check", "lang_id", "text_quality"],
+     "contamination_check", "lang_id", "text_quality",
+     "pii_scrub", "repetition_quality", "term_df"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -163,6 +164,118 @@ def test_mulmod_p61_matches_bigint():
     assert _mulmod_p61(edge, other).tolist() == [
         ((_MERSENNE - 1) ** 2) % _MERSENNE, 0, _MERSENNE - 1, _MERSENNE - 1
     ]
+
+
+@pytest.fixture(scope="module")
+def pii_docs_dir(tmp_path_factory):
+    """documents.parquet rich in the signals the sf corpora lack: PII
+    (emails/IPv4/phones), duplicated lines/tokens, empty and CJK docs."""
+    d = tmp_path_factory.mktemp("piidocs")
+    texts = [
+        "Contact john.doe@example.com or admin@sub.domain.org today",
+        "server 10.0.0.1 and gateway 192.168.1.254\ncall +1 415-555-0100",
+        "spam spam spam spam ham",
+        "line a\nline b\nline a\nline a\n\n",
+        "",
+        "   ",
+        "no signals here just plain prose",
+        "mixed: a@b.co at 8.8.8.8 phone 021 5550 1234 ok",
+        "一二三 一二三 repeated cjk tokens",
+        "dots.but.no.at and 300.300.300.300 still matches ipv4 regex",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def test_pii_scrub_planted(ray_session, pii_docs_dir):
+    """Engine vs oracle on a fixture where every regex branch fires (the
+    sf corpora contain zero PII, so the gate's green is trivial there),
+    plus hand-checked expected counts so both sides can't agree on wrong."""
+    import __ray_entry__ as E
+    from pholcus_ray.pipelines.textdata import pii_scrub
+
+    df = _norm(_to_df(pii_scrub(pii_docs_dir)))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{pii_docs_dir}/documents.parquet')")
+    odf = _norm(con.execute(E.oracle_sql()["pii_scrub"]).df())
+    assert list(df.columns) == list(odf.columns)
+    for c in df.columns:
+        assert df[c].dtype == odf[c].dtype
+        assert (df[c].values == odf[c].values).all(), c
+    by = df.set_index("doc_id")
+    assert by.loc[0, "n_email"] == 2 and by.loc[0, "n_ipv4"] == 0
+    assert by.loc[1, "n_ipv4"] == 2 and by.loc[1, "n_phone"] == 1
+    assert by.loc[7, "n_email"] == 1 and by.loc[7, "n_ipv4"] == 1
+    assert by.loc[7, "n_phone"] == 1
+    assert by.loc[9, "n_ipv4"] == 1          # documented: no octet range check
+    assert (by.loc[[4, 5, 6], ["n_email", "n_ipv4", "n_phone"]] == 0).all().all()
+    # redaction actually rewrites the text (md5 changes where PII exists)
+    import hashlib
+    raw = pq.read_table(os.path.join(pii_docs_dir, "documents.parquet"))
+    raw_md5 = {i: hashlib.md5(x.encode()).hexdigest()
+               for i, x in zip(raw["doc_id"].to_pylist(), raw["text"].to_pylist())}
+    assert by.loc[0, "scrubbed_md5"] != raw_md5[0]
+    assert by.loc[6, "scrubbed_md5"] == raw_md5[6]
+
+
+def test_repetition_quality_planted(ray_session, pii_docs_dir):
+    import __ray_entry__ as E
+    from pholcus_ray.pipelines.textdata import repetition_quality
+
+    df = _norm(_to_df(repetition_quality(pii_docs_dir)))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{pii_docs_dir}/documents.parquet')")
+    odf = _norm(con.execute(E.oracle_sql()["repetition_quality"]).df())
+    assert list(df.columns) == list(odf.columns)
+    for c in df.columns:
+        assert df[c].dtype == odf[c].dtype
+        assert (df[c].values == odf[c].values).all(), c
+    by = df.set_index("doc_id")
+    # "spam spam spam spam ham": 5 tokens, 3 dup, top freq 4/5
+    assert by.loc[2, "n_tokens"] == 5 and by.loc[2, "n_dup_tokens"] == 3
+    assert by.loc[2, "top_token_frac"] == 0.8
+    # "line a\nline b\nline a\nline a\n\n" -> 6 lines (two trailing ''),
+    # dups: 'line a' x3 -> 2, '' x2 -> 1
+    assert by.loc[3, "n_lines"] == 6 and by.loc[3, "n_dup_lines"] == 3
+    assert by.loc[3, "dup_line_frac"] == 0.5
+    assert by.loc[4, "n_tokens"] == 0 and by.loc[4, "dup_token_frac"] == 0.0
+
+
+def test_term_df_planted(ray_session, pii_docs_dir):
+    """DF counts DOCUMENTS (distinct per doc), not occurrences; ties break
+    by token; top_k truncates deterministically on both sides."""
+    import __ray_entry__ as E
+    from pholcus_ray.pipelines.textdata import term_df
+
+    df = _to_df(term_df(pii_docs_dir)).sort_values(
+        ["df", "token"], ascending=[False, True]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{pii_docs_dir}/documents.parquet')")
+    odf = con.execute(E.oracle_sql()["term_df"]).df()
+    assert df["token"].tolist() == odf["token"].tolist()
+    assert df["df"].tolist() == odf["df"].tolist()
+    assert df["df"].dtype == odf["df"].dtype
+    by = dict(zip(df["token"], df["df"]))
+    assert by["spam"] == 1          # 4 occurrences, 1 document
+    assert by["一二三"] == 1
+    # top_k boundary is honored with full deterministic order
+    small = _to_df(term_df(pii_docs_dir, top_k=3))
+    assert len(small) == 3
+    assert small.sort_values(["df", "token"], ascending=[False, True])[
+        "token"].tolist() == df["token"].tolist()[:3]
 
 
 def test_minhash_lsh_finds_near_dups(ray_session, dup_docs_dir):
