@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": T.dup_clusters,
         "split_by_hash": T.split_by_hash,
         "pii_scrub": T.pii_scrub,
+        "chunk_docs": T.chunk_docs,
         "repetition_quality": T.repetition_quality,
         "term_df": T.term_df,
         "hll_distinct_users": T.hll_distinct_users,
@@ -694,6 +695,27 @@ def _oracle_sql_raw() -> dict[str, str]:
                          / greatest(1, len(toks)) * 1000000 + 0.5)
                        / 1000000.0 AS top_token_frac
             FROM d LEFT JOIN tf USING (doc_id) ORDER BY d.doc_id
+        """,
+        "chunk_docs": r"""
+            -- sliding windows: chunk i = toks[i*48 : i*48+64] (stride =
+            -- chunk 64 - overlap 16) for every start < n_tokens; DuckDB
+            -- list slices are 1-based inclusive. md5 of the space-joined
+            -- window verifies exact content.
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS toks
+              FROM documents
+            ), c AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                     toks[CAST(i*48+1 AS BIGINT):CAST(i*48+64 AS BIGINT)] AS w
+              FROM t, UNNEST(range(0, (len(toks) + 47) // 48)) AS u(i)
+            )
+            SELECT doc_id, chunk_idx,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   md5(array_to_string(w, ' ')) AS chunk_md5
+            FROM c ORDER BY doc_id, chunk_idx
         """,
         "term_df": r"""
             -- top-100 tokens by document frequency (distinct per doc),

@@ -1256,6 +1256,48 @@ def repetition_quality(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
 
 
+def chunk_docs(sf_dir: str, chunk_tokens: int = 64,
+               overlap: int = 16) -> rd.Dataset:
+    """Sliding-window document chunking — the pretraining prep step that
+    splits long docs into fixed-token windows with overlap. Chunk i
+    covers tokens [i*stride, i*stride+chunk_tokens), stride =
+    chunk_tokens-overlap, for every start < n_tokens (the tail chunk may
+    be short; empty docs emit nothing).
+
+    Emits (doc_id, chunk_idx, n_tokens, chunk_md5) — the md5 of the
+    space-joined window stands in for the chunk text so the rows stay
+    light and the DuckDB list-slice oracle can verify the exact window
+    CONTENT, not just counts. A real 100 TB run would write the text
+    column to sharded parquet instead; the chunking itself is a pure
+    streaming flat-map, no shuffle (the sort is oracle-comparison only).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids, idxs, ntoks, texts = [], [], [], []
+        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            tk = _tokens(x)
+            n = len(tk)
+            for i in range((n + stride - 1) // stride):
+                w = tk[i * stride: i * stride + chunk_tokens]
+                ids.append(did)
+                idxs.append(i)
+                ntoks.append(len(w))
+                texts.append(" ".join(w))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "chunk_idx": pa.array(idxs, pa.int64()),
+            "n_tokens": pa.array(ntoks, pa.int64()),
+            "chunk_md5": pa.array(md5_hex_array(texts), pa.string()),
+        })
+
+    return (ds.map_batches(f, batch_format="pyarrow")
+            .sort(["doc_id", "chunk_idx"]))
+
+
 def term_df(sf_dir: str, top_k: int = 100) -> rd.Dataset:
     """Corpus vocabulary document frequency: the top_k tokens by the
     number of documents containing them (ties broken by token asc).

@@ -278,6 +278,45 @@ def test_term_df_planted(ray_session, pii_docs_dir):
         "token"].tolist() == df["token"].tolist()[:3]
 
 
+def test_chunk_docs_planted(ray_session, pii_docs_dir):
+    """Window arithmetic on docs the sf corpora don't exercise: empty,
+    single-token, exactly-stride, and multi-chunk docs; overlap content
+    verified by md5 against a hand-rolled reference."""
+    import hashlib
+
+    import __ray_entry__ as E
+    from pholcus_ray.pipelines.textdata import chunk_docs
+
+    df = _norm(_to_df(chunk_docs(pii_docs_dir)))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{pii_docs_dir}/documents.parquet')")
+    odf = _norm(con.execute(E.oracle_sql()["chunk_docs"]).df())
+    assert list(df.columns) == list(odf.columns)
+    assert len(df) == len(odf)
+    for c in df.columns:
+        assert df[c].dtype == odf[c].dtype
+        assert (df[c].values == odf[c].values).all(), c
+    # small windows force multi-chunk output; verify exact overlap content
+    small = _to_df(chunk_docs(pii_docs_dir, chunk_tokens=4, overlap=2))
+    raw = pq.read_table(os.path.join(pii_docs_dir, "documents.parquet"))
+    texts = dict(zip(raw["doc_id"].to_pylist(), raw["text"].to_pylist()))
+    want = []
+    for did in sorted(texts):
+        tk = texts[did].split()
+        for i in range((len(tk) + 1) // 2):
+            w = tk[i * 2: i * 2 + 4]
+            want.append((did, i, len(w),
+                         hashlib.md5(" ".join(w).encode()).hexdigest()))
+    got = list(small.sort_values(["doc_id", "chunk_idx"]).itertuples(index=False, name=None))
+    assert got == want
+    # empty/whitespace docs emit no chunks
+    assert not set(small["doc_id"]) & {4, 5}
+    with pytest.raises(ValueError):
+        chunk_docs(pii_docs_dir, chunk_tokens=4, overlap=4)
+
+
 def test_minhash_lsh_finds_near_dups(ray_session, dup_docs_dir):
     from pholcus_ray.pipelines.textdata import dedup_minhash_lsh
 
