@@ -238,6 +238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_by_hash": T.split_by_hash,
         "pii_scrub": T.pii_scrub,
         "chunk_docs": T.chunk_docs,
+        "substring_dups": T.substring_dups,
+        "tfidf_topk": T.tfidf_topk,
         "repetition_quality": T.repetition_quality,
         "term_df": T.term_df,
         "hll_distinct_users": T.hll_distinct_users,
@@ -716,6 +718,68 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CAST(len(w) AS BIGINT) AS n_tokens,
                    md5(array_to_string(w, ' ')) AS chunk_md5
             FROM c ORDER BY doc_id, chunk_idx
+        """,
+        "substring_dups": r"""
+            -- 16-token sliding windows keyed by md5 of the space-joined
+            -- window; content-keyed 1/4 sample (8th md5 nibble % 4 == 0,
+            -- i.e. nibble in 0/4/8/c); windows shared by >=2 distinct
+            -- docs are repeated substrings. Mirrors
+            -- textdata.substring_dups(win=16, keep_mod=4).
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS toks
+              FROM documents
+            ), w AS (
+              SELECT doc_id,
+                     md5(array_to_string(
+                       toks[CAST(i+1 AS BIGINT):CAST(i+16 AS BIGINT)], ' '
+                     )) AS window_md5
+              FROM t, UNNEST(range(0, greatest(len(toks) - 15, 0))) AS u(i)
+            ), k AS (
+              SELECT * FROM w
+              WHERE substr(window_md5, 8, 1) IN ('0', '4', '8', 'c')
+            ), g AS (
+              SELECT window_md5,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                     CAST(count(*) AS BIGINT) AS n_occurrences,
+                     min(doc_id) AS doc_lo, max(doc_id) AS doc_hi
+              FROM k GROUP BY window_md5
+            )
+            SELECT * FROM g WHERE n_docs >= 2 ORDER BY window_md5
+        """,
+        "tfidf_topk": r"""
+            -- per-doc top-5 terms by the exact integer tf-idf surrogate
+            -- score_micro = tf * 1e6 // df; ties (score desc, token asc).
+            -- Mirrors textdata.tfidf_topk(k=5).
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS toks
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, u.t AS token FROM t, UNNEST(toks) AS u(t)
+            ), tf AS (
+              SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY doc_id, token
+            ), dfq AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY token
+            ), s AS (
+              SELECT doc_id, token, tf, df,
+                     CAST(tf * 1000000 // df AS BIGINT) AS score_micro
+              FROM tf JOIN dfq USING (token)
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY score_micro DESC, token) AS rn
+              FROM s
+            )
+            SELECT doc_id, token, tf, df, score_micro
+            FROM r WHERE rn <= 5
+            ORDER BY doc_id, score_micro DESC, token
         """,
         "term_df": r"""
             -- top-100 tokens by document frequency (distinct per doc),

@@ -21,7 +21,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions.hashing import hash64_array, md5_hex_array
 
@@ -1298,6 +1298,82 @@ def chunk_docs(sf_dir: str, chunk_tokens: int = 64,
             .sort(["doc_id", "chunk_idx"]))
 
 
+_KEEP_NIBBLES = "0123456789abcdef"
+
+
+def substring_dups(sf_dir: str, win: int = 16,
+                   keep_mod: int = 4) -> rd.Dataset:
+    """Cross-document repeated-substring detection (the Lee et al. 2021
+    'Deduplicating Training Data' ExactSubstr signal, sampled): every
+    win-token sliding window is keyed by the md5 of its space-joined
+    tokens, a deterministic 1/keep_mod content-keyed sample of windows is
+    retained, and any window key present in >= 2 distinct documents is a
+    shared substring.
+
+    The sample rule is CONTENT-keyed (keep iff the window-md5's 8th hex
+    nibble value % keep_mod == 0), not position-keyed: the same substring
+    selects identically wherever it appears, so a shared passage of
+    length >= win is detected with probability ~1-(1-1/keep_mod)^(L-win+1)
+    — stride sampling has no such guarantee. This is the 0-mod-p scheme of
+    content-defined chunking, the cheap cousin of Schleimer et al.
+    winnowing.
+
+    Scale: the flat-map emits only kept windows (~tokens/keep_mod rows of
+    32B key + 16B ints), pre-deduped per (window, doc) inside the batch
+    (a doc's rows never split across batches), so the single groupby
+    shuffle carries a sample-sized, not corpus-token-sized, stream. The
+    group aggregate is mergeable (count/sum/min/max); no driver state.
+    """
+    if keep_mod not in (1, 2, 4, 8, 16):
+        raise ValueError("keep_mod must divide 16")
+    keep = frozenset(d for d in _KEEP_NIBBLES if int(d, 16) % keep_mod == 0)
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def windows(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        ids, keys, occ = [], [], []
+        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            tk = _tokens(x)
+            if len(tk) < win:
+                continue
+            hs = md5_hex_array(
+                [" ".join(tk[i: i + win]) for i in range(len(tk) - win + 1)])
+            c = Counter(h for h in hs if h[7] in keep)
+            ids.extend([did] * len(c))
+            keys.extend(c.keys())
+            occ.extend(c.values())
+        return pa.table({
+            "window_md5": pa.array(keys, pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "occ": pa.array(occ, pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(windows, batch_format="pyarrow")
+        .groupby("window_md5")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("occ", alias_name="n_occurrences"),
+            Min("doc_id", alias_name="doc_lo"),
+            Max("doc_id", alias_name="doc_hi"),
+        )
+    )
+
+    def shared_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.filter(pc.greater_equal(t["n_docs"], 2))
+        return pa.table({
+            "window_md5": t["window_md5"],
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "n_occurrences": pc.cast(t["n_occurrences"], pa.int64()),
+            "doc_lo": pc.cast(t["doc_lo"], pa.int64()),
+            "doc_hi": pc.cast(t["doc_hi"], pa.int64()),
+        })
+
+    return agg.map_batches(shared_only, batch_format="pyarrow").sort(
+        "window_md5")
+
+
 def term_df(sf_dir: str, top_k: int = 100) -> rd.Dataset:
     """Corpus vocabulary document frequency: the top_k tokens by the
     number of documents containing them (ties broken by token asc).
@@ -1329,6 +1405,73 @@ def term_df(sf_dir: str, top_k: int = 100) -> rd.Dataset:
         .aggregate(Sum("df_part", alias_name="df"))
         .sort(["df", "token"], descending=[True, False])
         .limit(top_k)
+    )
+
+
+def tfidf_topk(sf_dir: str, k: int = 5, num_parts: int = 32) -> rd.Dataset:
+    """Per-document top-k salient terms by an exact integer tf-idf
+    surrogate: score_micro = tf * 1_000_000 // df (term frequency scaled
+    by inverse document frequency). The log-free integer form is chosen
+    deliberately — engine and SQL oracle both compute it in exact int64
+    arithmetic, so the ranking is bit-reproducible across engines (a
+    float log() idf risks last-ulp libm divergence flipping near-ties).
+    Ties break (score desc, token asc), total per doc.
+
+    Scale shape (the Vernica-style two-exchange tf-idf): the (doc, token,
+    tf) incidence — already combined per doc inside the flat-map batch —
+    shuffles ONCE by token-hash to attach global df (a transform('size')
+    inside each coarse partition, since every row of a token lands in the
+    same partition), then ONCE by doc-hash for the per-doc top-k cut (one
+    vectorized sort + cumcount per coarse partition, never per-tiny-group
+    map_groups). Two exchanges of the incidence is the known lower bound
+    for exact global-df tf-idf; both carry (int64 ids + token string)
+    rows, never text.
+    """
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+    nP = np.uint64(num_parts)
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        ids, toks, tfs = [], [], []
+        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            c = Counter(_tokens(x))
+            ids.extend([did] * len(c))
+            toks.extend(c.keys())
+            tfs.extend(c.values())
+        part = (hash64_array(toks) % nP).astype(np.int32) if toks else \
+            np.empty(0, dtype=np.int32)
+        return pa.table({
+            "part": pa.array(part),
+            "doc_id": pa.array(ids, pa.int64()),
+            "token": pa.array(toks, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+        })
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("token")["doc_id"].transform("size").astype("int64")
+        return pd.DataFrame({
+            "dpart": (g["doc_id"].values.astype(np.uint64) % nP).astype(
+                np.int32),
+            "doc_id": g["doc_id"].astype("int64").values,
+            "token": g["token"].values,
+            "tf": g["tf"].astype("int64").values,
+            "df": df.values,
+            "score_micro": (g["tf"].astype("int64").values * 1_000_000
+                            // df.values),
+        })
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "score_micro", "token"],
+                          ascending=[True, False, True], kind="mergesort")
+        keep = g.groupby("doc_id").cumcount().values < k
+        return g.loc[keep, ["doc_id", "token", "tf", "df", "score_micro"]]
+
+    return (
+        ds.map_batches(tf_rows, batch_format="pyarrow")
+        .groupby("part").map_groups(attach_df, batch_format="pandas")
+        .groupby("dpart").map_groups(topk, batch_format="pandas")
+        .sort(["doc_id", "score_micro", "token"],
+              descending=[False, True, False])
     )
 
 

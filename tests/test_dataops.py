@@ -317,6 +317,92 @@ def test_chunk_docs_planted(ray_session, pii_docs_dir):
         chunk_docs(pii_docs_dir, chunk_tokens=4, overlap=4)
 
 
+def test_substring_dups_planted(ray_session, tmp_path_factory):
+    """A 24-token passage planted in docs 0/1/2 (at different offsets and
+    with different surroundings) must surface; unique docs must not.
+    Engine vs the SQL oracle AND vs a hand-rolled brute force, so both
+    sides can't agree on wrong."""
+    import hashlib
+
+    import __ray_entry__ as E
+    from pholcus_ray.pipelines.textdata import substring_dups
+
+    d = str(tmp_path_factory.mktemp("subdup"))
+    passage = " ".join(f"shared{i}" for i in range(24))
+    texts = [
+        "intro words here " + passage + " tail one",
+        passage + " totally different ending tokens",
+        "a much longer unrelated prefix goes on for a while " + passage,
+        "no overlap at all in this document " + " ".join(
+            f"uniq{i}" for i in range(30)),
+        "",
+        "short",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+
+    df = _norm(_to_df(substring_dups(d)))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    odf = _norm(con.execute(E.oracle_sql()["substring_dups"]).df())
+    assert list(df.columns) == list(odf.columns)
+    assert len(df) == len(odf)
+    for c in df.columns:
+        assert df[c].dtype == odf[c].dtype, c
+        assert (df[c].values == odf[c].values).all(), c
+
+    # brute force: every kept 16-token window shared by >=2 distinct docs
+    from collections import defaultdict
+    bucket: dict[str, list[int]] = defaultdict(list)
+    for did, x in enumerate(texts):
+        tk = x.split()
+        for i in range(max(len(tk) - 15, 0)):
+            h = hashlib.md5(" ".join(tk[i:i + 16]).encode()).hexdigest()
+            if h[7] in "048c":
+                bucket[h].append(did)
+    want = sorted(h for h, ds_ in bucket.items() if len(set(ds_)) >= 2)
+    assert df["window_md5"].tolist() == want
+    assert len(want) > 0  # the planted passage must actually surface
+    # every surfaced window involves only the three passage-carrying docs
+    assert (df["doc_lo"] >= 0).all() and (df["doc_hi"] <= 2).all()
+    with pytest.raises(ValueError):
+        substring_dups(d, keep_mod=3)
+
+
+def test_tfidf_topk_planted(ray_session, pii_docs_dir):
+    """Engine vs oracle on docs with ties, empty docs, and corpus-wide
+    tokens; plus a hand-computed check that a rare repeated token beats a
+    common one."""
+    import __ray_entry__ as E
+    from pholcus_ray.pipelines.textdata import tfidf_topk
+
+    df = _norm(_to_df(tfidf_topk(pii_docs_dir)))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{pii_docs_dir}/documents.parquet')")
+    odf = _norm(con.execute(E.oracle_sql()["tfidf_topk"]).df())
+    assert list(df.columns) == list(odf.columns)
+    assert len(df) == len(odf)
+    for c in df.columns:
+        assert df[c].dtype == odf[c].dtype, c
+        assert (df[c].values == odf[c].values).all(), c
+    # doc 2 = "spam spam spam spam ham": spam tf=4 df=1 -> 4e6 beats
+    # ham tf=1 df=1 -> 1e6; both beat nothing else (doc has 2 terms)
+    d2 = df[df["doc_id"] == 2].sort_values("score_micro", ascending=False)
+    assert d2["token"].tolist() == ["spam", "ham"]
+    assert d2["score_micro"].tolist() == [4_000_000, 1_000_000]
+    # empty/whitespace docs emit no rows; every doc emits <= 5
+    assert not set(df["doc_id"]) & {4, 5}
+    assert df.groupby("doc_id").size().max() <= 5
+
+
 def test_minhash_lsh_finds_near_dups(ray_session, dup_docs_dir):
     from pholcus_ray.pipelines.textdata import dedup_minhash_lsh
 
