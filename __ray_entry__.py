@@ -240,6 +240,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": T.chunk_docs,
         "substring_dups": T.substring_dups,
         "tfidf_topk": T.tfidf_topk,
+        "source_quota": T.source_quota,
+        "c4_filters": T.c4_filters,
+        "stratified_sample": T.stratified_sample,
         "repetition_quality": T.repetition_quality,
         "term_df": T.term_df,
         "hll_distinct_users": T.hll_distinct_users,
@@ -748,6 +751,76 @@ def _oracle_sql_raw() -> dict[str, str]:
               FROM k GROUP BY window_md5
             )
             SELECT * FROM g WHERE n_docs >= 2 ORDER BY window_md5
+        """,
+        "c4_filters": r"""
+            -- C4 rule filter: a line survives iff it ends in terminal
+            -- punctuation after trimming the explicit ASCII whitespace
+            -- set (space TAB CR FF VT — python rstrip() would also strip
+            -- unicode spaces RE2 \s does not), has >= 5 words, and no
+            -- 'javascript'; a doc keeps iff >= 3 lines survive and it has
+            -- neither 'lorem ipsum' nor '{'. kept_md5 verifies WHICH
+            -- lines survived. Mirrors textdata.c4_filters.
+            WITH l AS (
+              SELECT doc_id,
+                     string_split(text, chr(10)) AS lines,
+                     contains(lower(text), 'lorem ipsum') AS lorem,
+                     contains(text, '{') AS brace
+              FROM documents
+            ), k AS (
+              SELECT doc_id, lines, lorem, brace,
+                     list_filter(lines, x ->
+                       regexp_matches(
+                         rtrim(x, concat(' ', chr(9), chr(13), chr(12),
+                                         chr(11))),
+                         '[.!?"]$')
+                       AND len(regexp_split_to_array(
+                             trim(x, concat(' ', chr(9), chr(10), chr(11),
+                                            chr(12), chr(13))),
+                             '\s+')) >= 5
+                       AND NOT contains(lower(x), 'javascript')
+                     ) AS kept
+              FROM l
+            )
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept_lines,
+                   (len(kept) >= 3 AND NOT lorem AND NOT brace) AS keep,
+                   -- array_to_string([]) is NULL in DuckDB, not ''
+                   md5(coalesce(array_to_string(kept, chr(10)), ''))
+                     AS kept_md5
+            FROM k ORDER BY doc_id
+        """,
+        "source_quota": r"""
+            -- C4-style per-source cap: keep at most 10 docs per source,
+            -- ranked by (md5(text), doc_id). Mirrors
+            -- textdata.source_quota(quota=10) — 10 so the sf corpora
+            -- (uniform 25/source at sf0.01) actually exercise the cut.
+            WITH k AS (
+              SELECT doc_id, source, md5(text) AS rank_md5,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(text), doc_id) AS rn
+              FROM documents
+            )
+            SELECT doc_id, source, rank_md5 FROM k WHERE rn <= 10
+            ORDER BY source, rank_md5, doc_id
+        """,
+        "stratified_sample": r"""
+            -- deterministic per-language sampling: keep iff content-hash
+            -- bucket (first 8 md5 hex digits mod 100) < the language's
+            -- percentage rate. Mirrors textdata.stratified_sample default
+            -- rates {en:50, zh:100, de:25, fr:25, es:25}, unknown -> 100.
+            WITH b AS (
+              SELECT doc_id, lang, n_chars,
+                     CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)
+                       % 100 AS bucket
+              FROM documents
+            )
+            SELECT doc_id, lang, n_chars, bucket FROM b
+            WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 100
+                                     WHEN 'de' THEN 25 WHEN 'fr' THEN 25
+                                     WHEN 'es' THEN 25 ELSE 100 END
+            ORDER BY doc_id
         """,
         "tfidf_topk": r"""
             -- per-doc top-5 terms by the exact integer tf-idf surrogate

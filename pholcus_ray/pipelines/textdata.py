@@ -1408,6 +1408,133 @@ def term_df(sf_dir: str, top_k: int = 100) -> rd.Dataset:
     )
 
 
+_C4_WS = " \t\r\f\v"
+
+
+def c4_filters(sf_dir: str, min_kept_lines: int = 3,
+               min_line_words: int = 5) -> rd.Dataset:
+    """C4-style rule-based quality filtering (Raffel et al. 2020, §2.2):
+    a line survives iff it ends in terminal punctuation (. ! ? \"), has
+    >= min_line_words words, and doesn't mention 'javascript'; a doc is
+    kept iff >= min_kept_lines lines survive and the doc contains neither
+    'lorem ipsum' nor '{'. Emits per-doc counts, the keep verdict, and
+    the md5 of the surviving-lines text so the oracle verifies WHICH
+    lines survived, not just how many.
+
+    Whitespace trimming before the terminal-punct check is the explicit
+    ASCII set (space TAB CR FF VT) on both sides — python str.rstrip()
+    strips unicode spaces that DuckDB/RE2 '\\s' does not, a silent parity
+    trap. Shuffle-free streaming filter (the sort is oracle-comparison
+    only); per-line work is inherently per-doc python, the same cost
+    class as the reference's per-page DOM walk.
+    """
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids, n_lines, n_kept, keeps, kept_texts = [], [], [], [], []
+        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            lines = x.split("\n")
+            kept = [
+                ln for ln in lines
+                if ln.rstrip(_C4_WS).endswith((".", "!", "?", '"'))
+                and len(_tokens(ln)) >= min_line_words
+                and "javascript" not in ln.lower()
+            ]
+            ids.append(did)
+            n_lines.append(len(lines))
+            n_kept.append(len(kept))
+            keeps.append(len(kept) >= min_kept_lines
+                         and "lorem ipsum" not in x.lower()
+                         and "{" not in x)
+            kept_texts.append("\n".join(kept))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_kept_lines": pa.array(n_kept, pa.int64()),
+            "keep": pa.array(keeps, pa.bool_()),
+            "kept_md5": pa.array(md5_hex_array(kept_texts), pa.string()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+def source_quota(sf_dir: str, quota: int = 10,
+                 num_parts: int = 32) -> rd.Dataset:
+    """Per-group quota capping (the C4/mC4 per-domain cap): keep at most
+    `quota` documents per source, chosen deterministically by content
+    hash — rank docs within each source by (md5(text), doc_id) and keep
+    the first `quota`. Hash order, not doc_id order, so the kept subset
+    is unbiased w.r.t. crawl/insertion order (a doc_id-ordered cap would
+    systematically keep each domain's earliest pages).
+
+    Scale: one exchange. Rows shuffle by source-hash into coarse
+    partitions (never one tiny group per source — a partition holds many
+    sources and cuts them all with ONE vectorized sort + cumcount); only
+    (doc_id, source, 32B rank key) rows travel, never text. Skewed hot
+    sources are the known hazard of per-domain grouping; a coarse
+    partition bounds the blast radius to quota-cut work proportional to
+    that partition's rows, and the output is quota-bounded per source.
+    """
+    ds = _read_documents(sf_dir, columns=["doc_id", "text", "source"])
+    nP = np.uint64(num_parts)
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "part": pa.array((hash64_array(t["source"].to_pylist()) % nP)
+                             .astype(np.int32)),
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "rank_md5": pa.array(
+                md5_hex_array(t["text"].to_pylist()), pa.string()),
+        })
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "rank_md5", "doc_id"], kind="mergesort")
+        keep = g.groupby("source").cumcount().values < quota
+        out = g.loc[keep, ["doc_id", "source", "rank_md5"]]
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].astype("int64").values,
+            "source": out["source"].values,
+            "rank_md5": out["rank_md5"].values,
+        })
+
+    return (
+        ds.map_batches(key_rows, batch_format="pyarrow")
+        .groupby("part").map_groups(cut, batch_format="pandas")
+        .sort(["source", "rank_md5", "doc_id"])
+    )
+
+
+def stratified_sample(sf_dir: str,
+                      rates: dict[str, int] | None = None) -> rd.Dataset:
+    """Deterministic stratified sampling by language: keep a doc iff its
+    content-hash bucket (first 8 md5-of-text hex digits mod 100) falls
+    below its language's percentage rate. Content-keyed like
+    split_by_hash, so the sample is stable under re-partitioning,
+    re-ordering, and re-runs — the property a 100 TB pipeline needs to
+    resume mid-sample. Unknown languages default to rate 100 (keep).
+
+    Shuffle-free: a pure streaming filter; the rates table is a tiny
+    broadcast-by-closure constant (the real-world analogue ships it via
+    ray.put once per job).
+    """
+    if rates is None:
+        rates = {"en": 50, "zh": 100, "de": 25, "fr": 25, "es": 25}
+    ds = _read_documents(sf_dir,
+                         columns=["doc_id", "text", "lang", "n_chars"])
+
+    def f(t: pa.Table) -> pa.Table:
+        h = md5_hex_array(t["text"].to_pylist())
+        bucket = np.array([int(x[:8], 16) % 100 for x in h], dtype=np.int64)
+        langs = t["lang"].to_pylist()
+        rate = np.array([rates.get(lg, 100) for lg in langs], dtype=np.int64)
+        keep = pa.array(bucket < rate)
+        t = t.append_column("bucket", pa.array(bucket, pa.int64()))
+        return t.filter(keep).drop_columns(["text"])
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
 def tfidf_topk(sf_dir: str, k: int = 5, num_parts: int = 32) -> rd.Dataset:
     """Per-document top-k salient terms by an exact integer tf-idf
     surrogate: score_micro = tf * 1_000_000 // df (term frequency scaled

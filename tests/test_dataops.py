@@ -403,6 +403,150 @@ def test_tfidf_topk_planted(ray_session, pii_docs_dir):
     assert df.groupby("doc_id").size().max() <= 5
 
 
+@pytest.fixture(scope="module")
+def quota_docs_dir(tmp_path_factory):
+    """documents.parquet with a skewed source distribution and mixed
+    languages for the quota/stratified-sampling operators."""
+    d = str(tmp_path_factory.mktemp("quotadocs"))
+    rows = []
+    for i in range(30):
+        rows.append((i, f"hot source doc number {i} with words", "en", "hot"))
+    for i in range(30, 34):
+        rows.append((i, f"cold doc {i}", "de", "cold"))
+    rows.append((34, "", "fr", "cold"))
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array([r[3] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_source_quota_planted(ray_session, quota_docs_dir):
+    """The hot source must be cut to exactly the quota by hash order (not
+    doc_id order); small sources pass through whole."""
+    import hashlib
+
+    import __ray_entry__ as E
+    from pholcus_ray.pipelines.textdata import source_quota
+
+    df = _norm(_to_df(source_quota(quota_docs_dir, quota=10)))
+    # hand-rolled expectation
+    raw = pq.read_table(os.path.join(quota_docs_dir, "documents.parquet"))
+    by_src: dict = {}
+    for did, tx, src in zip(raw["doc_id"].to_pylist(),
+                            raw["text"].to_pylist(),
+                            raw["source"].to_pylist()):
+        by_src.setdefault(src, []).append(
+            (hashlib.md5(tx.encode()).hexdigest(), did))
+    want = set()
+    for src, lst in by_src.items():
+        for h, did in sorted(lst)[:10]:
+            want.add(did)
+    assert set(df["doc_id"]) == want
+    assert (df[df["source"] == "hot"].shape[0]) == 10
+    assert (df[df["source"] == "cold"].shape[0]) == 5
+    # default-quota (10) engine vs oracle parity: the hot source is cut,
+    # the cold one passes whole
+    dfo = _norm(_to_df(source_quota(quota_docs_dir)))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{quota_docs_dir}/documents.parquet')")
+    odf = _norm(con.execute(E.oracle_sql()["source_quota"]).df())
+    assert list(dfo.columns) == list(odf.columns) and len(dfo) == len(odf)
+    for c in dfo.columns:
+        assert dfo[c].dtype == odf[c].dtype, c
+        assert (dfo[c].values == odf[c].values).all(), c
+
+
+def test_stratified_sample_planted(ray_session, quota_docs_dir):
+    """Rates are honored exactly (content-hash buckets), zh/unknown keep
+    everything, and engine == oracle on a mixed-language fixture."""
+    import hashlib
+
+    import __ray_entry__ as E
+    from pholcus_ray.pipelines.textdata import stratified_sample
+
+    df = _norm(_to_df(stratified_sample(quota_docs_dir)))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{quota_docs_dir}/documents.parquet')")
+    odf = _norm(con.execute(E.oracle_sql()["stratified_sample"]).df())
+    assert list(df.columns) == list(odf.columns) and len(df) == len(odf)
+    for c in df.columns:
+        assert df[c].dtype == odf[c].dtype, c
+        assert (df[c].values == odf[c].values).all(), c
+    # brute-force the keep rule
+    raw = pq.read_table(os.path.join(quota_docs_dir, "documents.parquet"))
+    rates = {"en": 50, "zh": 100, "de": 25, "fr": 25, "es": 25}
+    want = []
+    for did, tx, lg in zip(raw["doc_id"].to_pylist(),
+                           raw["text"].to_pylist(),
+                           raw["lang"].to_pylist()):
+        b = int(hashlib.md5(tx.encode()).hexdigest()[:8], 16) % 100
+        if b < rates.get(lg, 100):
+            want.append(did)
+    assert sorted(df["doc_id"].tolist()) == sorted(want)
+    # a full-rate stratum keeps everything: all-zh custom rates
+    all_kept = _to_df(stratified_sample(quota_docs_dir,
+                                        rates={"en": 100, "de": 100,
+                                               "fr": 100}))
+    assert len(all_kept) == raw.num_rows
+
+
+def test_c4_filters_planted(ray_session, tmp_path_factory):
+    """Every C4 rule branch fires: terminal-punct pass/fail, trailing
+    ASCII whitespace before the punct, the 5-word floor, javascript
+    lines, lorem-ipsum and brace doc kills, tab-separated words, empty
+    docs. Engine vs oracle plus hand-computed verdicts."""
+    import __ray_entry__ as E
+    from pholcus_ray.pipelines.textdata import c4_filters
+
+    d = str(tmp_path_factory.mktemp("c4docs"))
+    good = "this line has enough words to pass the filter."
+    texts = [
+        "\n".join([good, good + "!", good + '"', "too short.",
+                   "no terminal punctuation here at all",
+                   good.replace("words", "javascript")]),   # 3 kept -> keep
+        "\n".join([good, good]),                            # 2 kept -> drop
+        "\n".join([good, good, good + " \t "]),             # ws after punct
+        "\n".join([good, good, good, "Lorem Ipsum dolor sit amet."]),
+        "\n".join([good, good, good, "code { not prose }"]),
+        "a\tb\tc\td\tends with tab separated words.",       # tabs as \s
+        "",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+
+    df = _norm(_to_df(c4_filters(d)))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    odf = _norm(con.execute(E.oracle_sql()["c4_filters"]).df())
+    assert list(df.columns) == list(odf.columns) and len(df) == len(odf)
+    for c in df.columns:
+        assert df[c].dtype == odf[c].dtype, c
+        assert (df[c].values == odf[c].values).all(), c
+    got = df.set_index("doc_id")
+    assert got.loc[0, "n_kept_lines"] == 3 and bool(got.loc[0, "keep"])
+    assert got.loc[1, "n_kept_lines"] == 2 and not got.loc[1, "keep"]
+    # trailing " \t " after the '.' still counts as terminal punctuation
+    assert got.loc[2, "n_kept_lines"] == 3 and bool(got.loc[2, "keep"])
+    assert not got.loc[3, "keep"] and not got.loc[4, "keep"]  # lorem/brace
+    # tab-separated words count as words (7 >= 5), line ends in '.'
+    assert got.loc[5, "n_kept_lines"] == 1
+    assert got.loc[6, "n_lines"] == 1 and got.loc[6, "n_kept_lines"] == 0
+
+
 def test_minhash_lsh_finds_near_dups(ray_session, dup_docs_dir):
     from pholcus_ray.pipelines.textdata import dedup_minhash_lsh
 
