@@ -64,6 +64,13 @@ _BENCH_QUERIES = [
     "value_quantiles",
     "events_prop_stats",
     "embedding_centroids",
+    # round-3 training-data additions
+    "chunk_docs",
+    "substring_dups",
+    "tfidf_topk",
+    "c4_filters",
+    "source_quota",
+    "stratified_sample",
 ]
 
 
