@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": T.tfidf_topk,
         "source_quota": T.source_quota,
         "c4_filters": T.c4_filters,
+        "line_dedup": T.line_dedup,
         "stratified_sample": T.stratified_sample,
         "repetition_quality": T.repetition_quality,
         "term_df": T.term_df,
@@ -789,6 +790,32 @@ def _oracle_sql_raw() -> dict[str, str]:
                    md5(coalesce(array_to_string(kept, chr(10)), ''))
                      AS kept_md5
             FROM k ORDER BY doc_id
+        """,
+        "line_dedup": r"""
+            -- cross-document line dedup: a line present in >= 2 DISTINCT
+            -- docs is boilerplate; kept_md5 = md5 of the concatenated
+            -- line-md5s of surviving lines in original order. Mirrors
+            -- textdata.line_dedup(min_docs=2).
+            WITH l AS (
+              SELECT doc_id, string_split(text, chr(10)) AS lines
+              FROM documents
+            ), inc AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS line_idx,
+                     md5(lines[CAST(i+1 AS BIGINT)]) AS line_md5
+              FROM l, UNNEST(range(0, len(lines))) AS u(i)
+            ), dupes AS (
+              SELECT line_md5 FROM inc
+              GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+            )
+            SELECT i.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CASE WHEN d.line_md5 IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                   md5(coalesce(
+                     string_agg(i.line_md5, '' ORDER BY i.line_idx)
+                       FILTER (WHERE d.line_md5 IS NULL), '')) AS kept_md5
+            FROM inc i LEFT JOIN dupes d USING (line_md5)
+            GROUP BY 1 ORDER BY 1
         """,
         "source_quota": r"""
             -- C4-style per-source cap: keep at most 10 docs per source,

@@ -1458,6 +1458,86 @@ def c4_filters(sf_dir: str, min_kept_lines: int = 3,
     return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
 
 
+def line_dedup(sf_dir: str, min_docs: int = 2,
+               num_parts: int = 32) -> rd.Dataset:
+    """Cross-document line-level deduplication (the CCNet / RefinedWeb
+    boilerplate-removal step): a line whose exact content appears in
+    >= min_docs DISTINCT documents is corpus boilerplate (nav bars,
+    footers, license blurbs) and every occurrence is removed. Emits per
+    doc (n_lines, n_removed, kept_md5) where kept_md5 is the md5 of the
+    concatenated line-md5s of the SURVIVING lines in original order — it
+    verifies exactly WHICH lines were removed while keeping every
+    shuffled row hash-sized.
+
+    Scale shape — two exchanges, both of ~56B incidence rows, text never
+    crosses a stage boundary:
+      1. the (line_md5, doc_id, line_idx) incidence shuffles by
+         line-hash; each coarse partition holds every occurrence of its
+         lines, so the global distinct-doc count per line is one
+         C-level transform('nunique'), and each row gains its dup flag;
+      2. flagged rows shuffle back by doc-hash; one vectorized
+         sort + concat per coarse partition rebuilds each doc's
+         surviving-line digest.
+    A production run would apply the same kept-mask to the text column
+    in the map_batches where the text is already local (stage 1's flag
+    join shipped back as a per-doc bitmap), writing cleaned shards
+    directly — the digest output here is the verification form.
+    """
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+    nP = np.uint64(num_parts)
+
+    def incidence(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        idxs: list[int] = []
+        hs: list[str] = []
+        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            lines = x.split("\n")
+            ids.extend([did] * len(lines))
+            idxs.extend(range(len(lines)))
+            hs.extend(md5_hex_array(lines))
+        part = ((hash64_array(hs) % nP).astype(np.int32) if hs
+                else np.empty(0, dtype=np.int32))
+        return pa.table({
+            "part": pa.array(part),
+            "doc_id": pa.array(ids, pa.int64()),
+            "line_idx": pa.array(idxs, pa.int64()),
+            "line_md5": pa.array(hs, pa.string()),
+        })
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("line_md5")["doc_id"].transform("nunique")
+        return pd.DataFrame({
+            "dpart": (g["doc_id"].values.astype(np.uint64) % nP).astype(
+                np.int32),
+            "doc_id": g["doc_id"].astype("int64").values,
+            "line_idx": g["line_idx"].astype("int64").values,
+            "line_md5": g["line_md5"].values,
+            "dup": (nd >= min_docs).values,
+        })
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "line_idx"], kind="mergesort")
+        ids, n_lines, n_removed, kept = [], [], [], []
+        for did, rows in g.groupby("doc_id", sort=True):
+            ids.append(did)
+            n_lines.append(len(rows))
+            n_removed.append(int(rows["dup"].sum()))
+            kept.append("".join(rows.loc[~rows["dup"], "line_md5"]))
+        return pd.DataFrame({
+            "doc_id": pd.array(ids, dtype="int64"),
+            "n_lines": pd.array(n_lines, dtype="int64"),
+            "n_removed": pd.array(n_removed, dtype="int64"),
+            "kept_md5": md5_hex_array(kept),
+        })
+
+    return (
+        ds.map_batches(incidence, batch_format="pyarrow")
+        .groupby("part").map_groups(mark, batch_format="pandas")
+        .groupby("dpart").map_groups(rebuild, batch_format="pandas")
+        .sort("doc_id")
+    )
+
+
 def source_quota(sf_dir: str, quota: int = 10,
                  num_parts: int = 32) -> rd.Dataset:
     """Per-group quota capping (the C4/mC4 per-domain cap): keep at most

@@ -49,7 +49,7 @@ def ducksf():
      "split_by_hash", "dup_clusters", "events_prop_stats",
      "training_corpus_summary", "embedding_centroids",
      "contamination_check", "lang_id", "text_quality",
-     "pii_scrub", "repetition_quality", "term_df"],
+     "pii_scrub", "repetition_quality", "term_df", "line_dedup"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -374,6 +374,75 @@ def test_substring_dups_planted(ray_session, tmp_path_factory):
     assert (df["doc_lo"] >= 0).all() and (df["doc_hi"] <= 2).all()
     with pytest.raises(ValueError):
         substring_dups(d, keep_mod=3)
+
+
+def test_line_dedup_planted(ray_session, tmp_path_factory):
+    """A footer line shared by 3 docs must be removed from all of them; a
+    line repeated WITHIN one doc only (1 distinct doc) must survive; empty
+    docs round-trip. Engine vs the SQL oracle AND vs a hand-rolled brute
+    force."""
+    import hashlib
+
+    import __ray_entry__ as E
+    from pholcus_ray.pipelines.textdata import line_dedup
+
+    d = str(tmp_path_factory.mktemp("linededup"))
+    footer = "copyright example corp all rights reserved."
+    texts = [
+        "unique first line of doc zero.\nsome middle content here.\n" + footer,
+        "doc one opens differently.\n" + footer + "\nand closes uniquely.",
+        footer + "\ndoc two body text goes here.",
+        "internal repeat line.\ninternal repeat line.\nunique tail.",
+        "",
+        "single line no dupes anywhere.",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+
+    df = _norm(_to_df(line_dedup(d)))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    odf = _norm(con.execute(E.oracle_sql()["line_dedup"]).df())
+    assert list(df.columns) == list(odf.columns)
+    assert len(df) == len(odf)
+    for c in df.columns:
+        assert df[c].dtype == odf[c].dtype, c
+        assert (df[c].values == odf[c].values).all(), c
+
+    # brute force
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    lines_of = {i: x.split("\n") for i, x in enumerate(texts)}
+    docs_per_line: dict = {}
+    for i, lines in lines_of.items():
+        for ln in set(lines):
+            docs_per_line.setdefault(md5(ln), set()).add(i)
+    dup = {h for h, ds_ in docs_per_line.items() if len(ds_) >= 2}
+    by_id = df.set_index("doc_id")
+    for i, lines in lines_of.items():
+        kept = [md5(ln) for ln in lines if md5(ln) not in dup]
+        assert by_id.loc[i, "n_lines"] == len(lines)
+        assert by_id.loc[i, "n_removed"] == sum(
+            1 for ln in lines if md5(ln) in dup)
+        assert by_id.loc[i, "kept_md5"] == md5_str("".join(kept))
+    # the footer was removed from docs 0-2; the internal repeat survived
+    assert by_id.loc[0, "n_removed"] == 1
+    assert by_id.loc[1, "n_removed"] == 1
+    assert by_id.loc[2, "n_removed"] == 1
+    assert by_id.loc[3, "n_removed"] == 0
+    assert by_id.loc[4, "n_removed"] == 0
+
+
+def md5_str(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode()).hexdigest()
 
 
 def test_tfidf_topk_planted(ray_session, pii_docs_dir):
