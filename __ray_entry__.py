@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quota": T.source_quota,
         "c4_filters": T.c4_filters,
         "line_dedup": T.line_dedup,
+        "pack_sequences": T.pack_sequences,
         "stratified_sample": T.stratified_sample,
         "repetition_quality": T.repetition_quality,
         "term_df": T.term_df,
@@ -790,6 +791,31 @@ def _oracle_sql_raw() -> dict[str, str]:
                    md5(coalesce(array_to_string(kept, chr(10)), ''))
                      AS kept_md5
             FROM k ORDER BY doc_id
+        """,
+        "pack_sequences": r"""
+            -- concat-and-chunk sequence packing: docs concatenated in
+            -- (md5(text), doc_id) order, token_offset = exclusive prefix
+            -- sum, sequences of 256 tokens. Zero-token docs pack nothing.
+            -- Mirrors textdata.pack_sequences(seq_len=256).
+            WITH t AS (
+              SELECT doc_id, md5(text) AS key,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, key, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY key, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS token_offset
+              FROM t WHERE n_tokens > 0
+            )
+            SELECT doc_id, key, n_tokens, token_offset,
+                   CAST(token_offset // 256 AS BIGINT) AS seq_begin,
+                   CAST((token_offset + n_tokens - 1) // 256 AS BIGINT)
+                       AS seq_end
+            FROM c ORDER BY token_offset
         """,
         "line_dedup": r"""
             -- cross-document line dedup: a line present in >= 2 DISTINCT

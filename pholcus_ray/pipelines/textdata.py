@@ -1298,6 +1298,81 @@ def chunk_docs(sf_dir: str, chunk_tokens: int = 64,
             .sort(["doc_id", "chunk_idx"]))
 
 
+def pack_sequences(sf_dir: str, seq_len: int = 256,
+                   num_buckets: int = 64) -> rd.Dataset:
+    """Pretraining sequence packing (the GPT-style concat-and-chunk prep):
+    documents are concatenated in a deterministic content-hash order
+    (md5(text), doc_id) and the token stream is cut into fixed-length
+    sequences of ``seq_len``; each doc's placement is its exclusive
+    prefix-sum token_offset, and the sequences it spans are
+    [token_offset // seq_len, (token_offset + n_tokens - 1) // seq_len].
+    Content-hash order (not doc_id order) decorrelates neighboring docs
+    — the packing analogue of shuffling — while staying byte-stable
+    across re-runs and re-partitionings. Zero-token docs pack nothing
+    and are dropped.
+
+    Scale shape — a textbook distributed prefix sum, no global sort:
+    md5 keys are uniform hex, so the first two nibbles give ORDERED
+    range buckets for free (bucket b's keys all precede bucket b+1's).
+    One light exchange computes per-bucket token totals (num_buckets
+    rows to the driver — the only driver state is that int vector);
+    the driver prefixes them; a second exchange of the same slim
+    (bucket, doc_id, key, n_tokens) rows assigns token_offset =
+    bucket_offset + local exclusive cumsum after an in-partition sort.
+    The incidence is materialized between the two passes so the text
+    isn't re-read/re-tokenized (48B/doc — object-store-sized at any
+    corpus scale, spills if needed).
+    """
+    if 256 % num_buckets:
+        raise ValueError("num_buckets must divide 256")
+    div = 256 // num_buckets
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        ids, ntok, texts = [], [], []
+        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            n = len(_tokens(x))
+            if n:
+                ids.append(did)
+                ntok.append(n)
+                texts.append(x)
+        keys = md5_hex_array(texts)
+        bucket = np.array([int(k[:2], 16) // div for k in keys],
+                          dtype=np.int32)
+        return pa.table({
+            "bucket": pa.array(bucket),
+            "doc_id": pa.array(ids, pa.int64()),
+            "key": pa.array(keys, pa.string()),
+            "n_tokens": pa.array(ntok, pa.int64()),
+        })
+
+    inc = ds.map_batches(key_rows, batch_format="pyarrow").materialize()
+    totals = {int(r["bucket"]): int(r["total"]) for r in
+              inc.groupby("bucket").aggregate(
+                  Sum("n_tokens", alias_name="total")).take_all()}
+    offsets, acc = {}, 0
+    for b in range(num_buckets):
+        offsets[b] = acc
+        acc += totals.get(b, 0)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", "doc_id"], kind="mergesort")
+        n = g["n_tokens"].astype("int64").values
+        off = offsets[int(g["bucket"].iloc[0])] + np.concatenate(
+            ([0], np.cumsum(n[:-1])))
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64").values,
+            "key": g["key"].values,
+            "n_tokens": n,
+            "token_offset": off.astype("int64"),
+            "seq_begin": (off // seq_len).astype("int64"),
+            "seq_end": ((off + n - 1) // seq_len).astype("int64"),
+        })
+
+    return (inc.groupby("bucket").map_groups(assign, batch_format="pandas")
+            .sort("token_offset"))
+
+
 _KEEP_NIBBLES = "0123456789abcdef"
 
 

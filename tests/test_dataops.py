@@ -49,7 +49,8 @@ def ducksf():
      "split_by_hash", "dup_clusters", "events_prop_stats",
      "training_corpus_summary", "embedding_centroids",
      "contamination_check", "lang_id", "text_quality",
-     "pii_scrub", "repetition_quality", "term_df", "line_dedup"],
+     "pii_scrub", "repetition_quality", "term_df", "line_dedup",
+     "pack_sequences"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -443,6 +444,67 @@ def md5_str(s: str) -> str:
     import hashlib
 
     return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_pack_sequences_planted(ray_session, tmp_path_factory):
+    """Packing invariants: the token stream is contiguous (each offset =
+    previous offset + previous n_tokens) in (key, doc_id) order, duplicate
+    texts tie-break by doc_id, zero-token docs pack nothing, and span
+    boundaries honor seq_len. Engine vs the SQL oracle on the same data."""
+    import __ray_entry__ as E
+    from pholcus_ray.pipelines.textdata import pack_sequences
+
+    d = str(tmp_path_factory.mktemp("packseq"))
+    texts = [
+        "one two three four five six seven",      # 7 tokens
+        "a b c",                                   # 3 tokens
+        "a b c",                                   # dup text: tie-break
+        "",                                        # drops
+        "   ",                                     # drops
+        " ".join(f"w{i}" for i in range(11)),      # 11 tokens
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+
+    df = _to_df(pack_sequences(d, seq_len=8)).sort_values(
+        "token_offset").reset_index(drop=True)
+    # zero-token docs drop
+    assert set(df["doc_id"]) == {0, 1, 2, 5}
+    # contiguous stream in (key, doc_id) order
+    assert df["token_offset"].iloc[0] == 0
+    for i in range(1, len(df)):
+        assert df["token_offset"].iloc[i] == (
+            df["token_offset"].iloc[i - 1] + df["n_tokens"].iloc[i - 1])
+        assert (df["key"].iloc[i], df["doc_id"].iloc[i]) > (
+            df["key"].iloc[i - 1], df["doc_id"].iloc[i - 1])
+    # identical texts adjacent, doc_id ascending
+    dups = df[df["doc_id"].isin([1, 2])]
+    assert dups["doc_id"].tolist() == [1, 2]
+    assert dups["token_offset"].diff().dropna().eq(3).all()
+    # span math
+    assert (df["seq_begin"] == df["token_offset"] // 8).all()
+    assert (df["seq_end"] == (df["token_offset"] + df["n_tokens"] - 1) // 8).all()
+    assert (df["seq_end"] >= df["seq_begin"]).all()
+
+    # engine vs oracle (seq_len=256 = the registered query shape)
+    dfo = _norm(_to_df(pack_sequences(d)))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    odf = _norm(con.execute(E.oracle_sql()["pack_sequences"]).df())
+    assert list(dfo.columns) == list(odf.columns)
+    assert len(dfo) == len(odf)
+    for c in dfo.columns:
+        assert dfo[c].dtype == odf[c].dtype, c
+        assert (dfo[c].values == odf[c].values).all(), c
+    with pytest.raises(ValueError):
+        pack_sequences(d, num_buckets=48)
 
 
 def test_tfidf_topk_planted(ray_session, pii_docs_dir):
