@@ -71,6 +71,8 @@ _BENCH_QUERIES = [
     "c4_filters",
     "source_quota",
     "stratified_sample",
+    "line_dedup",
+    "pack_sequences",
 ]
 
 
