@@ -244,6 +244,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_filters": T.c4_filters,
         "line_dedup": T.line_dedup,
         "pack_sequences": T.pack_sequences,
+        "normalize_text": T.normalize_text,
+        "dedup_against": T.dedup_against,
+        "bigram_pmi": T.bigram_pmi,
         "stratified_sample": T.stratified_sample,
         "repetition_quality": T.repetition_quality,
         "term_df": T.term_df,
@@ -816,6 +819,62 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CAST((token_offset + n_tokens - 1) // 256 AS BIGINT)
                        AS seq_end
             FROM c ORDER BY token_offset
+        """,
+        "normalize_text": r"""
+            -- NFC + explicit-ASCII-whitespace normalization; md5 pins the
+            -- exact normalized bytes. Mirrors textdata.normalize_text.
+            WITH n AS (
+              SELECT doc_id, text,
+                     trim(regexp_replace(nfc_normalize(text),
+                          '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS norm
+              FROM documents
+            )
+            SELECT doc_id, md5(norm) AS norm_md5,
+                   CAST(length(norm) AS BIGINT) AS n_chars_norm,
+                   (norm <> text) AS changed
+            FROM n ORDER BY doc_id
+        """,
+        "dedup_against": r"""
+            -- incremental dedup: incoming (odd doc_ids) anti-joined against
+            -- the sealed prior corpus (even doc_ids) on md5(text). The
+            -- engine's Bloom stage is routing only; semantics are exact.
+            WITH prior AS (
+              SELECT DISTINCT md5(text) AS h FROM documents
+              WHERE doc_id % 2 = 0
+            ), inc AS (
+              SELECT doc_id, md5(text) AS h FROM documents
+              WHERE doc_id % 2 = 1
+            )
+            SELECT inc.doc_id, inc.h AS text_md5,
+                   (prior.h IS NULL) AS is_new
+            FROM inc LEFT JOIN prior ON inc.h = prior.h
+            ORDER BY inc.doc_id
+        """,
+        "bigram_pmi": r"""
+            -- top-k adjacent-token bigrams by PMI; rank key is the exact
+            -- integer (n_ab * 10^12) // (n_a * n_b) (monotone in PMI for
+            -- fixed corpus totals). HUGEINT keeps the product exact.
+            WITH tok AS (
+              SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents WHERE trim(text) <> ''
+            ), uni AS (
+              SELECT u.tok AS a, COUNT(*) AS n
+              FROM tok, unnest(toks) AS u(tok) GROUP BY 1
+            ), big AS (
+              SELECT toks[i] AS a, toks[i + 1] AS b, COUNT(*) AS n_ab
+              FROM (SELECT toks,
+                           unnest(generate_series(1, len(toks) - 1)) AS i
+                    FROM tok)
+              GROUP BY 1, 2
+            )
+            SELECT big.a, big.b, CAST(n_ab AS BIGINT) AS n_ab,
+                   CAST(ua.n AS BIGINT) AS n_a, CAST(ub.n AS BIGINT) AS n_b,
+                   CAST(CAST(n_ab AS HUGEINT) * 1000000000000
+                        // (CAST(ua.n AS HUGEINT) * ub.n) AS BIGINT) AS score
+            FROM big JOIN uni ua ON big.a = ua.a
+                     JOIN uni ub ON big.b = ub.a
+            WHERE n_ab >= 5
+            ORDER BY score DESC, big.a, big.b LIMIT 100
         """,
         "line_dedup": r"""
             -- cross-document line dedup: a line present in >= 2 DISTINCT

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import re
+import unicodedata
 
 import numpy as np
 import pandas as pd
@@ -2107,3 +2108,231 @@ def contamination_check(sf_dir: str, n: int = 5,
         )
 
     return docs.map_batches(scan, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# text normalization / incremental dedup / collocations (round 3)
+# ---------------------------------------------------------------------------
+
+_ASCII_WS = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def normalize_text(sf_dir: str) -> rd.Dataset:
+    """Unicode text normalization — the cleaning pass every web-text
+    pipeline runs BEFORE content hashing, so that 'café' composed and
+    decomposed dedup together: NFC canonical composition, then ASCII
+    whitespace runs collapsed to single spaces and stripped at the ends.
+    Emits (doc_id, norm_md5, n_chars_norm, changed); the md5 pins the
+    exact normalized bytes without shipping text anywhere.
+
+    Embarrassingly parallel — one map_batches, no shuffle (the trailing
+    sort is presentation-only). The whitespace class is an EXPLICIT
+    ASCII set on both engine and oracle sides: Python's re \\s is
+    unicode-wide while DuckDB's RE2 \\s is ASCII, so \\s parity is a
+    trap (same lesson as c4_filters).
+    """
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        out = [_ASCII_WS.sub(" ", unicodedata.normalize("NFC", x)).strip(" ")
+               for x in texts]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "norm_md5": pa.array(md5_hex_array(out), pa.string()),
+            "n_chars_norm": pa.array([len(x) for x in out], pa.int64()),
+            "changed": pa.array([a != b for a, b in zip(out, texts)],
+                                pa.bool_()),
+        })
+
+    return ds.map_batches(norm, batch_format="pyarrow").sort("doc_id")
+
+
+def _bloom_slots(md5_hex: str, mbits: int) -> tuple[int, int, int, int]:
+    """Four independent Bloom slots cut straight from the md5 hex — the
+    digest already is the hash family, no rehashing needed."""
+    return (int(md5_hex[0:8], 16) % mbits, int(md5_hex[8:16], 16) % mbits,
+            int(md5_hex[16:24], 16) % mbits, int(md5_hex[24:32], 16) % mbits)
+
+
+def dedup_against(sf_dir: str, bloom_bits: int = 1 << 20,
+                  num_parts: int = 32) -> rd.Dataset:
+    """Incremental dedup of an incoming shard against a sealed prior
+    corpus (the nightly-crawl update path: yesterday's corpus must not
+    be re-added by today's fetch). Snapshot convention for the query
+    surface: even doc_ids are the prior corpus, odd doc_ids are the
+    incoming shard. Emits (doc_id, text_md5, is_new) for every incoming
+    doc with EXACT anti-join semantics — the Bloom stage only routes.
+
+    Scale shape — broadcast Bloom prefilter + exact confirm:
+      1. prior md5s fold into per-block Bloom bitmaps (k=4 slots cut
+         from the md5 hex itself); the driver ORs #blocks bitmaps of
+         bloom_bits/8 bytes and ray.put-broadcasts the merged filter —
+         build-once-read-everywhere, never re-shipped per batch.
+      2. every incoming doc tests the filter locally inside
+         map_batches; a Bloom negative is DEFINITELY new, so only
+         positives (true dups + the ~(1-e^(-kn/m))^k false-positive
+         sliver) carry prior keys into the md5-bucketed exchange for
+         the exact verdict — the anti-join shuffle is sized by the dup
+         candidates, not the corpus. Definite-new rows still ride the
+         same exchange here as 41-byte verdict rows (spread over their
+         own partitions, resolved by passthrough) purely so the result
+         is one Dataset; a production writer would emit them straight
+         to the output shard.
+    """
+    mbytes = bloom_bits // 8
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+    nP = np.uint64(num_parts)
+
+    def block_bloom(t: pa.Table) -> pa.Table:
+        bm = np.zeros(mbytes, np.uint8)
+        texts = [x for did, x in zip(t["doc_id"].to_pylist(),
+                                     t["text"].to_pylist()) if did % 2 == 0]
+        for h in md5_hex_array(texts):
+            for s in _bloom_slots(h, bloom_bits):
+                bm[s >> 3] |= np.uint8(1 << (s & 7))
+        return pa.table({"bloom": pa.array([bm.tobytes()], pa.binary())})
+
+    merged = np.zeros(mbytes, np.uint8)
+    for row in ds.map_batches(block_bloom, batch_format="pyarrow").take_all():
+        merged |= np.frombuffer(row["bloom"], np.uint8)
+    bloom_ref = ray.put(merged.tobytes())
+
+    def keyrows(t: pa.Table) -> pa.Table:
+        bm = np.frombuffer(ray.get(bloom_ref), np.uint8)
+        ids = t["doc_id"].to_pylist()
+        hs = md5_hex_array(t["text"].to_pylist())
+        part, role, out_ids, out_hs = [], [], [], []
+        for did, h in zip(ids, hs):
+            bucket = int(hash64_array([h])[0] % nP)
+            if did % 2 == 0:
+                part.append(bucket)
+                role.append(0)          # prior key
+            else:
+                hit = all(bm[s >> 3] & (1 << (s & 7))
+                          for s in _bloom_slots(h, bloom_bits))
+                part.append(bucket if hit else num_parts + bucket)
+                role.append(1 if hit else 2)  # candidate | definite-new
+            out_ids.append(did)
+            out_hs.append(h)
+        return pa.table({
+            "part": pa.array(part, pa.int32()),
+            "role": pa.array(role, pa.int8()),
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "text_md5": pa.array(out_hs, pa.string()),
+        })
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        if int(g["part"].iloc[0]) >= num_parts:   # definite-new partition
+            return pd.DataFrame({
+                "doc_id": g["doc_id"].astype("int64").values,
+                "text_md5": g["text_md5"].values,
+                "is_new": np.ones(len(g), dtype=bool),
+            })
+        prior = set(g.loc[g["role"].values == 0, "text_md5"])
+        cand = g[g["role"].values == 1]
+        return pd.DataFrame({
+            "doc_id": cand["doc_id"].astype("int64").values,
+            "text_md5": cand["text_md5"].values,
+            "is_new": ~cand["text_md5"].isin(prior).values,
+        })
+
+    return (ds.map_batches(keyrows, batch_format="pyarrow")
+            .groupby("part").map_groups(resolve, batch_format="pandas")
+            .sort("doc_id"))
+
+
+def bigram_pmi(sf_dir: str, min_count: int = 5, k: int = 100,
+               num_parts: int = 32) -> rd.Dataset:
+    """Corpus-wide collocation mining: top-k adjacent-token bigrams by
+    PMI. With corpus totals N (tokens) and B (bigrams) fixed,
+    PMI = log(n_ab·N²/(B·n_a·n_b)) is monotone in n_ab/(n_a·n_b), so the
+    rank key is the integer score = (n_ab · 10¹²) // (n_a · n_b) —
+    bit-reproducible, no float logs (score ≤ 10¹² always fits int64; the
+    intermediate product goes through Python bigints / DuckDB HUGEINT).
+
+    Scale shape — two count exchanges, both of hash-bucketed slim rows,
+    text never crosses a stage boundary:
+      1. per-block Counters pre-aggregate unigrams and bigrams (the
+         combiner), both keyed by hash(first-token); each partition owns
+         every partial of its tokens, so global n_a and n_ab finish
+         there and each bigram leaves with n_a attached;
+      2. the same unigram total rows re-key by their own token and
+         bigram rows re-key by hash(b); the second partition attaches
+         n_b, applies the min_count cut, and computes the score.
+    The final top-k is a sort+limit over bigrams that survived
+    min_count — the only global step, already count-pruned.
+    """
+    ds = _read_documents(sf_dir, columns=["text"])
+    nP = np.uint64(num_parts)
+
+    def counts(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        uni: Counter = Counter()
+        big: Counter = Counter()
+        for x in t["text"].to_pylist():
+            toks = _tokens(x)
+            uni.update(toks)
+            big.update(zip(toks, toks[1:]))
+        a = [tok for tok in uni] + [p[0] for p in big]
+        b = ["" for _ in uni] + [p[1] for p in big]
+        kind = np.r_[np.zeros(len(uni), np.int8), np.ones(len(big), np.int8)]
+        cnt = [v for v in uni.values()] + [v for v in big.values()]
+        return pa.table({
+            "part": pa.array((hash64_array(a) % nP).astype(np.int32)
+                             if a else np.empty(0, np.int32)),
+            "kind": pa.array(kind),
+            "a": pa.array(a, pa.string()),
+            "b": pa.array(b, pa.string()),
+            "cnt": pa.array(cnt, pa.int64()),
+        })
+
+    def join_a(g: pd.DataFrame) -> pd.DataFrame:
+        uni = (g[g["kind"].values == 0].groupby("a")["cnt"].sum())
+        big = (g[g["kind"].values == 1].groupby(["a", "b"])["cnt"].sum()
+               .reset_index())
+        n_a = uni.reindex(big["a"]).values
+        out_part = np.concatenate([
+            (hash64_array(uni.index.tolist()) % nP).astype(np.int32)
+            if len(uni) else np.empty(0, np.int32),
+            (hash64_array(big["b"].tolist()) % nP).astype(np.int32)
+            if len(big) else np.empty(0, np.int32)])
+        return pd.DataFrame({
+            "part2": out_part,
+            "kind": np.r_[np.zeros(len(uni), np.int8),
+                          np.ones(len(big), np.int8)],
+            "a": np.concatenate([uni.index.values, big["a"].values]),
+            "b": np.concatenate([np.full(len(uni), "", object),
+                                 big["b"].values]),
+            "n_ab": np.concatenate([uni.values,
+                                    big["cnt"].values]).astype(np.int64),
+            "n_a": np.concatenate([np.zeros(len(uni), np.int64),
+                                   n_a.astype(np.int64)]),
+        })
+
+    def join_b(g: pd.DataFrame) -> pd.DataFrame:
+        uni = g[g["kind"].values == 0].set_index("a")["n_ab"]
+        big = g[(g["kind"].values == 1) & (g["n_ab"].values >= min_count)]
+        if not len(big):
+            return pd.DataFrame({"a": pd.array([], dtype=object),
+                                 "b": pd.array([], dtype=object),
+                                 "n_ab": pd.array([], dtype="int64"),
+                                 "n_a": pd.array([], dtype="int64"),
+                                 "n_b": pd.array([], dtype="int64"),
+                                 "score": pd.array([], dtype="int64")})
+        n_b = uni.reindex(big["b"]).values.astype(np.int64)
+        score = [int(nab) * 10**12 // (int(na) * int(nb)) for nab, na, nb
+                 in zip(big["n_ab"].values, big["n_a"].values, n_b)]
+        return pd.DataFrame({
+            "a": big["a"].values, "b": big["b"].values,
+            "n_ab": big["n_ab"].astype("int64").values,
+            "n_a": big["n_a"].astype("int64").values,
+            "n_b": n_b,
+            "score": pd.array(score, dtype="int64"),
+        })
+
+    return (ds.map_batches(counts, batch_format="pyarrow")
+            .groupby("part").map_groups(join_a, batch_format="pandas")
+            .groupby("part2").map_groups(join_b, batch_format="pandas")
+            .sort(["score", "a", "b"], descending=[True, False, False])
+            .limit(k))

@@ -50,7 +50,7 @@ def ducksf():
      "training_corpus_summary", "embedding_centroids",
      "contamination_check", "lang_id", "text_quality",
      "pii_scrub", "repetition_quality", "term_df", "line_dedup",
-     "pack_sequences"],
+     "pack_sequences", "normalize_text", "dedup_against", "bigram_pmi"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -1043,3 +1043,111 @@ def test_multimodal_resize_composes_with_decode(ray_session):
     src = t.to_pandas()
     # format tag survives the resize (header contract preserved)
     assert (df["decoded_format"].values == src["format"].values).all()
+
+
+def _write_docs(d: str, texts: list[str]) -> None:
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+
+
+def _oracle_on(d: str, name: str) -> pd.DataFrame:
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    return con.execute(E.oracle_sql()[name]).df()
+
+
+def _frames_equal(dfo: pd.DataFrame, odf: pd.DataFrame) -> None:
+    assert list(dfo.columns) == list(odf.columns)
+    assert len(dfo) == len(odf)
+    for c in dfo.columns:
+        assert (dfo[c].values == odf[c].values).all(), c
+
+
+def test_normalize_text_planted(ray_session, tmp_path_factory):
+    """NFC folds composed/decomposed to one md5; ASCII whitespace collapses
+    and strips; unicode whitespace (NBSP) is deliberately NOT collapsed;
+    already-clean docs report changed=False."""
+    from pholcus_ray.pipelines.textdata import normalize_text
+
+    d = str(tmp_path_factory.mktemp("normtext"))
+    texts = [
+        "café",           # composed: already NFC -> unchanged
+        "café",          # decomposed: NFC-folds to the same bytes
+        "  a\t\nb\f\v  c ",    # ASCII ws runs collapse + ends strip
+        "",                    # empty stays empty, unchanged
+        "a b",            # NBSP is NOT ASCII ws: untouched
+        "clean text",          # unchanged
+    ]
+    _write_docs(d, texts)
+    df = _to_df(normalize_text(d)).sort_values("doc_id").reset_index(drop=True)
+    assert df.loc[0, "norm_md5"] == df.loc[1, "norm_md5"] == md5_str("café")
+    assert not df.loc[0, "changed"] and df.loc[1, "changed"]
+    assert df.loc[2, "norm_md5"] == md5_str("a b c")
+    assert df.loc[2, "n_chars_norm"] == 5 and df.loc[2, "changed"]
+    assert df.loc[3, "norm_md5"] == md5_str("") and not df.loc[3, "changed"]
+    assert df.loc[4, "norm_md5"] == md5_str("a b")
+    assert not df.loc[4, "changed"] and not df.loc[5, "changed"]
+    _frames_equal(_norm(df), _norm(_oracle_on(d, "normalize_text")))
+
+
+def test_dedup_against_planted(ray_session, tmp_path_factory):
+    """Exact incremental-dedup semantics survive a pathological Bloom:
+    bloom_bits=64 forces mass false positives, and the result must still
+    equal the exact anti-join (the filter only routes). Incoming-internal
+    dups stay is_new (only the PRIOR set gates)."""
+    from pholcus_ray.pipelines.textdata import dedup_against
+
+    d = str(tmp_path_factory.mktemp("dedupagainst"))
+    texts = [
+        "alpha",   # 0 prior
+        "alpha",   # 1 inc -> dup
+        "beta",    # 2 prior
+        "gamma",   # 3 inc -> new
+        "delta",   # 4 prior
+        "gamma",   # 5 inc -> new (dup only within incoming)
+        "epsilon", # 6 prior
+        "beta",    # 7 inc -> dup
+    ]
+    _write_docs(d, texts)
+    odf = _norm(_oracle_on(d, "dedup_against"))
+    for bits in (64, 1 << 20):
+        df = _norm(_to_df(dedup_against(d, bloom_bits=bits)))
+        _frames_equal(df, odf)
+    got = _to_df(dedup_against(d)).set_index("doc_id")["is_new"]
+    assert got.to_dict() == {1: False, 3: True, 5: True, 7: False}
+
+
+def test_bigram_pmi_planted(ray_session, tmp_path_factory):
+    """Hand-computed integer PMI scores, the min_count cut, and the
+    (score desc, a, b) tie-break; engine vs oracle on the same corpus."""
+    from pholcus_ray.pipelines.textdata import bigram_pmi
+
+    d = str(tmp_path_factory.mktemp("bigrampmi"))
+    texts = [
+        "x y x y x y",
+        "x y x y x y",           # (x,y)=6 (y,x)=4; x=y=6
+        "a b a b a b a b a b",   # (a,b)=5 (b,a)=4; a=b=5
+        "c c c c c c",           # (c,c)=5; c=6
+        "d e d e d e d e d e",   # (d,e)=5 (e,d)=4; d=e=5 -> ties (a,b)
+        "",
+    ]
+    _write_docs(d, texts)
+    df = _to_df(bigram_pmi(d)).reset_index(drop=True)
+    exp = pd.DataFrame({
+        "a": ["a", "d", "x", "c"], "b": ["b", "e", "y", "c"],
+        "n_ab": [5, 5, 6, 5], "n_a": [5, 5, 6, 6], "n_b": [5, 5, 6, 6],
+        "score": [200000000000, 200000000000, 166666666666, 138888888888],
+    })
+    for c in exp.columns:
+        assert (df[c].values == exp[c].values).all(), c
+    odf = _oracle_on(d, "bigram_pmi").reset_index(drop=True)
+    _frames_equal(df[sorted(df.columns)], odf[sorted(odf.columns)])
