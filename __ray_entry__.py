@@ -266,6 +266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family (round-2 judge item #6): constant-schema verdict rows the
         # oracle pins, so a silent recall regression fails CORRECTNESS
         "ann_ivf_recall": S.ann_ivf_recall,
+        "kmeans_train": S.kmeans_train,
+        "kmeans_parity": S.kmeans_parity,
         "minhash_lsh_recall": T.minhash_lsh_recall,
         "simhash_banding_complete": T.simhash_banding_complete,
         "embedding_near_dups": S.embedding_near_dups,
@@ -547,6 +549,15 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT CAST(10 AS BIGINT) AS k,
                    CAST(10 AS BIGINT) AS n_results,
                    CAST(1 AS BIGINT) AS recall_ok
+        """,
+        "kmeans_parity": """
+            -- assertion oracle: distributed fixed-point Lloyd's must be
+            -- bit-identical to its sequential twin (parity_ok) AND assign
+            -- every embedding row exactly once (n_assigned vs the real
+            -- table count — a dropped/duplicated row fails here)
+            SELECT CAST(8 AS BIGINT) AS n_clusters,
+                   (SELECT COUNT(*) FROM embeddings) AS n_assigned,
+                   CAST(1 AS BIGINT) AS parity_ok
         """,
         "word_jaccard_exact": r"""
             -- exact word-3-shingle Jaccard pairs (the shingle space MinHash

@@ -73,6 +73,10 @@ _BENCH_QUERIES = [
     "stratified_sample",
     "line_dedup",
     "pack_sequences",
+    "normalize_text",
+    "dedup_against",
+    "bigram_pmi",
+    "kmeans_train",
 ]
 
 

@@ -181,6 +181,11 @@ def _sample_vectors(sf_dir: str, target: int = 2048) -> np.ndarray:
         .map_batches(keep, batch_format="pyarrow")
         .take_all()
     )
+    # take_all() block order is not deterministic across runs; the seeded
+    # k-means init indexes into this matrix, so pin the row order or two
+    # fits of the same table diverge (bit-exactness contract of
+    # kmeans_train vs kmeans_reference)
+    sampled.sort(key=lambda r: r["vec_id"])
     M = np.array([r["embedding"] for r in sampled], dtype=np.float64)
     return _normalize(M)
 
@@ -510,3 +515,195 @@ def embedding_centroids(sf_dir: str) -> rd.Dataset:
         .map_batches(finish, batch_format="pyarrow")
         .sort(["label", "dim"])
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (exact fixed-point Lloyd's)
+# ---------------------------------------------------------------------------
+
+_KM_SCALE = 1 << 20
+_KM_MD5_COLS = ("cluster_id", "size", "inertia_q", "centroid_fp")
+
+
+def _km_quantize(M: np.ndarray) -> np.ndarray:
+    """float -> int64 fixed point at 2^20, rounding half AWAY from zero
+    (the same rule the integer centroid update uses, so quantization and
+    update rounding can never disagree)."""
+    return (np.sign(M) * np.floor(np.abs(M) * _KM_SCALE + 0.5)).astype(
+        np.int64)
+
+
+def _km_assign(Xq: np.ndarray, Cq: np.ndarray) -> tuple[np.ndarray,
+                                                         np.ndarray]:
+    """Exact integer nearest-centroid assignment: squared L2 in the
+    quantized space is pure int64 arithmetic (q ~ 2^20, diff^2 ~ 2^40,
+    x 64 dims ~ 2^46 — no overflow), so there is NO float reassociation
+    anywhere and any batching of the rows produces bit-identical
+    assignments and inertias. Ties go to the lowest cluster_id (argmin
+    first-index), identically everywhere. Returns (assign, dist_sq)."""
+    x2 = (Xq * Xq).sum(axis=1)
+    d = x2[:, None] - 2 * (Xq @ Cq.T) + (Cq * Cq).sum(axis=1)[None, :]
+    a = d.argmin(axis=1)
+    return a, d[np.arange(len(a)), a]
+
+
+def _km_update(sums: list[list[int]], counts: list[int],
+               Cq_prev: np.ndarray) -> np.ndarray:
+    """Quantized centroid update from EXACT integer per-cluster sums:
+    round(sum/count) half away from zero in pure integer arithmetic
+    (python bigints — no precision cliff at any corpus size). Empty
+    clusters carry their previous centroid."""
+    out = Cq_prev.copy()
+    for c, (s_row, n) in enumerate(zip(sums, counts)):
+        if n:
+            out[c] = [(2 * s + n) // (2 * n) if s >= 0
+                      else -((-2 * s + n) // (2 * n)) for s in s_row]
+    return out
+
+
+def _km_fingerprint(Cq: np.ndarray) -> list[str]:
+    from ..functions.hashing import md5_hex_array
+
+    return md5_hex_array([",".join(str(int(v)) for v in row)
+                          for row in Cq]).tolist()
+
+
+def kmeans_train(sf_dir: str, n_clusters: int = 8,
+                 iters: int = 5) -> pa.Table:
+    """Distributed Lloyd's k-means over the FULL embeddings table (the
+    clustering operator behind IVF routing, corpus bucketing for
+    curriculum mixes, and topic-balanced sampling). Initialization is
+    the bounded-hash-sample fit (never the whole table on the driver);
+    every subsequent iteration sees every row.
+
+    Exactness: vectors quantize once to int64 fixed point (2^20); both
+    the assignment metric and the centroid update are integer-exact
+    (_km_assign/_km_update), so the result is BIT-IDENTICAL to a
+    sequential single-matrix run no matter the block layout — the
+    conformance twin `kmeans_reference` shares these pure functions and
+    `kmeans_parity` surfaces the equality to the driver gate.
+
+    Scale shape — the classic parameter-server reduce: per iteration the
+    (k x dim) int64 centroid table broadcasts via ray.put; map_batches
+    emits one (cluster, count, sum-vector, inertia) partial per batch —
+    the combiner — and the driver folds #blocks x k slim rows with
+    python-bigint sums (~blocks x k x dim x 8 bytes; a tree-reduce
+    aggregate is the drop-in if blocks x k ever outgrows the driver).
+    The quantized dataset is materialized once so iterations don't
+    re-read/re-quantize parquet.
+    """
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    dim = None
+
+    def quant(t: pa.Table) -> pa.Table:
+        Xq = _km_quantize(_to_matrix(t["embedding"]))
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "q": pa.FixedSizeListArray.from_arrays(
+                pa.array(Xq.reshape(-1), pa.int64()), Xq.shape[1]),
+        })
+
+    dsq = (rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+           .map_batches(quant, batch_format="pyarrow").materialize())
+    Cq = _km_quantize(_fit_centroids(sf_dir, n_clusters))
+    dim = Cq.shape[1]
+
+    def make_partial(cref):
+        def partial(t: pa.Table) -> pa.Table:
+            C = np.frombuffer(ray.get(cref), np.int64).reshape(-1, dim)
+            col = t["q"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            Xq = col.values.to_numpy(zero_copy_only=False).reshape(-1, dim)
+            a, d2 = _km_assign(Xq, C)
+            ks, cnts, sums, inert = [], [], [], []
+            for c in range(len(C)):
+                m = a == c
+                if m.any():
+                    ks.append(c)
+                    cnts.append(int(m.sum()))
+                    sums.append(Xq[m].sum(axis=0))
+                    inert.append(int(d2[m].sum()))
+            return pa.table({
+                "cluster_id": pa.array(ks, pa.int64()),
+                "cnt": pa.array(cnts, pa.int64()),
+                "sum_q": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.concatenate(sums) if sums
+                             else np.empty(0, np.int64), pa.int64()), dim),
+                "inertia_q": pa.array(inert, pa.int64()),
+            })
+        return partial
+
+    sizes = [0] * n_clusters
+    inertia = [0] * n_clusters
+    for _ in range(iters):
+        cref = ray.put(np.ascontiguousarray(Cq).tobytes())
+        sums = [[0] * dim for _ in range(n_clusters)]
+        counts = [0] * n_clusters
+        inertia = [0] * n_clusters
+        for row in (dsq.map_batches(make_partial(cref),
+                                    batch_format="pyarrow").take_all()):
+            c = int(row["cluster_id"])
+            counts[c] += int(row["cnt"])
+            inertia[c] += int(row["inertia_q"])
+            sq = row["sum_q"]
+            sums[c] = [a + int(b) for a, b in zip(sums[c], sq)]
+        sizes = counts
+        Cq = _km_update(sums, counts, Cq)
+
+    return pa.table({
+        "cluster_id": pa.array(range(n_clusters), pa.int64()),
+        "size": pa.array(sizes, pa.int64()),
+        "inertia_q": pa.array(inertia, pa.int64()),
+        "centroid_fp": pa.array(_km_fingerprint(Cq), pa.string()),
+    })
+
+
+def kmeans_reference(sf_dir: str, n_clusters: int = 8,
+                     iters: int = 5) -> pa.Table:
+    """Sequential single-matrix twin of kmeans_train — same pure
+    functions (_km_quantize/_km_assign/_km_update), same init, whole
+    table in one numpy matrix in any row order (integer sums commute).
+    Engine-vs-twin equality IS the distributed-correctness proof, same
+    contract as the crawl's sequential oracle."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    Xq = _km_quantize(_to_matrix(t["embedding"]))
+    Cq = _km_quantize(_fit_centroids(sf_dir, n_clusters))
+    sizes = [0] * n_clusters
+    inertia = [0] * n_clusters
+    for _ in range(iters):
+        a, d2 = _km_assign(Xq, Cq)
+        sums, counts = [], []
+        inertia = []
+        for c in range(n_clusters):
+            m = a == c
+            counts.append(int(m.sum()))
+            sums.append([int(v) for v in Xq[m].sum(axis=0)] if m.any()
+                        else [0] * Xq.shape[1])
+            inertia.append(int(d2[m].sum()))
+        sizes = counts
+        Cq = _km_update(sums, counts, Cq)
+    return pa.table({
+        "cluster_id": pa.array(range(n_clusters), pa.int64()),
+        "size": pa.array(sizes, pa.int64()),
+        "inertia_q": pa.array(inertia, pa.int64()),
+        "centroid_fp": pa.array(_km_fingerprint(Cq), pa.string()),
+    })
+
+
+def kmeans_parity(sf_dir: str, n_clusters: int = 8,
+                  iters: int = 5) -> pa.Table:
+    """Gate-visible conformance verdict: distributed kmeans_train must be
+    bit-identical (sizes, exact integer inertias, centroid fingerprints)
+    to the sequential twin, and every table row must be assigned — the
+    SQL oracle pins parity_ok=1 and counts the table, so a silent
+    divergence or a dropped row fails CORRECTNESS, not just pytest."""
+    eng = kmeans_train(sf_dir, n_clusters, iters).to_pydict()
+    ref = kmeans_reference(sf_dir, n_clusters, iters).to_pydict()
+    ok = all(eng[c] == ref[c] for c in _KM_MD5_COLS)
+    return pa.table({
+        "n_clusters": pa.array([n_clusters], pa.int64()),
+        "n_assigned": pa.array([sum(eng["size"])], pa.int64()),
+        "parity_ok": pa.array([int(ok)], pa.int64()),
+    })

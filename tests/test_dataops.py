@@ -1151,3 +1151,47 @@ def test_bigram_pmi_planted(ray_session, tmp_path_factory):
         assert (df[c].values == exp[c].values).all(), c
     odf = _oracle_on(d, "bigram_pmi").reset_index(drop=True)
     _frames_equal(df[sorted(df.columns)], odf[sorted(odf.columns)])
+
+
+def test_kmeans_fixed_point_exactness(ray_session):
+    """The core kmeans_train claim: the distributed run is BIT-identical
+    to the sequential single-matrix twin (sizes, integer inertias,
+    centroid fingerprints), every row is assigned, and the result is
+    deterministic across runs."""
+    from pholcus_ray.pipelines.similarity import (kmeans_reference,
+                                                  kmeans_train)
+
+    eng = kmeans_train(SF, n_clusters=4, iters=3).to_pydict()
+    ref = kmeans_reference(SF, n_clusters=4, iters=3).to_pydict()
+    assert eng == ref
+    assert sum(eng["size"]) == 500
+    assert all(i >= 0 for i in eng["inertia_q"])
+    eng2 = kmeans_train(SF, n_clusters=4, iters=3).to_pydict()
+    assert eng2 == eng
+
+
+def test_kmeans_planted_edge_cases(ray_session, tmp_path_factory):
+    """Engine == twin on adversarial vectors: exact duplicates, a zero
+    vector (normalizes to itself under the 0-norm guard), and
+    sign-mirrored values that exercise the half-away-from-zero rounding
+    on negative coordinate sums."""
+    from pholcus_ray.pipelines.similarity import (kmeans_reference,
+                                                  kmeans_train)
+
+    d = str(tmp_path_factory.mktemp("kmplant"))
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(6, 8)).astype(np.float32)
+    vecs = np.vstack([base, base[:2],                 # exact dups
+                      np.zeros((1, 8), np.float32),   # zero vector
+                      -base[:3]])                     # mirrored
+    t = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * len(vecs), pa.int32()),
+    })
+    pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+    eng = kmeans_train(d, n_clusters=3, iters=4).to_pydict()
+    ref = kmeans_reference(d, n_clusters=3, iters=4).to_pydict()
+    assert eng == ref
+    assert sum(eng["size"]) == len(vecs)
