@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": T.normalize_text,
         "dedup_against": T.dedup_against,
         "bigram_pmi": T.bigram_pmi,
+        "heavy_hitters": T.heavy_hitters,
         "stratified_sample": T.stratified_sample,
         "repetition_quality": T.repetition_quality,
         "term_df": T.term_df,
@@ -886,6 +887,18 @@ def _oracle_sql_raw() -> dict[str, str]:
                      JOIN uni ub ON big.b = ub.a
             WHERE n_ab >= 5
             ORDER BY score DESC, big.a, big.b LIMIT 100
+        """,
+        "heavy_hitters": r"""
+            -- exact top-k tokens; the engine reaches this result via a
+            -- Misra-Gries sketch + exact candidate recount with a CHECKED
+            -- completeness bound (falls back to the full count if the
+            -- bound fails), so exact SQL is the correct oracle
+            WITH tok AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+              FROM documents WHERE trim(text) <> ''
+            )
+            SELECT term, COUNT(*) AS cnt FROM tok
+            GROUP BY term ORDER BY cnt DESC, term LIMIT 50
         """,
         "line_dedup": r"""
             -- cross-document line dedup: a line present in >= 2 DISTINCT

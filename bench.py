@@ -77,6 +77,7 @@ _BENCH_QUERIES = [
     "dedup_against",
     "bigram_pmi",
     "kmeans_train",
+    "heavy_hitters",
 ]
 
 

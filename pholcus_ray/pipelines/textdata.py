@@ -2336,3 +2336,100 @@ def bigram_pmi(sf_dir: str, min_count: int = 5, k: int = 100,
             .groupby("part2").map_groups(join_b, batch_format="pandas")
             .sort(["score", "a", "b"], descending=[True, False, False])
             .limit(k))
+
+
+def heavy_hitters(sf_dir: str, k: int = 50,
+                  n_counters: int = 4096) -> pa.Table:
+    """Corpus-wide top-k tokens WITHOUT a full-vocabulary shuffle — the
+    Misra-Gries route: per-block summaries of at most n_counters terms
+    merge into one candidate set, and a second exact pass recounts ONLY
+    the candidates. The result is still EXACT (SQL-oracled): the MG
+    guarantee — any term with true frequency > E survives, where E is
+    the total decrement mass — is CHECKED, not assumed; if the k-th
+    exact candidate count doesn't clear E (pathological flat
+    distributions), the operator falls back to the full exact count.
+
+    Scale: pass 1 moves <= blocks x n_counters slim (term, cnt) rows to
+    a driver merge (a tree-reduce is the drop-in if that outgrows the
+    driver); pass 2 broadcasts the <= n_counters candidate set once via
+    ray.put and shuffles only candidate partials. The full-vocab
+    exchange (term_df's cost) is paid only on fallback.
+    """
+    from collections import Counter
+
+    ds = _read_documents(sf_dir, columns=["text"])
+    out_schema = [("term", pa.string()), ("cnt", pa.int64())]
+
+    def _compress(c: Counter, m: int) -> tuple[Counter, int]:
+        """Keep the m largest counters; subtracting the (m+1)-th largest
+        from survivors preserves the MG error bound (error += d)."""
+        if len(c) <= m:
+            return c, 0
+        items = c.most_common()
+        d = items[m][1]
+        kept = Counter({t: v - d for t, v in items[:m] if v - d > 0})
+        return kept, d
+
+    def summarize(t: pa.Table) -> pa.Table:
+        c = Counter()
+        for x in t["text"].to_pylist():
+            c.update(_tokens(x))
+        c, d = _compress(c, n_counters)
+        return pa.table({
+            "term": pa.array(list(c.keys()) + [""], pa.string()),
+            "cnt": pa.array(list(c.values()) + [d], pa.int64()),
+            "is_decrement": pa.array([False] * len(c) + [True], pa.bool_()),
+        })
+
+    merged: Counter = Counter()
+    err = 0
+    for row in ds.map_batches(summarize, batch_format="pyarrow").take_all():
+        if row["is_decrement"]:
+            err += int(row["cnt"])
+        else:
+            merged[row["term"]] += int(row["cnt"])
+    merged, d_merge = _compress(merged, n_counters)
+    err += d_merge
+    cand_ref = ray.put(frozenset(merged))
+
+    def recount(t: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        c = Counter()
+        for x in t["text"].to_pylist():
+            c.update(tok for tok in _tokens(x) if tok in cand)
+        return pa.table({
+            "term": pa.array(list(c.keys()), pa.string()),
+            "cnt": pa.array(list(c.values()), pa.int64()),
+        })
+
+    exact = (ds.map_batches(recount, batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("cnt", alias_name="cnt"))
+             .take_all())                      # <= n_counters rows
+    exact.sort(key=lambda r: (-r["cnt"], r["term"]))
+    top = exact[:k]
+    if len(top) == k and top[-1]["cnt"] > err:
+        return pa.table({
+            "term": pa.array([r["term"] for r in top], pa.string()),
+            "cnt": pa.array([r["cnt"] for r in top], pa.int64()),
+        })
+
+    # fallback: exact full-vocabulary count (term_df-shaped exchange) —
+    # only reachable when the corpus is so flat that the k-th frequency
+    # doesn't clear the sketch error bound
+    def full_counts(t: pa.Table) -> pa.Table:
+        c = Counter()
+        for x in t["text"].to_pylist():
+            c.update(_tokens(x))
+        return pa.table({
+            "term": pa.array(list(c.keys()), pa.string()),
+            "cnt": pa.array(list(c.values()), pa.int64()),
+        })
+
+    full = (ds.map_batches(full_counts, batch_format="pyarrow")
+            .groupby("term").aggregate(Sum("cnt", alias_name="cnt"))
+            .sort(["cnt", "term"], descending=[True, False])
+            .limit(k).take_all())
+    return pa.table({
+        "term": pa.array([r["term"] for r in full], pa.string()),
+        "cnt": pa.array([r["cnt"] for r in full], pa.int64()),
+    })

@@ -50,7 +50,8 @@ def ducksf():
      "training_corpus_summary", "embedding_centroids",
      "contamination_check", "lang_id", "text_quality",
      "pii_scrub", "repetition_quality", "term_df", "line_dedup",
-     "pack_sequences", "normalize_text", "dedup_against", "bigram_pmi"],
+     "pack_sequences", "normalize_text", "dedup_against", "bigram_pmi",
+     "heavy_hitters"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -1195,3 +1196,50 @@ def test_kmeans_planted_edge_cases(ray_session, tmp_path_factory):
     ref = kmeans_reference(d, n_clusters=3, iters=4).to_pydict()
     assert eng == ref
     assert sum(eng["size"]) == len(vecs)
+
+
+def test_heavy_hitters_planted(ray_session, tmp_path_factory):
+    """Both routes must produce the exact top-k: the sketch path on a
+    skewed corpus (n_counters small enough to force per-block MG
+    compression), and the checked-bound fallback on a flat corpus where
+    every count ties. Ties order by term."""
+    from pholcus_ray.pipelines.textdata import heavy_hitters
+
+    d = str(tmp_path_factory.mktemp("hh"))
+    # zipf-ish: t0 x 64, t1 x 32, ..., t6 x 1, plus 40 singleton terms
+    words = []
+    for i in range(7):
+        words += [f"t{i}"] * (64 >> i)
+    words += [f"rare{i:02d}" for i in range(40)]
+    _write_docs(d, [" ".join(words[i::4]) for i in range(4)])
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    want = con.execute("""
+        WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text),
+                     '\\s+')) AS term FROM documents WHERE trim(text) <> '')
+        SELECT term, COUNT(*) AS cnt FROM tok
+        GROUP BY term ORDER BY cnt DESC, term LIMIT 5""").df()
+
+    for m in (8, 4096):   # forced compression vs err=0 sketch path
+        got = heavy_hitters(d, k=5, n_counters=m).to_pandas()
+        assert (got["term"].values == want["term"].values).all(), m
+        assert (got["cnt"].values == want["cnt"].values).all(), m
+
+    # flat corpus + tiny sketch: kth count can't clear the error bound,
+    # the exact fallback must engage and still match SQL
+    d2 = str(tmp_path_factory.mktemp("hhflat"))
+    flat = [f"w{i:03d}" for i in range(60)]
+    _write_docs(d2, [" ".join(flat[i::3]) for i in range(3)])
+    con2 = duckdb.connect()
+    con2.execute("CREATE VIEW documents AS SELECT * FROM "
+                 f"read_parquet('{d2}/documents.parquet')")
+    want2 = con2.execute("""
+        WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text),
+                     '\\s+')) AS term FROM documents WHERE trim(text) <> '')
+        SELECT term, COUNT(*) AS cnt FROM tok
+        GROUP BY term ORDER BY cnt DESC, term LIMIT 10""").df()
+    got2 = heavy_hitters(d2, k=10, n_counters=2).to_pandas()
+    assert (got2["term"].values == want2["term"].values).all()
+    assert (got2["cnt"].values == want2["cnt"].values).all()
