@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_against": T.dedup_against,
         "bigram_pmi": T.bigram_pmi,
         "heavy_hitters": T.heavy_hitters,
+        "temperature_mix": T.temperature_mix,
         "stratified_sample": T.stratified_sample,
         "repetition_quality": T.repetition_quality,
         "term_df": T.term_df,
@@ -887,6 +888,26 @@ def _oracle_sql_raw() -> dict[str, str]:
                      JOIN uni ub ON big.b = ub.a
             WHERE n_ab >= 5
             ORDER BY score DESC, big.a, big.b LIMIT 100
+        """,
+        "temperature_mix": r"""
+            -- alpha=0.5 temperature source rebalance: keep at rate
+            -- sqrt(n_s/n_max), decided by the exact integer-square form
+            -- u^2 * n_max < n_s * 2^40 (u = 2^20 content-hash bucket) so
+            -- no pow/sqrt crosses engines. Mirrors textdata.temperature_mix.
+            WITH n AS (
+              SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+            ), mx AS (SELECT MAX(n_s) AS n_max FROM n),
+            b AS (
+              SELECT d.doc_id, d.source,
+                     CAST(concat('0x', substr(md5(d.text), 1, 5))
+                          AS BIGINT) AS bucket,
+                     n.n_s, mx.n_max
+              FROM documents d JOIN n ON d.source = n.source CROSS JOIN mx
+            )
+            SELECT doc_id, source, bucket FROM b
+            WHERE CAST(bucket AS HUGEINT) * bucket * n_max
+                  < CAST(n_s AS HUGEINT) * 1099511627776
+            ORDER BY doc_id
         """,
         "heavy_hitters": r"""
             -- exact top-k tokens; the engine reaches this result via a

@@ -78,6 +78,7 @@ _BENCH_QUERIES = [
     "bigram_pmi",
     "kmeans_train",
     "heavy_hitters",
+    "temperature_mix",
 ]
 
 

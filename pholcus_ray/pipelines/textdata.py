@@ -2433,3 +2433,41 @@ def heavy_hitters(sf_dir: str, k: int = 50,
         "term": pa.array([r["term"] for r in full], pa.string()),
         "cnt": pa.array([r["cnt"] for r in full], pa.int64()),
     })
+
+
+def temperature_mix(sf_dir: str) -> rd.Dataset:
+    """Temperature-based source rebalancing (the mT5/UL2 multilingual
+    mixing step at alpha = 0.5): each source keeps docs at rate
+    sqrt(n_s / n_max), so the largest source keeps everything and small
+    sources are up-weighted relative to proportional sampling. The
+    sample is content-keyed (md5(text) bucket, like split_by_hash /
+    stratified_sample) — stable under re-partitioning and resume.
+
+    FLOAT-FREE exactness: keep iff u^2 * n_max < n_s * 2^40 with
+    u = first 5 md5 hex digits (a 2^20 bucket) — the integer-square
+    form of u/2^20 < sqrt(n_s/n_max), so engine and SQL oracle agree
+    bit-for-bit with no pow()/sqrt() cross-engine drift (the products
+    ride python bigints / DuckDB HUGEINT).
+
+    Scale shape: one tiny per-source count aggregate (source cardinality
+    rows to the driver — the only driver state), then a shuffle-free
+    streaming filter with the counts as a closure constant.
+    """
+    ds = _read_documents(sf_dir, columns=["doc_id", "text", "source"])
+    n_s = {r["source"]: int(r["n"]) for r in
+           ds.groupby("source").aggregate(Count(alias_name="n")).take_all()}
+    n_max = max(n_s.values())
+
+    def f(t: pa.Table) -> pa.Table:
+        hs = md5_hex_array(t["text"].to_pylist())
+        srcs = t["source"].to_pylist()
+        u = [int(h[:5], 16) for h in hs]
+        keep = [ui * ui * n_max < n_s[s] * (1 << 40)
+                for ui, s in zip(u, srcs)]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "bucket": pa.array(u, pa.int64()),
+        }).filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")

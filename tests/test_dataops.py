@@ -51,7 +51,7 @@ def ducksf():
      "contamination_check", "lang_id", "text_quality",
      "pii_scrub", "repetition_quality", "term_df", "line_dedup",
      "pack_sequences", "normalize_text", "dedup_against", "bigram_pmi",
-     "heavy_hitters"],
+     "heavy_hitters", "temperature_mix"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -1243,3 +1243,43 @@ def test_heavy_hitters_planted(ray_session, tmp_path_factory):
     got2 = heavy_hitters(d2, k=10, n_counters=2).to_pandas()
     assert (got2["term"].values == want2["term"].values).all()
     assert (got2["cnt"].values == want2["cnt"].values).all()
+
+
+def test_temperature_mix_planted(ray_session, tmp_path_factory):
+    """The sf corpora have perfectly balanced sources (everything keeps),
+    so plant real skew: big=400 docs, small=16 -> keep rates 1.0 and
+    sqrt(16/400)=0.2. Checks the integer-square keep rule doc by doc
+    against python sqrt, the empirical rates, and the SQL oracle."""
+    import hashlib as _h
+
+    from pholcus_ray.pipelines.textdata import temperature_mix
+
+    d = str(tmp_path_factory.mktemp("tempmix"))
+    texts, sources = [], []
+    for i in range(400):
+        texts.append(f"big doc number {i} with some words")
+        sources.append("big")
+    for i in range(16):
+        texts.append(f"small doc number {i} entirely different")
+        sources.append("small")
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(sources, pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+
+    df = _to_df(temperature_mix(d))
+    n_s = {"big": 400, "small": 16}
+    expect = []
+    for i, (x, s) in enumerate(zip(texts, sources)):
+        u = int(_h.md5(x.encode()).hexdigest()[:5], 16)
+        if u * u * 400 < n_s[s] * (1 << 40):
+            expect.append(i)
+    assert df["doc_id"].tolist() == expect
+    kept = df["source"].value_counts()
+    assert kept["big"] == 400                      # rate 1.0: keeps all
+    assert 0 < kept.get("small", 0) < 16           # rate 0.2 bites
+    _frames_equal(_norm(df), _norm(_oracle_on(d, "temperature_mix")))
