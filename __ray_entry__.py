@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": T.bigram_pmi,
         "heavy_hitters": T.heavy_hitters,
         "temperature_mix": T.temperature_mix,
+        "within_doc_dedup": T.within_doc_dedup,
         "stratified_sample": T.stratified_sample,
         "repetition_quality": T.repetition_quality,
         "term_df": T.term_df,
@@ -888,6 +889,30 @@ def _oracle_sql_raw() -> dict[str, str]:
                      JOIN uni ub ON big.b = ub.a
             WHERE n_ab >= 5
             ORDER BY score DESC, big.a, big.b LIMIT 100
+        """,
+        "within_doc_dedup": r"""
+            -- intra-doc repeated-line removal, first occurrence kept;
+            -- kept_md5 = md5 of concatenated line-md5s of survivors in
+            -- original order. Mirrors textdata.within_doc_dedup.
+            WITH l AS (
+              SELECT doc_id, lines[i] AS line, i
+              FROM (SELECT doc_id, lines,
+                           unnest(generate_series(1, len(lines))) AS i
+                    FROM (SELECT doc_id,
+                                 str_split(text, chr(10)) AS lines
+                          FROM documents))
+            ), f AS (
+              SELECT doc_id, i, md5(line) AS h,
+                     MIN(i) OVER (PARTITION BY doc_id, line) AS first_i
+              FROM l
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(COUNT(*) - COUNT(CASE WHEN i = first_i THEN 1 END)
+                        AS BIGINT) AS n_removed,
+                   md5(COALESCE(string_agg(CASE WHEN i = first_i THEN h END,
+                                           '' ORDER BY i), '')) AS kept_md5
+            FROM f GROUP BY doc_id ORDER BY doc_id
         """,
         "temperature_mix": r"""
             -- alpha=0.5 temperature source rebalance: keep at rate

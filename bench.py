@@ -79,6 +79,7 @@ _BENCH_QUERIES = [
     "kmeans_train",
     "heavy_hitters",
     "temperature_mix",
+    "within_doc_dedup",
 ]
 
 

@@ -2471,3 +2471,43 @@ def temperature_mix(sf_dir: str) -> rd.Dataset:
         }).filter(pa.array(keep, pa.bool_()))
 
     return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+def within_doc_dedup(sf_dir: str) -> rd.Dataset:
+    """Intra-document repeated-line removal (the RefinedWeb in-doc pass
+    that complements the cross-corpus line_dedup): within each document,
+    a line identical to an earlier line is dropped, first occurrence
+    kept, original order preserved. Emits per doc (n_lines, n_removed,
+    kept_md5) with kept_md5 = md5 of the concatenated line-md5s of the
+    surviving lines in order — pins exactly which lines survived without
+    shipping text.
+
+    Embarrassingly parallel: the whole decision is local to one row, so
+    this is a pure streaming map_batches — no shuffle at any corpus size
+    (contrast line_dedup's two exchanges, which needs global line DF).
+    """
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        n_lines, n_removed, kept = [], [], []
+        for x in t["text"].to_pylist():
+            lines = x.split("\n")
+            hs = md5_hex_array(lines)
+            seen: set = set()
+            surv = []
+            for h in hs:
+                if h in seen:
+                    continue
+                seen.add(h)
+                surv.append(h)
+            n_lines.append(len(lines))
+            n_removed.append(len(lines) - len(surv))
+            kept.append("".join(surv))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_removed": pa.array(n_removed, pa.int64()),
+            "kept_md5": pa.array(md5_hex_array(kept), pa.string()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow").sort("doc_id")

@@ -51,7 +51,7 @@ def ducksf():
      "contamination_check", "lang_id", "text_quality",
      "pii_scrub", "repetition_quality", "term_df", "line_dedup",
      "pack_sequences", "normalize_text", "dedup_against", "bigram_pmi",
-     "heavy_hitters", "temperature_mix"],
+     "heavy_hitters", "temperature_mix", "within_doc_dedup"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -1283,3 +1283,36 @@ def test_temperature_mix_planted(ray_session, tmp_path_factory):
     assert kept["big"] == 400                      # rate 1.0: keeps all
     assert 0 < kept.get("small", 0) < 16           # rate 0.2 bites
     _frames_equal(_norm(df), _norm(_oracle_on(d, "temperature_mix")))
+
+
+def test_within_doc_dedup_planted(ray_session, tmp_path_factory):
+    """Keep-first semantics on planted repeats: interleaved dups, empty
+    lines (dedupable content like any other), single-line and empty
+    docs; engine vs oracle on the same data."""
+    import hashlib as _h
+
+    from pholcus_ray.pipelines.textdata import within_doc_dedup
+
+    d = str(tmp_path_factory.mktemp("wdd"))
+    texts = [
+        "a\nb\na\nc\nb\na",        # dups interleaved -> keep a,b,c
+        "x\n\n\nx\n",              # empty lines dup too: x,"",x,"" -> x,""
+        "only one line",
+        "",
+        "same\nsame\nsame",
+    ]
+    _write_docs(d, texts)
+    df = _to_df(within_doc_dedup(d)).sort_values("doc_id").reset_index(
+        drop=True)
+    assert df["n_lines"].tolist() == [6, 5, 1, 1, 3]
+    assert df["n_removed"].tolist() == [3, 3, 0, 0, 2]
+
+    def km(lines):
+        return _h.md5("".join(
+            _h.md5(x.encode()).hexdigest() for x in lines).encode()
+        ).hexdigest()
+
+    assert df["kept_md5"].tolist() == [
+        km(["a", "b", "c"]), km(["x", ""]), km(["only one line"]),
+        km([""]), km(["same"])]
+    _frames_equal(_norm(df), _norm(_oracle_on(d, "within_doc_dedup")))
