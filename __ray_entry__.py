@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": T.heavy_hitters,
         "temperature_mix": T.temperature_mix,
         "within_doc_dedup": T.within_doc_dedup,
+        "inverted_index": T.inverted_index,
         "stratified_sample": T.stratified_sample,
         "repetition_quality": T.repetition_quality,
         "term_df": T.term_df,
@@ -889,6 +890,19 @@ def _oracle_sql_raw() -> dict[str, str]:
                      JOIN uni ub ON big.b = ub.a
             WHERE n_ab >= 5
             ORDER BY score DESC, big.a, big.b LIMIT 100
+        """,
+        "inverted_index": r"""
+            -- per-term posting list: df + md5 of the sorted distinct
+            -- doc_id list. Mirrors textdata.inverted_index.
+            WITH tok AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+              FROM documents WHERE trim(text) <> ''
+            )
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                   md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                                  ORDER BY doc_id)) AS postings_md5
+            FROM tok GROUP BY term ORDER BY term
         """,
         "within_doc_dedup": r"""
             -- intra-doc repeated-line removal, first occurrence kept;

@@ -80,6 +80,7 @@ _BENCH_QUERIES = [
     "heavy_hitters",
     "temperature_mix",
     "within_doc_dedup",
+    "inverted_index",
 ]
 
 

@@ -2511,3 +2511,51 @@ def within_doc_dedup(sf_dir: str) -> rd.Dataset:
         })
 
     return ds.map_batches(scan, batch_format="pyarrow").sort("doc_id")
+
+
+def inverted_index(sf_dir: str, num_parts: int = 32) -> rd.Dataset:
+    """Inverted-index build (the search-engine / decontamination-lookup
+    artifact): for every term, its document frequency and an md5
+    fingerprint of the full posting list (sorted distinct doc_ids,
+    comma-joined) — the verification form of the index; a production
+    variant writes the posting arrays themselves, term-hash-partitioned,
+    with write_sharded_parquet.
+
+    One exchange of (term, doc_id) incidence rows, de-duplicated per doc
+    inside the map (set semantics before the wire); each term's whole
+    posting list lands in one hash partition, so the sort + fingerprint
+    is a local C-level groupby. Postings never pass through the driver.
+    """
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+    nP = np.uint64(num_parts)
+
+    def incidence(t: pa.Table) -> pa.Table:
+        ids, terms = [], []
+        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            uniq = set(_tokens(x))
+            ids.extend([did] * len(uniq))
+            terms.extend(uniq)
+        part = ((hash64_array(terms) % nP).astype(np.int32) if terms
+                else np.empty(0, np.int32))
+        return pa.table({
+            "part": pa.array(part),
+            "term": pa.array(terms, pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+        })
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        terms, dfs, fps = [], [], []
+        for term, rows in g.groupby("term", sort=True):
+            ids = np.unique(rows["doc_id"].values)
+            terms.append(term)
+            dfs.append(len(ids))
+            fps.append(",".join(str(int(i)) for i in ids))
+        return pd.DataFrame({
+            "term": terms,
+            "df": pd.array(dfs, dtype="int64"),
+            "postings_md5": md5_hex_array(fps),
+        })
+
+    return (ds.map_batches(incidence, batch_format="pyarrow")
+            .groupby("part").map_groups(build, batch_format="pandas")
+            .sort("term"))

@@ -51,7 +51,8 @@ def ducksf():
      "contamination_check", "lang_id", "text_quality",
      "pii_scrub", "repetition_quality", "term_df", "line_dedup",
      "pack_sequences", "normalize_text", "dedup_against", "bigram_pmi",
-     "heavy_hitters", "temperature_mix", "within_doc_dedup"],
+     "heavy_hitters", "temperature_mix", "within_doc_dedup",
+     "inverted_index"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -1316,3 +1317,21 @@ def test_within_doc_dedup_planted(ray_session, tmp_path_factory):
         km(["a", "b", "c"]), km(["x", ""]), km(["only one line"]),
         km([""]), km(["same"])]
     _frames_equal(_norm(df), _norm(_oracle_on(d, "within_doc_dedup")))
+
+
+def test_inverted_index_planted(ray_session, tmp_path_factory):
+    """Posting-list semantics: within-doc repeats collapse to one
+    posting, postings sort by doc_id across partitions, empty docs
+    contribute nothing; hand-checked fingerprints + oracle parity."""
+    import hashlib as _h
+
+    from pholcus_ray.pipelines.textdata import inverted_index
+
+    d = str(tmp_path_factory.mktemp("invidx"))
+    _write_docs(d, ["b a b a", "a c", "", "c a c"])
+    df = _to_df(inverted_index(d)).reset_index(drop=True)
+    assert df["term"].tolist() == ["a", "b", "c"]
+    assert df["df"].tolist() == [3, 1, 2]
+    fp = lambda s: _h.md5(s.encode()).hexdigest()
+    assert df["postings_md5"].tolist() == [fp("0,1,3"), fp("0"), fp("1,3")]
+    _frames_equal(_norm(df), _norm(_oracle_on(d, "inverted_index")))
