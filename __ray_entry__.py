@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mix": T.temperature_mix,
         "within_doc_dedup": T.within_doc_dedup,
         "inverted_index": T.inverted_index,
+        "quantile_buckets": T.quantile_buckets,
         "stratified_sample": T.stratified_sample,
         "repetition_quality": T.repetition_quality,
         "term_df": T.term_df,
@@ -890,6 +891,22 @@ def _oracle_sql_raw() -> dict[str, str]:
                      JOIN uni ub ON big.b = ub.a
             WHERE n_ab >= 5
             ORDER BY score DESC, big.a, big.b LIMIT 100
+        """,
+        "quantile_buckets": r"""
+            -- exact global rank (n_chars, doc_id order) and k=10 quantile
+            -- bucket; the engine computes it via a histogram CDF, no
+            -- global sort. Mirrors textdata.quantile_buckets.
+            WITH r AS (
+              SELECT doc_id, n_chars,
+                     ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)
+                       AS global_rank,
+                     COUNT(*) OVER () AS n
+              FROM documents
+            )
+            SELECT doc_id, n_chars,
+                   CAST(global_rank AS BIGINT) AS global_rank,
+                   CAST((global_rank - 1) * 10 // n AS BIGINT) AS bucket
+            FROM r ORDER BY doc_id
         """,
         "inverted_index": r"""
             -- per-term posting list: df + md5 of the sorted distinct

@@ -81,6 +81,7 @@ _BENCH_QUERIES = [
     "temperature_mix",
     "within_doc_dedup",
     "inverted_index",
+    "quantile_buckets",
 ]
 
 

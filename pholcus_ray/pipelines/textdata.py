@@ -2559,3 +2559,61 @@ def inverted_index(sf_dir: str, num_parts: int = 32) -> rd.Dataset:
     return (ds.map_batches(incidence, batch_format="pyarrow")
             .groupby("part").map_groups(build, batch_format="pandas")
             .sort("term"))
+
+
+def quantile_buckets(sf_dir: str, k: int = 10,
+                     num_parts: int = 32) -> rd.Dataset:
+    """Exact global rank + k-quantile bucket per document by n_chars —
+    the curriculum/length-bucketing step — computed WITHOUT a global
+    sort: the histogram-CDF route. Exchange 1 is a tiny value-count
+    aggregate (distinct n_chars values to the driver — the integer
+    value domain, not the corpus; for unbounded domains the same trick
+    runs on range buckets); the driver prefix-sums it into a
+    value -> rank-base CDF. Exchange 2 hash-buckets rows BY VALUE, so
+    each partition ranks its values' ties locally (doc_id order) on top
+    of the broadcast base. bucket = (rank-1)*k // n — ties split across
+    bucket boundaries deterministically, matching SQL ROW_NUMBER.
+    """
+    ds = _read_documents(sf_dir, columns=["doc_id", "n_chars"])
+    nP = np.uint64(num_parts)
+
+    def vcounts(t: pa.Table) -> pa.Table:
+        v, c = np.unique(t["n_chars"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"v": pa.array(v, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    counts = {int(r["v"]): int(r["c"]) for r in
+              (ds.map_batches(vcounts, batch_format="pyarrow")
+               .groupby("v").aggregate(Sum("c", alias_name="c"))
+               .take_all())}
+    base, acc = {}, 0
+    for v in sorted(counts):
+        base[v] = acc
+        acc += counts[v]
+    n_total = acc
+    base_ref = ray.put(base)
+
+    def keyrows(t: pa.Table) -> pa.Table:
+        v = t["n_chars"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array((v.astype(np.uint64) % nP).astype(np.int32)),
+            "doc_id": t["doc_id"],
+            "n_chars": pa.array(v, pa.int64()),
+        })
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(base_ref)
+        g = g.sort_values(["n_chars", "doc_id"], kind="mergesort")
+        within = g.groupby("n_chars").cumcount().values
+        rn = (g["n_chars"].map(b).values + within + 1).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64").values,
+            "n_chars": g["n_chars"].astype("int64").values,
+            "global_rank": rn,
+            "bucket": ((rn - 1) * k // n_total).astype(np.int64),
+        })
+
+    return (ds.map_batches(keyrows, batch_format="pyarrow")
+            .groupby("part").map_groups(rank, batch_format="pandas")
+            .sort("doc_id"))

@@ -52,7 +52,7 @@ def ducksf():
      "pii_scrub", "repetition_quality", "term_df", "line_dedup",
      "pack_sequences", "normalize_text", "dedup_against", "bigram_pmi",
      "heavy_hitters", "temperature_mix", "within_doc_dedup",
-     "inverted_index"],
+     "inverted_index", "quantile_buckets"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -1335,3 +1335,35 @@ def test_inverted_index_planted(ray_session, tmp_path_factory):
     fp = lambda s: _h.md5(s.encode()).hexdigest()
     assert df["postings_md5"].tolist() == [fp("0,1,3"), fp("0"), fp("1,3")]
     _frames_equal(_norm(df), _norm(_oracle_on(d, "inverted_index")))
+
+
+def test_quantile_buckets_planted(ray_session, tmp_path_factory):
+    """Heavy ties straddling bucket boundaries: 7 docs share one length,
+    so ROW_NUMBER tie-splitting (doc_id order) must place them in
+    DIFFERENT buckets exactly as the SQL window does; plus distinct
+    lengths and a hand-checked rank sequence."""
+    from pholcus_ray.pipelines.textdata import quantile_buckets
+
+    d = str(tmp_path_factory.mktemp("qbuck"))
+    lens = [3, 7, 7, 7, 7, 7, 7, 7, 1, 9, 5, 5]
+    _write_docs(d, ["x" * L for L in lens])
+    df = _to_df(quantile_buckets(d, k=4)).sort_values("doc_id").reset_index(
+        drop=True)
+    order = sorted(range(len(lens)), key=lambda i: (lens[i], i))
+    want_rank = [0] * len(lens)
+    for pos, i in enumerate(order):
+        want_rank[i] = pos + 1
+    assert df["global_rank"].tolist() == want_rank
+    assert df["bucket"].tolist() == [(r - 1) * 4 // len(lens)
+                                     for r in want_rank]
+    # the 7-tie straddles buckets 1..3: split by doc_id, not lumped
+    tie_buckets = df[df["n_chars"] == 7].sort_values("doc_id")["bucket"]
+    assert tie_buckets.is_monotonic_increasing and tie_buckets.nunique() > 1
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    import __ray_entry__ as E
+    sql = E.oracle_sql()["quantile_buckets"].replace("* 10 //", "* 4 //")
+    odf = _norm(con.execute(sql).df())
+    _frames_equal(_norm(df), odf)
