@@ -203,6 +203,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from pholcus_ray.pipelines import graph as G
     from pholcus_ray.pipelines import relational as R
     from pholcus_ray.pipelines import similarity as S
     from pholcus_ray.pipelines import textdata as T
@@ -221,6 +222,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": R.events_sliding_window,
         "value_quantiles": R.value_quantiles,
         "events_prop_stats": R.events_prop_stats,
+        "event_funnel": R.event_funnel,
+        "revenue_rollup": R.revenue_rollup,
+        "time_band_join": R.time_band_join,
+        "group_quantiles": R.group_quantiles,
         # training-data text ops
         "dedup_exact": T.dedup_exact,
         "token_stats": T.token_stats,
@@ -277,6 +282,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_banding_complete": T.simhash_banding_complete,
         "embedding_near_dups": S.embedding_near_dups,
         "embedding_centroids": S.embedding_centroids,
+        # iterative graph analysis (bucket-pinned edges, integer fixed
+        # point, fully SQL-oracled via chained per-iteration CTEs)
+        "pagerank": G.pagerank,
         # the crawl engine itself (non-SQL: rows-only checks)
         "crawl_log": _q_crawl_log,
         "crawl_items": _q_crawl_items,
@@ -296,6 +304,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the sf corpora have no edge whitespace). Every oracle's trim is
 # rewritten to the whitespace-set form in ONE documented place instead
 # of 24 hand-edited call sites.
+def _pagerank_sql() -> str:
+    from pholcus_ray.pipelines.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(iters=5)
+
+
 _SQL_WS = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
 
 
@@ -660,6 +674,69 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CAST(MAX(COALESCE(CAST(props->>'k' AS BIGINT), -1)) AS BIGINT) AS max_k
             FROM events GROUP BY 1 ORDER BY 1
         """,
+        "event_funnel": """
+            -- earliest view -> click -> purchase chain, each stage within
+            -- 24h of the prior; -1 sentinels (epoch micros) match the
+            -- engine's no-NULL output contract
+            WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+                  JOIN v ON e.user_id = v.user_id
+                  WHERE e.event_type = 'click' AND e.ts > v.t1
+                    AND e.ts <= v.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+            p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+                  JOIN c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                    AND e.ts <= c.t2 + INTERVAL 24 HOUR GROUP BY e.user_id)
+            SELECT u.user_id,
+                   COALESCE(epoch_us(v.t1), -1) AS t_view_us,
+                   COALESCE(epoch_us(c.t2), -1) AS t_click_us,
+                   COALESCE(epoch_us(p.t3), -1) AS t_purchase_us,
+                   CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                             WHEN c.user_id IS NOT NULL THEN 2
+                             WHEN v.user_id IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS stage
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN v ON u.user_id = v.user_id
+            LEFT JOIN c ON u.user_id = c.user_id
+            LEFT JOIN p ON u.user_id = p.user_id
+        """,
+        "revenue_rollup": """
+            SELECT COALESCE(y, -1) AS o_year,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM (SELECT EXTRACT(year FROM o_orderdate) AS y,
+                         o_orderpriority,
+                         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+                  FROM orders)
+            GROUP BY ROLLUP(y, o_orderpriority)
+        """,
+        "time_band_join": """
+            -- range join without an equality key: clicks (any user) in the
+            -- strict half-open 30-minute window before each purchase
+            SELECT p.event_id, CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks
+            FROM events p LEFT JOIN events c
+              ON c.event_type = 'click'
+             AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id
+        """,
+        "group_quantiles": """
+            WITH h AS (SELECT lang, n_chars AS v, COUNT(*) AS c
+                       FROM documents GROUP BY 1, 2),
+            w AS (SELECT lang, v,
+                         SUM(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+                         SUM(c) OVER (PARTITION BY lang) AS tot FROM h)
+            SELECT lang,
+              CAST(MIN(CASE WHEN cum >= CAST(CEIL(0.5 * tot) AS BIGINT)
+                       THEN v END) AS BIGINT) AS p50_chars,
+              CAST(MIN(CASE WHEN cum >= CAST(CEIL(0.9 * tot) AS BIGINT)
+                       THEN v END) AS BIGINT) AS p90_chars,
+              CAST(MAX(tot) AS BIGINT) AS n_docs
+            FROM w GROUP BY lang
+        """,
+        "pagerank": _pagerank_sql(),
         "split_by_hash": """
             SELECT doc_id,
                    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'c' THEN 'train'

@@ -1,0 +1,290 @@
+"""Iterative link-analysis operators (PageRank) — the Pregel-shaped family.
+
+The reference engine's crawl frontier is a link graph walked once; corpus
+curation at training-data scale also needs the *iterative* graph pass over
+that link structure (PageRank-weighted sampling, spam-rank filtering —
+the Common-Crawl-style host ranking step). Ray Data has no iterate-until-
+converged graph operator, so this module builds one from the primitives
+the repo already trusts (SURVEY.md §2.4 join family):
+
+- **Edges are bucketed by src once and pinned in the object store**
+  (the ``preload_corpus`` plasma pattern, stages/fetchparse.py:61-96):
+  per-bucket Arrow tables, sorted by src, read zero-copy by every task.
+  The graph never moves again.
+- **Ranks are a Dataset partitioned by node bucket.** One PageRank
+  iteration is: ``map_batches`` over rank rows (each batch joins its
+  bucket's pinned edge table with C-level ``searchsorted`` and emits
+  per-dst pre-combined contribution partials — the combiner, so the
+  shuffle carries at most one row per (batch, dst)) → ``groupby`` on the
+  dst bucket → a coarse-partition reduce that folds contributions and
+  re-emits the complete rank rows for its bucket. Ranks leave the reduce
+  already partitioned by node bucket, which is exactly the layout the
+  next iteration's map needs — so per iteration the only exchange is the
+  slim (dst, contrib) int64 partial shuffle.
+- **All arithmetic is int64 fixed point** (the kmeans_train discipline,
+  pipelines/similarity.py): ranks carry a 1e12 scale, the damping step is
+  ``base + (85 * s) // 100``, and the per-edge transfer is
+  ``rank // outdeg`` — integer-exact and commutative, so the distributed
+  run is bit-identical to a sequential walk under any block layout AND
+  DuckDB can state the identical rule (the ``pagerank`` query is fully
+  SQL-oracled via chained per-iteration CTEs, not just twin-checked).
+
+Scale bounds (documented, not silent): a single node's incoming mass is
+< N * R0 = N * 1e12, so int64 holds to N ~ 9e6 *if one node absorbed the
+whole graph*; for realistic in-degree skew the bound is the max in-degree
+× 1e12. Past that, drop R0 to 1e9 (precision trades off) or sum in
+python-bigint at the reduce (the kmeans driver-fold pattern). The derived
+test graph multiplies doc_id by ~2^31 constants, so ``n_docs`` must stay
+below 2^63 / 2654435761 ≈ 3.4e9 — also documented at the generator.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+# damping 0.85 as an exact integer rule: new = BASE + (85 * s) // 100,
+# with BASE = (15 * R0) // 100. R0 = 1e12 keeps ~12 significant digits.
+R0 = 1_000_000_000_000
+BASE = (15 * R0) // 100
+ALPHA_NUM, ALPHA_DEN = 85, 100
+
+# deterministic synthetic link graph over the documents table: doc d has
+# outdeg(d) = 1 + d % 3 edges, edge i lands on (d * M[i] + A[i]) % n_docs.
+# The oracle SQL derives the identical edge set from the same constants.
+_MULTS = (2654435761, 40503, 2246822519)
+_OFFS = (1, 7, 13)
+
+
+@ray.remote
+def _derived_edge_bucket(n_docs: int, bucket: int, n_buckets: int) -> pa.Table:
+    """Build src-bucket ``bucket`` of the derived doc graph: edges whose src
+    ≡ bucket (mod n_buckets), sorted by src. For a REAL edge table this
+    loader is the only piece that changes — read the bucket's parquet
+    partition instead (the corpus ``bucket=`` layout, sources/pages.py)."""
+    src = np.arange(bucket, n_docs, n_buckets, dtype=np.int64)
+    deg = 1 + (src % 3)
+    ss, dd = [], []
+    for i, (m, a) in enumerate(zip(_MULTS, _OFFS)):
+        sel = src[deg > i]
+        ss.append(sel)
+        dd.append((sel * m + a) % n_docs)
+    s = np.concatenate(ss) if ss else np.empty(0, np.int64)
+    d = np.concatenate(dd) if dd else np.empty(0, np.int64)
+    o = np.argsort(s, kind="stable")
+    s, d = s[o], d[o]
+    return pa.table({
+        "src": pa.array(s, pa.int64()),
+        "dst": pa.array(d, pa.int64()),
+        "outdeg": pa.array(1 + (s % 3), pa.int64()),
+    })
+
+
+# worker-process-local zero-copy view of pinned edge buckets (the
+# fetchparse._BUCKET_CACHE pattern): (graph_key, bucket) -> numpy triple.
+_EDGE_CACHE: dict[tuple[str, int], tuple] = {}
+_EDGE_LOCK = threading.Lock()
+
+
+def _edge_arrays(graph_key: str, bucket: int, refs: dict) -> tuple:
+    ck = (graph_key, bucket)
+    with _EDGE_LOCK:
+        hit = _EDGE_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    t = ray.get(refs[bucket])  # zero-copy plasma read of the shared table
+    tri = (
+        t["src"].to_numpy(zero_copy_only=False),
+        t["dst"].to_numpy(zero_copy_only=False),
+        t["outdeg"].to_numpy(zero_copy_only=False),
+    )
+    with _EDGE_LOCK:
+        _EDGE_CACHE[ck] = tri
+    return tri
+
+
+def pagerank_iterations(ranks: rd.Dataset, edge_refs: dict,
+                        bucket_nodes, n_buckets: int, graph_key: str,
+                        iters: int) -> rd.Dataset:
+    """Run ``iters`` damped PageRank steps over a bucket-pinned edge set.
+
+    ``ranks``: Dataset with int64 columns (part, node, rank), part =
+    node % n_buckets. ``edge_refs``: {bucket: ObjectRef[pa.Table]} with
+    per-bucket (src, dst, outdeg) sorted by src, src % n_buckets = bucket.
+    ``bucket_nodes(p) -> sorted int64 np.ndarray`` enumerates the node set
+    of bucket p (derived analytically here; for a real graph pin per-bucket
+    node tables exactly like the edges and ray.get them in the reduce).
+    """
+    nb = np.int64(n_buckets)
+
+    def contribute(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        rank = t["rank"].to_numpy(zero_copy_only=False)
+        part = t["part"].to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        node_s, rank_s, part_s = node[order], rank[order], part[order]
+        out_d, out_c = [], []
+        for p in np.unique(part_s):
+            esrc, edst, edeg = _edge_arrays(graph_key, int(p), edge_refs)
+            if len(esrc) == 0:
+                continue
+            # this batch may hold only a slice of bucket p's rank rows
+            # (Ray re-batches freely); edges whose src is elsewhere are
+            # contributed by whichever batch holds that row.
+            pos = np.searchsorted(node_s, esrc)
+            pos = np.minimum(pos, len(node_s) - 1)
+            ok = node_s[pos] == esrc
+            if not ok.any():
+                continue
+            dst = edst[ok]
+            contrib = rank_s[pos[ok]] // edeg[ok]
+            # per-batch combiner: one (dst, sum) row per distinct dst
+            u, inv = np.unique(dst, return_inverse=True)
+            acc = np.zeros(len(u), np.int64)
+            np.add.at(acc, inv, contrib)
+            out_d.append(u)
+            out_c.append(acc)
+        dst = np.concatenate(out_d) if out_d else np.empty(0, np.int64)
+        con = np.concatenate(out_c) if out_c else np.empty(0, np.int64)
+        # completeness sentinels: every bucket must reach the reduce even
+        # with zero incoming mass (its nodes still earn BASE)
+        sent = np.arange(n_buckets, dtype=np.int64)
+        return pa.table({
+            "dpart": pa.array(np.concatenate([dst % nb, sent])),
+            "dst": pa.array(np.concatenate([dst, np.full(n_buckets, -1,
+                                                         np.int64)])),
+            "contrib": pa.array(np.concatenate([con,
+                                                np.zeros(n_buckets,
+                                                         np.int64)])),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"part": pd.Series([], dtype="int64"),
+                                 "node": pd.Series([], dtype="int64"),
+                                 "rank": pd.Series([], dtype="int64")})
+        p = int(g["dpart"].iloc[0])
+        nodes = bucket_nodes(p)
+        s = np.zeros(len(nodes), np.int64)
+        real = g[g["dst"] >= 0]
+        if len(real):
+            folded = real.groupby("dst", sort=True)["contrib"].sum()
+            idx = np.searchsorted(nodes, folded.index.to_numpy())
+            s[idx] = folded.to_numpy()
+        rank = BASE + (ALPHA_NUM * s) // ALPHA_DEN
+        return pd.DataFrame({
+            "part": np.full(len(nodes), p, np.int64),
+            "node": nodes,
+            "rank": rank.astype(np.int64),
+        })
+
+    for _ in range(iters):
+        ranks = (
+            ranks.map_batches(contribute, batch_format="pyarrow")
+            .groupby("dpart")
+            .map_groups(fold, batch_format="pandas")
+        )
+    return ranks
+
+
+def pagerank(sf_dir: str, iters: int = 5, n_buckets: int = 32) -> rd.Dataset:
+    """PageRank over the derived doc link graph — fully SQL-oracled
+    (chained per-iteration CTEs state the identical integer rule).
+
+    The node set streams from the documents table (only doc_id is read);
+    doc ids are contiguous 0..N-1 by the testdata contract (asserted in
+    tests/test_graph.py), which lets bucket p's node list derive as
+    arange(p, N, n_buckets) with no pinned node tables.
+    """
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    if n_docs * max(_MULTS) >= 2 ** 63:
+        raise ValueError("derived graph: n_docs * max multiplier overflows "
+                         "int64 — regenerate with smaller constants")
+    graph_key = f"docgraph:{sf_dir}:{n_docs}:{n_buckets}"
+    refs = {b: _derived_edge_bucket.remote(n_docs, b, n_buckets)
+            for b in range(n_buckets)}
+    ray.wait(list(refs.values()), num_returns=len(refs))
+
+    def bucket_nodes(p: int) -> np.ndarray:
+        return np.arange(p, n_docs, n_buckets, dtype=np.int64)
+
+    nb = np.int64(n_buckets)
+
+    def init(t: pa.Table) -> pa.Table:
+        node = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array(node % nb),
+            "node": pa.array(node, pa.int64()),
+            "rank": pa.array(np.full(len(node), R0, np.int64)),
+        })
+
+    ranks = (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])
+        .map_batches(init, batch_format="pyarrow")
+    )
+    ranks = pagerank_iterations(ranks, refs, bucket_nodes, n_buckets,
+                                graph_key, iters)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["node"], "rank_q": t["rank"]})
+
+    return ranks.map_batches(project, batch_format="pyarrow")
+
+
+def pagerank_reference(sf_dir: str, iters: int = 5) -> pa.Table:
+    """Sequential single-process twin (same integer rule, plain numpy) —
+    the bit-exactness witness for tests, same contract as
+    kmeans_reference (pipelines/similarity.py)."""
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    src = np.arange(n_docs, dtype=np.int64)
+    deg = 1 + (src % 3)
+    es, ed = [], []
+    for i, (m, a) in enumerate(zip(_MULTS, _OFFS)):
+        sel = src[deg > i]
+        es.append(sel)
+        ed.append((sel * m + a) % n_docs)
+    es, ed = np.concatenate(es), np.concatenate(ed)
+    edeg = 1 + (es % 3)
+    rank = np.full(n_docs, R0, np.int64)
+    for _ in range(iters):
+        s = np.zeros(n_docs, np.int64)
+        np.add.at(s, ed, rank[es] // edeg)
+        rank = BASE + (ALPHA_NUM * s) // ALPHA_DEN
+    return pa.table({"doc_id": pa.array(src), "rank_q": pa.array(rank)})
+
+
+def pagerank_oracle_sql(iters: int = 5) -> str:
+    """Chained-CTE DuckDB statement of the identical integer iteration."""
+    head = f"""
+WITH mults(i, m, a) AS (VALUES (0, {_MULTS[0]}, {_OFFS[0]}),
+                               (1, {_MULTS[1]}, {_OFFS[1]}),
+                               (2, {_MULTS[2]}, {_OFFS[2]})),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src, (d.doc_id * t.m + t.a) % nn.n AS dst,
+         1 + (d.doc_id % 3) AS outdeg
+  FROM documents d CROSS JOIN nn JOIN mults t ON t.i <= d.doc_id % 3
+),
+r0 AS (SELECT doc_id AS node, CAST({R0} AS BIGINT) AS pr FROM documents)"""
+    body = ""
+    for k in range(1, iters + 1):
+        body += f""",
+r{k} AS (
+  SELECT d.doc_id AS node,
+         CAST({BASE} + ({ALPHA_NUM} * COALESCE(s.c, 0)) // {ALPHA_DEN}
+              AS BIGINT) AS pr
+  FROM documents d LEFT JOIN (
+     SELECT e.dst AS node, CAST(SUM(r.pr // e.outdeg) AS BIGINT) AS c
+     FROM edges e JOIN r{k - 1} r ON r.node = e.src GROUP BY e.dst) s
+  ON s.node = d.doc_id)"""
+    return f"{head}{body}\nSELECT node AS doc_id, pr AS rank_q FROM r{iters}"

@@ -524,3 +524,260 @@ def events_prop_stats(sf_dir: str) -> rd.Dataset:
                    Max("k", alias_name="max_k"))
         .sort("event_type")
     )
+
+
+def event_funnel(sf_dir: str, window_hours: int = 24,
+                 num_buckets: int = 64) -> rd.Dataset:
+    """Conversion funnel: per user, the earliest view → click → purchase
+    chain where each next stage lands within ``window_hours`` of the one
+    before (the product-analytics staple; a stateful ordered-sequence
+    operator Ray Data has no primitive for).
+
+    Shape: ONE user-bucket shuffle of slim (user, ts_us, stage_code) int64
+    rows — only the three funnel event types leave the scan, plus one
+    pre-reduced presence row per (batch, user) so stage-0 users survive.
+    Inside each coarse partition the chain resolves with three C-level
+    pandas groupby-min/merge rounds (no per-user map_groups). The
+    partitioning assumption is the sessionizer's: one user's events
+    co-reside in one bucket. Missing stages carry -1 sentinels, never
+    NULLs (the dtype-hash lesson, see events_asof_join).
+    """
+    import pandas as pd
+
+    stages = ("view", "click", "purchase")
+    win_us = np.int64(window_hours) * 3_600_000_000
+    nb = np.int64(num_buckets)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        code = np.full(len(uid), -1, np.int64)
+        for i, s in enumerate(stages):
+            code[et == s] = i
+        keep = code >= 0
+        u_present = np.unique(uid)
+        out_uid = np.concatenate([uid[keep], u_present])
+        out_ts = np.concatenate([ts_us[keep],
+                                 np.zeros(len(u_present), np.int64)])
+        out_code = np.concatenate([code[keep],
+                                   np.full(len(u_present), -1, np.int64)])
+        return pa.table({
+            "part": pa.array(out_uid % nb),
+            "user_id": pa.array(out_uid, pa.int64()),
+            "ts_us": pa.array(out_ts, pa.int64()),
+            "code": pa.array(out_code, pa.int64()),
+        })
+
+    def chain(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "t_view_us": pd.Series([], dtype="int64"),
+                "t_click_us": pd.Series([], dtype="int64"),
+                "t_purchase_us": pd.Series([], dtype="int64"),
+                "stage": pd.Series([], dtype="int64"),
+            })
+        users = np.unique(g["user_id"].to_numpy())
+        prev = None  # Series: user -> prior-stage ts
+        stage_ts = []
+        for i in range(len(stages)):
+            rows = g[g["code"] == i]
+            if prev is None:
+                cur = rows.groupby("user_id")["ts_us"].min()
+            else:
+                m = rows.merge(prev.rename("t_prev"), left_on="user_id",
+                               right_index=True)
+                m = m[(m["ts_us"] > m["t_prev"])
+                      & (m["ts_us"] <= m["t_prev"] + win_us)]
+                cur = m.groupby("user_id")["ts_us"].min()
+            stage_ts.append(cur)
+            prev = cur
+        cols, stage = {}, np.zeros(len(users), np.int64)
+        for i, name in enumerate(("t_view_us", "t_click_us",
+                                  "t_purchase_us")):
+            v = stage_ts[i].reindex(users)
+            hit = v.notna().to_numpy()
+            stage[hit] = i + 1
+            cols[name] = v.fillna(-1).astype("int64").to_numpy()
+        return pd.DataFrame({
+            "user_id": users,
+            **cols,
+            "stage": stage,
+        })
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_type"])
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(chain, batch_format="pandas")
+    )
+
+
+def revenue_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP (order year, priority): finest-level totals plus
+    per-year and grand-total super-aggregate rows (SURVEY.md §2.5 breadth —
+    the multi-granularity report shape).
+
+    Scale: ONE coarse shuffle of pre-combined (year, priority, cents, n)
+    partials — per batch a C-level pandas groupby collapses rows to the
+    tiny key space before anything moves; the rollup's coarser levels
+    derive from the finest aggregate (35-ish rows) driver-side, never
+    re-reading the data. NULL group markers are sentinels (-1 / 'ALL')
+    on both sides so nullability can't skew the driver's value hash.
+    """
+    import pandas as pd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        year = pc.year(t["o_orderdate"]).to_numpy(zero_copy_only=False)
+        cents = _cents(t["o_totalprice"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "o_year": year.astype(np.int64),
+            "o_orderpriority": t["o_orderpriority"].to_pandas(),
+            "cents": cents,
+        })
+        agg = (df.groupby(["o_year", "o_orderpriority"], sort=False)
+               .agg(revenue_cents=("cents", "sum"), n_orders=("cents", "size"))
+               .reset_index())
+        agg["n_orders"] = agg["n_orders"].astype("int64")
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_year", "o_orderpriority"])
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                   Sum("n_orders", alias_name="n_orders"))
+        .take_all()  # years x priorities — a few dozen rows by construction
+    )
+    f = pd.DataFrame(finest)
+    per_year = (f.groupby("o_year", as_index=False)
+                [["revenue_cents", "n_orders"]].sum())
+    per_year["o_orderpriority"] = "ALL"
+    total = pd.DataFrame({
+        "o_year": [np.int64(-1)],
+        "o_orderpriority": ["ALL"],
+        "revenue_cents": [f["revenue_cents"].sum()],
+        "n_orders": [f["n_orders"].sum()],
+    })
+    cols = ["o_year", "o_orderpriority", "revenue_cents", "n_orders"]
+    out = pd.concat([f[cols], per_year[cols], total[cols]],
+                    ignore_index=True)
+    for c in ("o_year", "revenue_cents", "n_orders"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def time_band_join(sf_dir: str, band_sec: int = 1800) -> rd.Dataset:
+    """Banded time-range join WITHOUT an equality key: for every purchase,
+    count clicks (any user) in the preceding ``band_sec`` window — the
+    classic interval-bucketed distributed range join (SURVEY.md §2.4 gap;
+    Ray Data has no range join, and a naive theta-join is O(n²) row
+    blowup).
+
+    Shape: time tumbles into buckets exactly ``band_sec`` wide; each click
+    replicates to its own bucket and the next (a purchase's window spans
+    at most two buckets), purchases route to their bucket only — so the
+    single shuffle carries ≤ 2 slim int64 rows per click and 1 per
+    purchase, and each coarse time partition resolves its counts with two
+    C-level searchsorted calls. Replication factor is window/bucket = 1,
+    by construction, independent of data volume; band width sets the
+    partition count, so very long bands at scale split into
+    (band // bucket_width)+1 replicas instead — same operator, documented
+    knob.
+    """
+    import pandas as pd
+
+    w_us = np.int64(band_sec) * 1_000_000
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        isp, isc = et == "purchase", et == "click"
+        pb = ts_us[isp] // w_us
+        cb = ts_us[isc] // w_us
+        return pa.table({
+            "bucket": pa.array(np.concatenate([pb, cb, cb + 1])),
+            "side": pa.array(np.concatenate(
+                [np.zeros(int(isp.sum()), np.int64),
+                 np.ones(2 * int(isc.sum()), np.int64)])),
+            "event_id": pa.array(np.concatenate(
+                [eid[isp], eid[isc], eid[isc]]), pa.int64()),
+            "ts_us": pa.array(np.concatenate(
+                [ts_us[isp], ts_us[isc], ts_us[isc]]), pa.int64()),
+        })
+
+    def count_in_band(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "n_clicks": pd.Series([], dtype="int64")})
+        p = g[g["side"] == 0]
+        if len(p) == 0:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "n_clicks": pd.Series([], dtype="int64")})
+        c = np.sort(g.loc[g["side"] == 1, "ts_us"].to_numpy())
+        pts = p["ts_us"].to_numpy()
+        lo = np.searchsorted(c, pts - w_us, side="left")
+        hi = np.searchsorted(c, pts, side="left")  # strict: click.ts < p.ts
+        return pd.DataFrame({
+            "event_id": p["event_id"].to_numpy(),
+            "n_clicks": (hi - lo).astype(np.int64),
+        })
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "event_type"])
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_in_band, batch_format="pandas")
+    )
+
+
+def group_quantiles(sf_dir: str, qs: tuple = (0.5, 0.9)) -> pa.Table:
+    """Per-language EXACT p50/p90 of document length — the grouped sibling
+    of value_quantiles, same mergeable-histogram design: each batch emits
+    (lang, length, count) partials via a C-level groupby, one shuffle
+    merges histogram rows (bounded by langs × distinct lengths, not row
+    count), and the per-group CDF walk happens on that small result.
+    Quantile rule is value at rank ceil(q*n) (discrete/lower), identical
+    double-precision ceil on both sides.
+    """
+    import pandas as pd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"lang": t["lang"].to_pandas(),
+                           "v": t["n_chars"].to_numpy(zero_copy_only=False)})
+        agg = (df.groupby(["lang", "v"], sort=False).size()
+               .rename("cnt").reset_index())
+        agg["cnt"] = agg["cnt"].astype("int64")
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+
+    hist = pd.DataFrame(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "v"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()  # bounded by the (lang, length) domain, not by rows
+    ).sort_values(["lang", "v"])
+    rows = []
+    for lang, gf in hist.groupby("lang", sort=True):
+        vals = gf["v"].to_numpy(np.int64)
+        cum = np.cumsum(gf["cnt"].to_numpy(np.int64))
+        n = int(cum[-1])
+        picks = [int(vals[np.searchsorted(cum, int(np.ceil(q * n)))])
+                 for q in qs]
+        rows.append((lang, picks[0], picks[1], n))
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "p50_chars": pa.array([r[1] for r in rows], pa.int64()),
+        "p90_chars": pa.array([r[2] for r in rows], pa.int64()),
+        "n_docs": pa.array([r[3] for r in rows], pa.int64()),
+    })
