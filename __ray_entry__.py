@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rollup": R.revenue_rollup,
         "time_band_join": R.time_band_join,
         "group_quantiles": R.group_quantiles,
+        "cohort_retention": R.cohort_retention,
         # training-data text ops
         "dedup_exact": T.dedup_exact,
         "token_stats": T.token_stats,
@@ -278,6 +279,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_recall": S.ann_ivf_recall,
         "kmeans_train": S.kmeans_train,
         "kmeans_parity": S.kmeans_parity,
+        "pca_power": S.pca_power,
+        "pca_parity": S.pca_parity,
         "minhash_lsh_recall": T.minhash_lsh_recall,
         "simhash_banding_complete": T.simhash_banding_complete,
         "embedding_near_dups": S.embedding_near_dups,
@@ -285,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative graph analysis (bucket-pinned edges, integer fixed
         # point, fully SQL-oracled via chained per-iteration CTEs)
         "pagerank": G.pagerank,
+        "link_degree_stats": G.link_degree_stats,
         # the crawl engine itself (non-SQL: rows-only checks)
         "crawl_log": _q_crawl_log,
         "crawl_items": _q_crawl_items,
@@ -308,6 +312,12 @@ def _pagerank_sql() -> str:
     from pholcus_ray.pipelines.graph import pagerank_oracle_sql
 
     return pagerank_oracle_sql(iters=5)
+
+
+def _link_degree_sql() -> str:
+    from pholcus_ray.pipelines.graph import link_degree_stats_oracle_sql
+
+    return link_degree_stats_oracle_sql()
 
 
 _SQL_WS = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
@@ -578,6 +588,15 @@ def _oracle_sql_raw() -> dict[str, str]:
                    (SELECT COUNT(*) FROM embeddings) AS n_assigned,
                    CAST(1 AS BIGINT) AS parity_ok
         """,
+        "pca_parity": """
+            -- assertion oracle: the distributed exact-covariance + bigint
+            -- power iteration must equal its sequential twin bit-for-bit
+            -- (parity_ok), over the real table count and embedding width
+            SELECT (SELECT CAST(MAX(len(embedding)) AS BIGINT)
+                    FROM embeddings) AS dim,
+                   (SELECT COUNT(*) FROM embeddings) AS n_vecs,
+                   CAST(1 AS BIGINT) AS parity_ok
+        """,
         "word_jaccard_exact": r"""
             -- exact word-3-shingle Jaccard pairs (the shingle space MinHash
             -- estimates); tokenization identical to token_stats' oracle
@@ -737,6 +756,18 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM w GROUP BY lang
         """,
         "pagerank": _pagerank_sql(),
+        "link_degree_stats": _link_degree_sql(),
+        "cohort_retention": """
+            -- integer epoch-days; a user's first active day is their
+            -- cohort, each (user, day) pair counts once per cell
+            WITH d AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS day FROM events),
+            f AS (SELECT user_id, MIN(day) AS d0 FROM d GROUP BY user_id)
+            SELECT f.d0 AS cohort_day, d.day - f.d0 AS day_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM d JOIN f ON d.user_id = f.user_id
+            GROUP BY 1, 2
+        """,
         "split_by_hash": """
             SELECT doc_id,
                    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'c' THEN 'train'

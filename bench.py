@@ -82,6 +82,9 @@ _BENCH_QUERIES = [
     "within_doc_dedup",
     "inverted_index",
     "quantile_buckets",
+    "pagerank",
+    "event_funnel",
+    "time_band_join",
 ]
 
 

@@ -288,3 +288,70 @@ r{k} AS (
      FROM edges e JOIN r{k - 1} r ON r.node = e.src GROUP BY e.dst) s
   ON s.node = d.doc_id)"""
     return f"{head}{body}\nSELECT node AS doc_id, pr AS rank_q FROM r{iters}"
+
+
+def link_degree_stats(sf_dir: str) -> pa.Table:
+    """In-degree histogram of the derived doc link graph (the graph-shape
+    profile that decides hot-key salting before any iterative pass).
+
+    Shape: edges are generated batch-locally from the src ids each batch
+    holds (never materialized globally), pre-combined per batch to
+    (dst, cnt) partials; ONE groupby folds per-node in-degrees, and the
+    histogram groupby is over the tiny degree domain. Zero-in-degree
+    nodes are derived arithmetically (N minus nodes seen) rather than via
+    an anti-join.
+    """
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        src = t["doc_id"].to_numpy(zero_copy_only=False)
+        deg = 1 + (src % 3)
+        dd = []
+        for i, (m, a) in enumerate(zip(_MULTS, _OFFS)):
+            sel = src[deg > i]
+            dd.append((sel * m + a) % n_docs)
+        dst = np.concatenate(dd) if dd else np.empty(0, np.int64)
+        u, c = np.unique(dst, return_counts=True)
+        return pa.table({"dst": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    from ray.data.aggregate import Count, Sum
+
+    per_node = (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])
+        .map_batches(edge_partial, batch_format="pyarrow")
+        .groupby("dst")
+        .aggregate(Sum("cnt", alias_name="in_degree"))
+    )
+    hist = (
+        per_node.groupby("in_degree")
+        .aggregate(Count(alias_name="n_nodes"))
+        .take_all()  # bounded by the degree domain, not by nodes
+    )
+    degs = [int(r["in_degree"]) for r in hist]
+    ns = [int(r["n_nodes"]) for r in hist]
+    n_zero = n_docs - sum(ns)
+    if n_zero > 0:
+        degs.append(0)
+        ns.append(n_zero)
+    return pa.table({"in_degree": pa.array(degs, pa.int64()),
+                     "n_nodes": pa.array(ns, pa.int64())})
+
+
+def link_degree_stats_oracle_sql() -> str:
+    return f"""
+WITH mults(i, m, a) AS (VALUES (0, {_MULTS[0]}, {_OFFS[0]}),
+                               (1, {_MULTS[1]}, {_OFFS[1]}),
+                               (2, {_MULTS[2]}, {_OFFS[2]})),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src, (d.doc_id * t.m + t.a) % nn.n AS dst,
+         1 + (d.doc_id % 3) AS outdeg
+  FROM documents d CROSS JOIN nn JOIN mults t ON t.i <= d.doc_id % 3
+),
+ind AS (SELECT d.doc_id, COUNT(e.src) AS in_degree
+        FROM documents d LEFT JOIN edges e ON e.dst = d.doc_id GROUP BY 1)
+SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM ind GROUP BY in_degree"""

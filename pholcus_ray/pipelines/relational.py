@@ -781,3 +781,59 @@ def group_quantiles(sf_dir: str, qs: tuple = (0.5, 0.9)) -> pa.Table:
         "p90_chars": pa.array([r[2] for r in rows], pa.int64()),
         "n_docs": pa.array([r[3] for r in rows], pa.int64()),
     })
+
+
+def cohort_retention(sf_dir: str, num_buckets: int = 64) -> rd.Dataset:
+    """Cohort retention matrix: users grouped by first-active day, counted
+    at each day offset they return (the activation/retention report —
+    SURVEY.md §2.5 breadth over the events stream).
+
+    Shape: ONE user-bucket shuffle of per-batch-deduped (user, day) int64
+    rows; each coarse partition derives its users' cohort day and offsets
+    with two C-level pandas passes and emits pre-combined
+    (cohort_day, day_offset, n) partials; a tiny keyspace groupby folds
+    them. A user's rows co-reside in one bucket (the sessionizer
+    invariant), so the distinct-user count per cell needs no second
+    dedup exchange. Days are integer epoch-days (epoch_us // 86.4e9) —
+    no timezone/float anywhere.
+    """
+    import pandas as pd
+
+    nb = np.int64(num_buckets)
+    day_us = np.int64(86_400_000_000)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        day = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // day_us
+        df = pd.DataFrame({"user_id": uid, "day": day}).drop_duplicates()
+        return pa.table({
+            "part": pa.array(df["user_id"].to_numpy() % nb),
+            "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+            "day": pa.array(df["day"].to_numpy(), pa.int64()),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "cohort_day": pd.Series([], dtype="int64"),
+                "day_offset": pd.Series([], dtype="int64"),
+                "n_users": pd.Series([], dtype="int64"),
+            })
+        g = g.drop_duplicates(subset=["user_id", "day"])
+        d0 = g.groupby("user_id")["day"].transform("min")
+        out = (pd.DataFrame({"cohort_day": d0.to_numpy(),
+                             "day_offset": (g["day"] - d0).to_numpy()})
+               .groupby(["cohort_day", "day_offset"], sort=False)
+               .size().rename("n_users").reset_index())
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )

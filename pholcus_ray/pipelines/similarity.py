@@ -707,3 +707,117 @@ def kmeans_parity(sf_dir: str, n_clusters: int = 8,
         "n_assigned": pa.array([sum(eng["size"])], pa.int64()),
         "parity_ok": pa.array([int(ok)], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# PCA via distributed exact covariance + driver-local bigint power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_VS = 1 << 20  # eigenvector L-inf fixed-point scale
+
+
+def _pca_power_iter(xtx: list, s: list, n: int, dim: int,
+                    iters: int = 30) -> list[int]:
+    """Shared pure iteration: top eigenvector of the scaled covariance
+    n*XᵀX - S·Sᵀ by power method in PYTHON BIGINTS (no overflow, no
+    rounding until the single L∞ renormalization per step, which is
+    floor division stated identically on both twins). Deterministic
+    all-ones init; fixed iteration count, no float convergence test."""
+    C = [[n * xtx[i * dim + j] - s[i] * s[j] for j in range(dim)]
+         for i in range(dim)]
+    v = [_PCA_VS] * dim
+    for _ in range(iters):
+        w = [sum(C[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        v = [(x * _PCA_VS) // m for x in w]
+    return v
+
+
+def _pca_partial(t: pa.Table) -> pa.Table:
+    """Per-batch exact covariance partial: (XᵀX flattened, column sums, n)
+    in int64 — safe while batch_rows × (2^20·|x|)² < 2^63, i.e. |x| < 4
+    at ≤4096-row batches; bigger domains rescale the quantizer."""
+    Xq = _km_quantize(_to_matrix(t["embedding"]))
+    d = Xq.shape[1]
+    xtx = (Xq.T @ Xq).reshape(-1)
+    s = Xq.sum(axis=0)
+    return pa.table({
+        "n": pa.array([Xq.shape[0]], pa.int64()),
+        "xtx": pa.FixedSizeListArray.from_arrays(
+            pa.array(xtx, pa.int64()), d * d),
+        "s": pa.FixedSizeListArray.from_arrays(pa.array(s, pa.int64()), d),
+    })
+
+
+def pca_power(sf_dir: str, iters: int = 30) -> pa.Table:
+    """Top principal component of the embeddings table (the whitening /
+    dim-reduction primitive the dedup+ANN family sits on).
+
+    Scale shape — same parameter-server reduce as kmeans_train: each batch
+    emits ONE (d², d, 1) int64 covariance partial (the combiner; rows
+    never shuffle), the driver folds #blocks slim rows in python bigints
+    (exact), and the O(d²·iters) power iteration runs driver-local — the
+    right side of the distributed/driver split for d ≤ a few thousand.
+    Everything after quantization is integer-exact, so the distributed
+    run is bit-identical to the sequential twin `pca_reference` under any
+    block layout; `pca_parity` surfaces that to the driver gate.
+    """
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    parts = (rd.read_parquet(emb_path, columns=["embedding"])
+             .map_batches(_pca_partial, batch_format="pyarrow",
+                          batch_size=4096)
+             .take_all())
+    dim = len(parts[0]["s"])
+    xtx = [0] * (dim * dim)
+    s = [0] * dim
+    n = 0
+    for row in parts:
+        n += int(row["n"])
+        rx, rs = row["xtx"], row["s"]
+        for i in range(dim * dim):
+            xtx[i] += int(rx[i])
+        for i in range(dim):
+            s[i] += int(rs[i])
+    v = _pca_power_iter(xtx, s, n, dim, iters)
+    return pa.table({
+        "component": pa.array(range(dim), pa.int64()),
+        "eigvec_q": pa.array(v, pa.int64()),
+    })
+
+
+def pca_reference(sf_dir: str, iters: int = 30) -> pa.Table:
+    """Sequential single-matrix twin of pca_power (same pure functions,
+    whole table at once — the kmeans_reference contract)."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["embedding"])
+    Xq = _km_quantize(_to_matrix(t["embedding"]))
+    d = Xq.shape[1]
+    # int64 XᵀX is exact while n·(2^20·|x|)² < 2^63 — n < 3e7 at |x| < 0.5;
+    # the twin is single-node by definition so this is its natural bound
+    xtx = [int(x) for x in (Xq.T @ Xq).reshape(-1)]
+    s = [int(x) for x in Xq.sum(axis=0)]
+    v = _pca_power_iter(xtx, s, Xq.shape[0], d, iters)
+    return pa.table({
+        "component": pa.array(range(d), pa.int64()),
+        "eigvec_q": pa.array(v, pa.int64()),
+    })
+
+
+def pca_parity(sf_dir: str, iters: int = 30) -> pa.Table:
+    """Gate-visible verdict: distributed covariance + shared bigint
+    iteration must equal the sequential twin exactly; the SQL oracle pins
+    parity_ok=1, the table count and the list width, so a silent
+    aggregation divergence fails CORRECTNESS (the kmeans_parity
+    contract)."""
+    eng = pca_power(sf_dir, iters)
+    ref = pca_reference(sf_dir, iters)
+    ok = eng.equals(ref)
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    return pa.table({
+        "dim": pa.array([eng.num_rows], pa.int64()),
+        "n_vecs": pa.array([n], pa.int64()),
+        "parity_ok": pa.array([int(ok)], pa.int64()),
+    })

@@ -39,3 +39,15 @@ def test_pagerank_bucket_count_invariance(ray_session):
     b = (pagerank(SF, iters=3, n_buckets=16).to_pandas()
          .sort_values("doc_id").reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_pca_power_bit_identical_to_twin(ray_session):
+    from pholcus_ray.pipelines.similarity import pca_power, pca_reference
+
+    eng = pca_power(SF, iters=12)
+    ref = pca_reference(SF, iters=12)
+    assert eng.equals(ref)
+    v = eng["eigvec_q"].to_numpy()
+    # L-inf normalized, non-degenerate direction
+    assert int(np.abs(v).max()) == 1 << 20
+    assert (v != 0).sum() > 4
