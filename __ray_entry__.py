@@ -121,6 +121,18 @@ def _q_extract_identity(sf_dir: str):
     return pa.table({"n_pages": pa.array([n]), "n_identical": pa.array([ok])})
 
 
+def _q_host_pagerank(sf_dir: str):
+    from pholcus_ray.pipelines.graph import host_pagerank
+
+    return host_pagerank(_corpus_for(sf_dir))
+
+
+def _q_host_pagerank_parity(sf_dir: str):
+    from pholcus_ray.pipelines.graph import host_pagerank_parity
+
+    return host_pagerank_parity(_corpus_for(sf_dir))
+
+
 def _blocks(t, n_blocks: int = 8):
     """Split an in-memory table into blocks so small actor pools get
     parallel work (round-1 finding: one block fed one actor, second idle)."""
@@ -258,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "within_doc_dedup": T.within_doc_dedup,
         "inverted_index": T.inverted_index,
         "quantile_buckets": T.quantile_buckets,
+        "bm25_topk": T.bm25_topk,
         "stratified_sample": T.stratified_sample,
         "repetition_quality": T.repetition_quality,
         "term_df": T.term_df,
@@ -268,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_corpus_summary": _q_training_corpus,
         # similarity search
         "ann_topk": S.ann_topk,
+        "ann_filtered": S.ann_filtered,
         "knn_batch": S.knn_batch,
         "ann_ivf": S.ann_ivf,
         # IVF probing all clusters is exact == brute force: SQL-oracles the
@@ -289,6 +303,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # point, fully SQL-oracled via chained per-iteration CTEs)
         "pagerank": G.pagerank,
         "link_degree_stats": G.link_degree_stats,
+        # PageRank over the REAL crawl link graph (host-level), conformance
+        # via the sequential twin; parity verdict is the SQL-visible gate
+        "host_pagerank": _q_host_pagerank,
+        "host_pagerank_parity": _q_host_pagerank_parity,
         # the crawl engine itself (non-SQL: rows-only checks)
         "crawl_log": _q_crawl_log,
         "crawl_items": _q_crawl_items,
@@ -534,6 +552,51 @@ def _oracle_sql_raw() -> dict[str, str]:
             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, e.vec_id
             LIMIT 10
         """,
+        "ann_filtered": """
+            -- filtered vector search: top-k cosine restricted to label 2
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round_even(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos
+            FROM embeddings e, q
+            WHERE e.label = 2
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, e.vec_id
+            LIMIT 10
+        """,
+        "bm25_topk": r"""
+            -- BM25 (k1=6/5, b=3/4) as the exact integer rational
+            --   (22*tf*T*1e6) // (10*tf*T + 3*T + 9*dl*N)
+            -- per single-term query (IDF is a per-term constant, so the
+            -- per-term ranking is unchanged); query terms = top-5 by DF
+            WITH toks AS (
+              SELECT doc_id,
+                     UNNEST(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\s+')
+                            END) AS token
+              FROM documents
+            ),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+            tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS t,
+                           CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+            qt AS (SELECT token FROM (
+                     SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
+                     GROUP BY 1 ORDER BY df DESC, token LIMIT 5)),
+            tf AS (SELECT t.token, t.doc_id, COUNT(*) AS tf
+                   FROM toks t JOIN qt ON t.token = qt.token GROUP BY 1, 2),
+            scored AS (
+              SELECT tf.token, tf.doc_id,
+                     CAST((22 * tf.tf * tot.t * 1000000)
+                          // (10 * tf.tf * tot.t + 3 * tot.t
+                              + 9 * dl.dl * tot.n) AS BIGINT) AS score_q
+              FROM tf JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot
+            ),
+            ranked AS (SELECT token, doc_id, score_q,
+                       ROW_NUMBER() OVER (PARTITION BY token
+                           ORDER BY score_q DESC, doc_id) AS rnk
+                       FROM scored)
+            SELECT token, CAST(rnk AS BIGINT) AS rnk, doc_id, score_q
+            FROM ranked WHERE rnk <= 10
+        """,
         "ann_ivf_full_probe": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings WHERE vec_id = 0)
@@ -757,6 +820,12 @@ def _oracle_sql_raw() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(),
         "link_degree_stats": _link_degree_sql(),
+        "host_pagerank_parity": """
+            -- assertion oracle: distributed PageRank over the real crawl
+            -- link graph must equal the sequential twin byte-for-byte
+            -- (hosts, page counts, summed fixed-point ranks)
+            SELECT CAST(5 AS BIGINT) AS iters, CAST(1 AS BIGINT) AS parity_ok
+        """,
         "cohort_retention": """
             -- integer epoch-days; a user's first active day is their
             -- cohort, each (user, day) pair counts once per cell

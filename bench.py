@@ -85,6 +85,8 @@ _BENCH_QUERIES = [
     "pagerank",
     "event_funnel",
     "time_band_join",
+    "bm25_topk",
+    "cohort_retention",
 ]
 
 

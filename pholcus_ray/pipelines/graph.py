@@ -84,6 +84,10 @@ def _derived_edge_bucket(n_docs: int, bucket: int, n_buckets: int) -> pa.Table:
         "src": pa.array(s, pa.int64()),
         "dst": pa.array(d, pa.int64()),
         "outdeg": pa.array(1 + (s % 3), pa.int64()),
+        # dst's bucket travels WITH the edge: node ids from hashed keys
+        # (host_pagerank) bitcast negative, so recomputing dst % P in the
+        # map would disagree with the build-side uint64 partition
+        "dpart": pa.array(d % n_buckets, pa.int64()),
     })
 
 
@@ -104,6 +108,7 @@ def _edge_arrays(graph_key: str, bucket: int, refs: dict) -> tuple:
         t["src"].to_numpy(zero_copy_only=False),
         t["dst"].to_numpy(zero_copy_only=False),
         t["outdeg"].to_numpy(zero_copy_only=False),
+        t["dpart"].to_numpy(zero_copy_only=False),
     )
     with _EDGE_LOCK:
         _EDGE_CACHE[ck] = tri
@@ -122,7 +127,6 @@ def pagerank_iterations(ranks: rd.Dataset, edge_refs: dict,
     of bucket p (derived analytically here; for a real graph pin per-bucket
     node tables exactly like the edges and ray.get them in the reduce).
     """
-    nb = np.int64(n_buckets)
 
     def contribute(t: pa.Table) -> pa.Table:
         node = t["node"].to_numpy(zero_copy_only=False)
@@ -130,9 +134,10 @@ def pagerank_iterations(ranks: rd.Dataset, edge_refs: dict,
         part = t["part"].to_numpy(zero_copy_only=False)
         order = np.argsort(node, kind="stable")
         node_s, rank_s, part_s = node[order], rank[order], part[order]
-        out_d, out_c = [], []
+        out_d, out_c, out_p = [], [], []
         for p in np.unique(part_s):
-            esrc, edst, edeg = _edge_arrays(graph_key, int(p), edge_refs)
+            esrc, edst, edeg, edpart = _edge_arrays(graph_key, int(p),
+                                                    edge_refs)
             if len(esrc) == 0:
                 continue
             # this batch may hold only a slice of bucket p's rank rows
@@ -145,24 +150,33 @@ def pagerank_iterations(ranks: rd.Dataset, edge_refs: dict,
                 continue
             dst = edst[ok]
             contrib = rank_s[pos[ok]] // edeg[ok]
+            dparts = edpart[ok]
             # per-batch combiner: one (dst, sum) row per distinct dst
-            u, inv = np.unique(dst, return_inverse=True)
+            u, first, inv = np.unique(dst, return_index=True,
+                                      return_inverse=True)
             acc = np.zeros(len(u), np.int64)
             np.add.at(acc, inv, contrib)
             out_d.append(u)
             out_c.append(acc)
+            out_p.append(dparts[first])
         dst = np.concatenate(out_d) if out_d else np.empty(0, np.int64)
         con = np.concatenate(out_c) if out_c else np.empty(0, np.int64)
+        dpt = np.concatenate(out_p) if out_p else np.empty(0, np.int64)
         # completeness sentinels: every bucket must reach the reduce even
-        # with zero incoming mass (its nodes still earn BASE)
+        # with zero incoming mass (its nodes still earn BASE). An explicit
+        # flag column, NOT a magic dst value — hashed node ids (bitcast
+        # uint64) cover the whole int64 range
         sent = np.arange(n_buckets, dtype=np.int64)
         return pa.table({
-            "dpart": pa.array(np.concatenate([dst % nb, sent])),
-            "dst": pa.array(np.concatenate([dst, np.full(n_buckets, -1,
-                                                         np.int64)])),
+            "dpart": pa.array(np.concatenate([dpt, sent])),
+            "dst": pa.array(np.concatenate([dst, np.zeros(n_buckets,
+                                                          np.int64)])),
             "contrib": pa.array(np.concatenate([con,
                                                 np.zeros(n_buckets,
                                                          np.int64)])),
+            "is_sent": pa.array(np.concatenate(
+                [np.zeros(len(dst), np.int8),
+                 np.ones(n_buckets, np.int8)])),
         })
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
@@ -173,11 +187,18 @@ def pagerank_iterations(ranks: rd.Dataset, edge_refs: dict,
         p = int(g["dpart"].iloc[0])
         nodes = bucket_nodes(p)
         s = np.zeros(len(nodes), np.int64)
-        real = g[g["dst"] >= 0]
+        real = g[g["is_sent"] == 0]
         if len(real):
             folded = real.groupby("dst", sort=True)["contrib"].sum()
-            idx = np.searchsorted(nodes, folded.index.to_numpy())
-            s[idx] = folded.to_numpy()
+            keys = folded.index.to_numpy()
+            pos = np.searchsorted(nodes, keys)
+            pos_c = np.minimum(pos, len(nodes) - 1)
+            # dangling targets (links to pages outside the node set — the
+            # 404/robots residue of a real link graph) simply drop their
+            # mass, the standard dangling-link PageRank choice; the
+            # sequential twin states the identical rule
+            valid = nodes[pos_c] == keys
+            s[pos_c[valid]] = folded.to_numpy()[valid]
         rank = BASE + (ALPHA_NUM * s) // ALPHA_DEN
         return pd.DataFrame({
             "part": np.full(len(nodes), p, np.int64),
@@ -355,3 +376,227 @@ ind AS (SELECT d.doc_id, COUNT(e.src) AS in_degree
         FROM documents d LEFT JOIN edges e ON e.dst = d.doc_id GROUP BY 1)
 SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
 FROM ind GROUP BY in_degree"""
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the REAL crawl link graph (host-level report)
+# ---------------------------------------------------------------------------
+
+def _page_edges(urls: list, htmls: list):
+    """Shared pure edge construction (engine buckets AND sequential twin):
+    per page, every resolvable anchor (extract_links + get_href — the same
+    functions the crawl frontier uses) becomes one edge; duplicates kept
+    (a repeated link carries double weight), outdeg = emitted edge count.
+    Node ids are hash64(url) bitcast to int64 (any value possible — the
+    sentinel-flag contract in pagerank_iterations)."""
+    from ..functions.hashing import hash64_array
+    from ..functions.textops import extract_links, to_text
+    from ..functions.urlnorm import get_href
+
+    src_urls, dst_urls, outdeg = [], [], []
+    for url, hb in zip(urls, htmls):
+        links = [get_href(url, href)
+                 for href, _anchor in extract_links(to_text(hb))]
+        links = [x for x in links if x]
+        src_urls.extend([url] * len(links))
+        dst_urls.extend(links)
+        outdeg.extend([len(links)] * len(links))
+    if src_urls:
+        s_u = hash64_array(src_urls)
+        d_u = hash64_array(dst_urls)
+    else:
+        s_u = d_u = np.empty(0, np.uint64)
+    return (s_u.view(np.int64), d_u, np.asarray(outdeg, np.int64))
+
+
+@ray.remote(num_returns=2)
+def _corpus_graph_bucket(corpus_dir: str, bucket: int, n_buckets: int):
+    """(edges, nodes) tables of ONE corpus bucket. The corpus is already
+    hive-partitioned by hash64(url) % n_buckets (sources/pages.py), so
+    bucket b's pages ARE src-bucket b — the pinned-edge build needs no
+    shuffle at all, just one loader task per bucket."""
+    from ..functions.hashing import hash64_array
+    from ..functions.urlnorm import host_of
+
+    path = os.path.join(corpus_dir, "pages", f"bucket={bucket}")
+    tabs = []
+    if os.path.isdir(path):
+        tabs = [pq.read_table(os.path.join(path, fn),
+                              columns=["url", "html"])
+                for fn in sorted(os.listdir(path)) if fn.endswith(".parquet")]
+    t = (pa.concat_tables(tabs).combine_chunks() if tabs
+         else pa.table({"url": pa.array([], pa.string()),
+                        "html": pa.array([], pa.binary())}))
+    urls = t["url"].to_pylist()
+    s, d_u, deg = _page_edges(urls, t["html"].to_pylist())
+    d = d_u.view(np.int64)
+    o = np.argsort(s, kind="stable")
+    edges = pa.table({
+        "src": pa.array(s[o], pa.int64()),
+        "dst": pa.array(d[o], pa.int64()),
+        "outdeg": pa.array(deg[o], pa.int64()),
+        "dpart": pa.array((d_u[o] % np.uint64(n_buckets)).astype(np.int64)),
+    })
+    n_u = hash64_array(urls) if urls else np.empty(0, np.uint64)
+    n = n_u.view(np.int64)
+    no = np.argsort(n, kind="stable")
+    nodes = pa.table({
+        "node": pa.array(n[no], pa.int64()),
+        "part": pa.array(np.full(len(n), bucket, np.int64)),
+        "host": pa.array([host_of(urls[i]) for i in no], pa.string()),
+    })
+    return edges, nodes
+
+
+_NODE_CACHE: dict[tuple[str, int], pa.Table] = {}
+
+
+def _node_table(graph_key: str, bucket: int, refs: dict) -> pa.Table:
+    ck = (graph_key, bucket)
+    with _EDGE_LOCK:
+        hit = _NODE_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    t = ray.get(refs[bucket])
+    with _EDGE_LOCK:
+        _NODE_CACHE[ck] = t
+    return t
+
+
+def host_pagerank(corpus_dir: str, iters: int = 5) -> rd.Dataset:
+    """PageRank over the REAL crawl link graph, reported per host — the
+    Common-Crawl-style host ranking that weights corpus sampling. This is
+    ``pagerank_iterations`` on genuinely pinned edge/node buckets (not the
+    derived test graph): the corpus' own hive bucketing by hash64(url)
+    doubles as the graph partitioning, so the build is one loader task
+    per bucket with NO shuffle; dangling links (404s, robots-blocked,
+    cross-corpus) drop their mass per the flag contract in the fold.
+
+    Conformance: ``host_pagerank_parity`` pins byte-equality against the
+    sequential twin (same pure _page_edges + the same integer rule) to
+    the driver gate — the crawl-oracle discipline applied to the graph
+    family.
+    """
+    pages_dir = os.path.join(corpus_dir, "pages")
+    n_buckets = len([d for d in os.listdir(pages_dir)
+                     if d.startswith("bucket=")])
+    graph_key = f"corpusgraph:{corpus_dir}:{n_buckets}"
+    pairs = {b: _corpus_graph_bucket.remote(corpus_dir, b, n_buckets)
+             for b in range(n_buckets)}
+    edge_refs = {b: r[0] for b, r in pairs.items()}
+    node_refs = {b: r[1] for b, r in pairs.items()}
+    ray.wait(list(edge_refs.values()) + list(node_refs.values()),
+             num_returns=2 * n_buckets)
+
+    def bucket_nodes(p: int) -> np.ndarray:
+        return _node_table(graph_key, p, node_refs)["node"].to_numpy(
+            zero_copy_only=False)
+
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "part": t["part"],
+            "node": t["node"],
+            "rank": pa.array(np.full(t.num_rows, R0, np.int64)),
+        })
+
+    ranks = (rd.from_arrow_refs(list(node_refs.values()))
+             .map_batches(init, batch_format="pyarrow"))
+    ranks = pagerank_iterations(ranks, edge_refs, bucket_nodes, n_buckets,
+                                graph_key, iters)
+
+    def host_partial(t: pa.Table) -> pa.Table:
+        part = t["part"].to_numpy(zero_copy_only=False)
+        node = t["node"].to_numpy(zero_copy_only=False)
+        rank = t["rank"].to_numpy(zero_copy_only=False)
+        hosts_out, ranks_out = [], []
+        for p in np.unique(part):
+            nt = _node_table(graph_key, int(p), node_refs)
+            nn = nt["node"].to_numpy(zero_copy_only=False)
+            hh = nt["host"].to_numpy(zero_copy_only=False)
+            m = part == p
+            idx = np.searchsorted(nn, node[m])
+            hosts_out.append(hh[idx])
+            ranks_out.append(rank[m])
+        hosts = np.concatenate(hosts_out) if hosts_out else np.empty(0, object)
+        rks = np.concatenate(ranks_out) if ranks_out else np.empty(0, np.int64)
+        df = pd.DataFrame({"host": hosts, "rank_q": rks})
+        agg = (df.groupby("host", sort=False)
+               .agg(rank_q=("rank_q", "sum"), n_pages=("rank_q", "size"))
+               .reset_index())
+        agg["n_pages"] = agg["n_pages"].astype("int64")
+        return pa.Table.from_pandas(agg, preserve_index=False) \
+                 .replace_schema_metadata(None)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ranks.map_batches(host_partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("rank_q", alias_name="rank_q"),
+                   Sum("n_pages", alias_name="n_pages"))
+        .sort("host")
+    )
+
+
+def host_pagerank_reference(corpus_dir: str, iters: int = 5) -> pa.Table:
+    """Sequential single-process twin: whole corpus in one pass, same pure
+    edge construction and integer rule (the crawl-oracle contract)."""
+    from ..functions.hashing import hash64_array
+    from ..functions.urlnorm import host_of
+
+    pages_dir = os.path.join(corpus_dir, "pages")
+    tabs = []
+    for d in sorted(os.listdir(pages_dir)):
+        p = os.path.join(pages_dir, d)
+        if not d.startswith("bucket="):
+            continue
+        for fn in sorted(os.listdir(p)):
+            if fn.endswith(".parquet"):
+                tabs.append(pq.read_table(os.path.join(p, fn),
+                                          columns=["url", "html"]))
+    t = pa.concat_tables(tabs)
+    urls = t["url"].to_pylist()
+    es, ed_u, edeg = _page_edges(urls, t["html"].to_pylist())
+    ed = ed_u.view(np.int64)
+    n_u = hash64_array(urls) if urls else np.empty(0, np.uint64)
+    nodes = n_u.view(np.int64)
+    order = np.argsort(nodes, kind="stable")
+    nodes_s = nodes[order]
+    hosts_s = np.array([host_of(urls[i]) for i in order], object)
+    spos = np.searchsorted(nodes_s, es)  # every src IS a corpus page
+    rank = np.full(len(nodes_s), R0, np.int64)
+    for _ in range(iters):
+        s = np.zeros(len(nodes_s), np.int64)
+        contrib = rank[spos] // edeg if len(es) else np.empty(0, np.int64)
+        dpos = np.searchsorted(nodes_s, ed)
+        dpos_c = np.minimum(dpos, len(nodes_s) - 1)
+        valid = nodes_s[dpos_c] == ed
+        np.add.at(s, dpos_c[valid], contrib[valid])
+        rank = BASE + (ALPHA_NUM * s) // ALPHA_DEN
+    df = (pd.DataFrame({"host": hosts_s, "rank_q": rank})
+          .groupby("host", sort=True)
+          .agg(rank_q=("rank_q", "sum"), n_pages=("rank_q", "size"))
+          .reset_index())
+    df["n_pages"] = df["n_pages"].astype("int64")
+    return pa.table({
+        "host": pa.array(df["host"], pa.string()),
+        "rank_q": pa.array(df["rank_q"].to_numpy(), pa.int64()),
+        "n_pages": pa.array(df["n_pages"].to_numpy(), pa.int64()),
+    })
+
+
+def host_pagerank_parity(corpus_dir: str, iters: int = 5) -> pa.Table:
+    """Gate-visible verdict: the real-graph distributed PageRank must equal
+    the sequential twin exactly (hosts, page counts, summed fixed-point
+    ranks); the SQL oracle pins parity_ok=1 and the iteration count."""
+    eng = (host_pagerank(corpus_dir, iters).to_pandas()
+           .sort_values("host").reset_index(drop=True))
+    ref = (host_pagerank_reference(corpus_dir, iters).to_pandas()
+           [["host", "rank_q", "n_pages"]]
+           .sort_values("host").reset_index(drop=True))
+    eng = eng[["host", "rank_q", "n_pages"]]
+    ok = eng.equals(ref)
+    return pa.table({
+        "iters": pa.array([iters], pa.int64()),
+        "parity_ok": pa.array([int(ok)], pa.int64()),
+    })

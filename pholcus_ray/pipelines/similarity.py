@@ -821,3 +821,48 @@ def pca_parity(sf_dir: str, iters: int = 30) -> pa.Table:
         "n_vecs": pa.array([n], pa.int64()),
         "parity_ok": pa.array([int(ok)], pa.int64()),
     })
+
+
+def ann_filtered(sf_dir: str, k: int = 10, query_vec_id: int = 0,
+                 label: int = 2) -> rd.Dataset:
+    """Filtered vector search: brute-force cosine top-k restricted to one
+    metadata label (the RAG-era "filtered ANN" shape — predicate AND
+    similarity in one pass).
+
+    The label predicate is pushed INTO the parquet read (row-group
+    pruning — prune at the read, not post-hoc), the query row comes via
+    the predicate-pushdown single-row read, and each batch emits only its
+    local top-k (combiner) so the final sort moves k rows per batch.
+    """
+    import pyarrow.dataset as pads
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q = _query_vector(sf_dir, query_vec_id)
+    q_ref = ray.put(q)
+
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding", "label"],
+                         filter=pads.field("label") == label)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        qv = ray.get(q_ref)
+        m = _normalize(_to_matrix(t["embedding"]))
+        cos = m @ qv
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -cos))[:k]
+        return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
+                         "cos": pa.array(cos[order], pa.float64())})
+
+    def round_cos(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("cos"), "cos",
+            pa.array(np.round(t["cos"].to_numpy(zero_copy_only=False), 6)))
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .sort([("cos"), ("vec_id")], descending=[True, False])
+        .limit(k)
+        .map_batches(round_cos, batch_format="pyarrow")
+    )

@@ -2617,3 +2617,126 @@ def quantile_buckets(sf_dir: str, k: int = 10,
     return (ds.map_batches(keyrows, batch_format="pyarrow")
             .groupby("part").map_groups(rank, batch_format="pandas")
             .sort("doc_id"))
+
+
+def bm25_topk(sf_dir: str, n_query_terms: int = 5, top_k: int = 10,
+              scale: int = 1_000_000) -> rd.Dataset:
+    """BM25 ranked retrieval over the corpus (the scoring layer on top of
+    ``inverted_index`` — together they are the classic search stack).
+
+    Exactness: for a single-term query the IDF factor is a per-term
+    constant, so the ranking is fully determined by the tf-saturation
+    term  tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))  with k1 = 6/5,
+    b = 3/4 (the standard constants as exact rationals). Holding
+    avgdl = T/N as the integer pair (T = total corpus tokens, N = docs
+    with ≥1 token) and clearing denominators gives the integer score
+
+        score_q = (22·tf·T·scale) // (10·tf·T + 3·T + 9·dl·N)
+
+    computed in PYTHON BIGINTS per candidate row — no float division
+    crosses engines, so DuckDB can state the identical formula
+    (int64-safe while 22·tf·T·scale < 2^63; at larger corpora drop
+    ``scale`` — ranking is unchanged, only the reported precision).
+
+    Scale shape: pass 1 is the term_df/token-total aggregate (vocab-sized
+    shuffle) from which the driver takes ONLY the n_query_terms query
+    terms + two scalars; pass 2 re-scans documents emitting slim
+    (token, doc_id, tf, dl) rows for query terms alone (the broadcast
+    set keeps the exchange bounded by n_query_terms × docs-containing,
+    not corpus tokens), then a per-term coarse group ranks with one
+    C-level sort. Per-term groups are few and large — the map_groups
+    anti-pattern is per-TINY-group, not this.
+    """
+    from collections import Counter
+
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        total = 0
+        ndoc = 0
+        for x in t["text"].to_pylist():
+            toks = _tokens(x)
+            if not toks:
+                continue
+            total += len(toks)
+            ndoc += 1
+            c.update(set(toks))
+        toks_col = list(c.keys()) + ["\x00total", "\x00ndocs"]
+        vals_col = list(c.values()) + [total, ndoc]
+        return pa.table({"token": pa.array(toks_col, pa.string()),
+                         "df_part": pa.array(vals_col, pa.int64())})
+
+    agg = (ds.map_batches(df_partial, batch_format="pyarrow")
+           .groupby("token")
+           .aggregate(Sum("df_part", alias_name="df"))
+           .materialize())  # vocab-sized; consumed twice below
+
+    def _is_scalar_row(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pac
+
+        return t.filter(pac.starts_with(t["token"], "\x00"))
+
+    def _is_token_row(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pac
+
+        return t.filter(pac.invert(pac.starts_with(t["token"], "\x00")))
+
+    # scalars ride the same aggregate under reserved \x00 keys (no token
+    # can start with NUL after strip/split)
+    scal = {r["token"]: int(r["df"])
+            for r in agg.map_batches(_is_scalar_row,
+                                     batch_format="pyarrow").take_all()}
+    t_total, n_docs = scal["\x00total"], scal["\x00ndocs"]
+    qterms = [r["token"] for r in
+              agg.map_batches(_is_token_row, batch_format="pyarrow")
+              .sort(["df", "token"], descending=[True, False])
+              .limit(n_query_terms).take_all()]
+    qset = set(qterms)
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        out_tok, out_doc, out_tf, out_dl = [], [], [], []
+        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _tokens(x)
+            if not toks:
+                continue
+            c = Counter(tok for tok in toks if tok in qset)
+            for tok, tf in c.items():
+                out_tok.append(tok)
+                out_doc.append(did)
+                out_tf.append(tf)
+                out_dl.append(len(toks))
+        return pa.table({
+            "token": pa.array(out_tok, pa.string()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "tf": pa.array(out_tf, pa.int64()),
+            "dl": pa.array(out_dl, pa.int64()),
+        })
+
+    def rank_term(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                                 "rnk": pd.Series([], dtype="int64"),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "score_q": pd.Series([], dtype="int64")})
+        scores = [
+            (22 * int(tf) * t_total * scale)
+            // (10 * int(tf) * t_total + 3 * t_total + 9 * int(dl) * n_docs)
+            for tf, dl in zip(g["tf"], g["dl"])
+        ]
+        g = g.assign(score_q=pd.Series(scores, index=g.index,
+                                       dtype="int64"))
+        g = g.sort_values(["score_q", "doc_id"],
+                          ascending=[False, True]).head(top_k)
+        return pd.DataFrame({
+            "token": g["token"].to_numpy(),
+            "rnk": np.arange(1, len(g) + 1, dtype=np.int64),
+            "doc_id": g["doc_id"].to_numpy(),
+            "score_q": g["score_q"].to_numpy(),
+        })
+
+    return (
+        ds.map_batches(tf_rows, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(rank_term, batch_format="pandas")
+    )

@@ -54,7 +54,8 @@ def ducksf():
      "heavy_hitters", "temperature_mix", "within_doc_dedup",
      "inverted_index", "quantile_buckets", "event_funnel",
      "revenue_rollup", "time_band_join", "group_quantiles", "pagerank",
-     "cohort_retention", "link_degree_stats", "pca_parity"],
+     "cohort_retention", "link_degree_stats", "pca_parity",
+     "bm25_topk", "ann_filtered", "host_pagerank_parity"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
