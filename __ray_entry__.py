@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_band_join": R.time_band_join,
         "group_quantiles": R.group_quantiles,
         "cohort_retention": R.cohort_retention,
+        "events_anomaly": R.events_anomaly,
         # training-data text ops
         "dedup_exact": T.dedup_exact,
         "token_stats": T.token_stats,
@@ -307,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # via the sequential twin; parity verdict is the SQL-visible gate
         "host_pagerank": _q_host_pagerank,
         "host_pagerank_parity": _q_host_pagerank_parity,
+        "pagerank_weighted_sample": G.pagerank_weighted_sample,
         # the crawl engine itself (non-SQL: rows-only checks)
         "crawl_log": _q_crawl_log,
         "crawl_items": _q_crawl_items,
@@ -336,6 +338,12 @@ def _link_degree_sql() -> str:
     from pholcus_ray.pipelines.graph import link_degree_stats_oracle_sql
 
     return link_degree_stats_oracle_sql()
+
+
+def _pagerank_sample_sql() -> str:
+    from pholcus_ray.pipelines.graph import pagerank_weighted_sample_oracle_sql
+
+    return pagerank_weighted_sample_oracle_sql(iters=5)
 
 
 _SQL_WS = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
@@ -825,6 +833,24 @@ def _oracle_sql_raw() -> dict[str, str]:
             -- link graph must equal the sequential twin byte-for-byte
             -- (hosts, page counts, summed fixed-point ranks)
             SELECT CAST(5 AS BIGINT) AS iters, CAST(1 AS BIGINT) AS parity_ok
+        """,
+        "pagerank_weighted_sample": _pagerank_sample_sql(),
+        "events_anomaly": """
+            -- |x - mean| > 2*sigma over observed hours, as the exact
+            -- integer predicate (n*x - S)^2 > 4*(n*Q - S^2)
+            WITH c AS (SELECT event_type,
+                              epoch_us(ts) // 3600000000 AS hour,
+                              CAST(COUNT(*) AS BIGINT) AS cnt
+                       FROM events GROUP BY 1, 2),
+            st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(cnt) AS BIGINT) AS s,
+                          CAST(SUM(cnt * cnt) AS BIGINT) AS q
+                   FROM c GROUP BY 1)
+            SELECT c.event_type, c.hour, c.cnt,
+                   CAST(CASE WHEN (st.n * c.cnt - st.s) * (st.n * c.cnt - st.s)
+                                  > 4 * (st.n * st.q - st.s * st.s)
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+            FROM c JOIN st ON c.event_type = st.event_type
         """,
         "cohort_retention": """
             -- integer epoch-days; a user's first active day is their

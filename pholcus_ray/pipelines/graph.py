@@ -600,3 +600,53 @@ def host_pagerank_parity(corpus_dir: str, iters: int = 5) -> pa.Table:
         "iters": pa.array([iters], pa.int64()),
         "parity_ok": pa.array([int(ok)], pa.int64()),
     })
+
+
+def pagerank_weighted_sample(sf_dir: str, iters: int = 5,
+                             n_buckets: int = 32) -> rd.Dataset:
+    """Graph-weighted corpus sampling — the composition the graph family
+    exists for: keep each document with probability rank/max_rank, using
+    a content-stable uniform draw (first 5 hex of md5(doc_id), 20 bits)
+    instead of RNG state, so the sample is deterministic across runs,
+    machines and block layouts AND the SQL oracle can state the identical
+    rule. The keep test is the float-free cross-multiplication
+    ``u * max_rank < rank * 2^20`` (the temperature_mix discipline).
+
+    Shape: the pagerank ranks dataset is materialized once (node-count-
+    sized, lives in the object store), one tiny Max aggregate broadcasts
+    the scalar, and the filter is an embarrassingly parallel map_batches.
+    Int64 bound: u·max_rank < 2^20·max_rank must stay under 2^63 —
+    max_rank < 2^43 ≈ 8.8e12, which the R0=1e12 scale respects until a
+    single node absorbs ~9× the average mass of the whole graph; rescale
+    R0 beyond that.
+    """
+    from ..functions.hashing import md5_hex_array
+
+    ranks = pagerank(sf_dir, iters, n_buckets).materialize()
+    mx = int(ranks.max("rank_q"))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pr = t["rank_q"].to_numpy(zero_copy_only=False)
+        hx = md5_hex_array([int(i) for i in ids])
+        u = np.array([int(h[:5], 16) for h in hx], np.int64)
+        return t.filter(pa.array(u * mx < pr * (1 << 20)))
+
+    return ranks.map_batches(keep, batch_format="pyarrow")
+
+
+def pagerank_weighted_sample_oracle_sql(iters: int = 5) -> str:
+    base = pagerank_oracle_sql(iters)
+    # reuse the chained-CTE pagerank statement as a subquery; derive the
+    # same 20-bit uniform from md5 with an explicit base-16 fold (DuckDB
+    # has no hex->int cast) and apply the identical integer keep rule
+    hexfold = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h.h, {i + 1}, 1)) - 1) "
+        f"* {16 ** (4 - i)}" for i in range(5))
+    return f"""
+WITH pr_out AS ({base}),
+mx AS (SELECT MAX(rank_q) AS mx FROM pr_out),
+h AS (SELECT doc_id, rank_q, md5(CAST(doc_id AS VARCHAR)) AS h FROM pr_out)
+SELECT h.doc_id, h.rank_q
+FROM h, mx
+WHERE ({hexfold}) * mx.mx < h.rank_q * 1048576"""

@@ -837,3 +837,61 @@ def cohort_retention(sf_dir: str, num_buckets: int = 64) -> rd.Dataset:
         .groupby(["cohort_day", "day_offset"])
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
+
+
+def events_anomaly(sf_dir: str, k_sigma: int = 2) -> pa.Table:
+    """Hourly volume anomaly flags per event type — the streaming-QC shape
+    (alert when an hour's count deviates from its type's mean by more
+    than k·σ), stated WITHOUT floats: |x-μ| > k·σ over observed hours is
+    the exact integer predicate
+
+        (n·x - S)² > k² · (n·Q - S²)     (S = Σx, Q = Σx², n = hours)
+
+    so both engines compare the same int64s (bound: n·Q < 2^63 — hours ×
+    square of the hottest hour; rescale to coarser windows past that).
+
+    Shape: per-batch (type, hour, cnt) combiners → ONE groupby over the
+    bounded (type × hour) domain; the per-type moment fold runs on that
+    small aggregate driver-side. Hours with zero events are absent by
+    construction (observed-hours statistics — stated, not accidental).
+    """
+    import pandas as pd
+
+    hour_us = np.int64(3_600_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            // hour_us
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                           "hour": hour})
+        agg = (df.groupby(["event_type", "hour"], sort=False).size()
+               .rename("cnt").reset_index())
+        agg["cnt"] = agg["cnt"].astype("int64")
+        return pa.Table.from_pandas(agg, preserve_index=False) \
+                 .replace_schema_metadata(None)
+
+    counts = pd.DataFrame(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()  # bounded by types x hours, not events
+    )
+    out = []
+    for et, g in counts.groupby("event_type", sort=True):
+        x = g["cnt"].to_numpy(np.int64)
+        n, s, q = len(x), int(x.sum()), int((x * x).sum())
+        lhs = (n * x - s).astype(object) ** 2
+        rhs = (k_sigma * k_sigma) * (n * q - s * s)
+        flag = np.array([int(a > rhs) for a in lhs], np.int64)
+        out.append(pd.DataFrame({
+            "event_type": et, "hour": g["hour"].to_numpy(np.int64),
+            "cnt": x, "is_anomaly": flag}))
+    f = pd.concat(out, ignore_index=True)
+    return pa.table({
+        "event_type": pa.array(f["event_type"], pa.string()),
+        "hour": pa.array(f["hour"].to_numpy(), pa.int64()),
+        "cnt": pa.array(f["cnt"].to_numpy(), pa.int64()),
+        "is_anomaly": pa.array(f["is_anomaly"].to_numpy(), pa.int64()),
+    })

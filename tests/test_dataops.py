@@ -55,7 +55,8 @@ def ducksf():
      "inverted_index", "quantile_buckets", "event_funnel",
      "revenue_rollup", "time_band_join", "group_quantiles", "pagerank",
      "cohort_retention", "link_degree_stats", "pca_parity",
-     "bm25_topk", "ann_filtered", "host_pagerank_parity"],
+     "bm25_topk", "ann_filtered", "host_pagerank_parity",
+     "pagerank_weighted_sample", "events_anomaly"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
