@@ -240,6 +240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": R.group_quantiles,
         "cohort_retention": R.cohort_retention,
         "events_anomaly": R.events_anomaly,
+        "order_totals_join": R.order_totals_join,
+        "customers_without_orders": R.customers_without_orders,
         # training-data text ops
         "dedup_exact": T.dedup_exact,
         "token_stats": T.token_stats,
@@ -790,6 +792,29 @@ def _oracle_sql_raw() -> dict[str, str]:
             LEFT JOIN v ON u.user_id = v.user_id
             LEFT JOIN c ON u.user_id = c.user_id
             LEFT JOIN p ON u.user_id = p.user_id
+        """,
+        "order_totals_join": """
+            -- large x large equijoin: per-order lineitem rollup vs the
+            -- denormalized o_totalprice (left join keeps empty orders)
+            SELECT o.o_orderkey,
+                   CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines,
+                   CAST(COALESCE(SUM(CAST(FLOOR(l.l_extendedprice*100 + 0.5)
+                                     AS BIGINT)), 0) AS BIGINT)
+                       AS line_sum_cents,
+                   CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)
+                       AS o_total_cents
+            FROM orders o LEFT JOIN lineitem l
+              ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_totalprice
+        """,
+        "customers_without_orders": """
+            -- anti-join against the FINISHED subset (every customer has
+            -- some order in this corpus; status='F' makes it selective)
+            SELECT c.c_custkey, CAST(c.c_nationkey AS BIGINT) AS c_nationkey
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus = 'F')
         """,
         "revenue_rollup": """
             SELECT COALESCE(y, -1) AS o_year,

@@ -895,3 +895,138 @@ def events_anomaly(sf_dir: str, k_sigma: int = 2) -> pa.Table:
         "cnt": pa.array(f["cnt"].to_numpy(), pa.int64()),
         "is_anomaly": pa.array(f["is_anomaly"].to_numpy(), pa.int64()),
     })
+
+
+def order_totals_join(sf_dir: str, num_buckets: int = 64) -> rd.Dataset:
+    """General LARGE × LARGE equijoin (orders ⋈ lineitem on orderkey) —
+    the missing general-join demonstration next to the broadcast join
+    (revenue_by_nation) and the pair/attr join (textdata). Ray 2.49's
+    built-in Dataset.join is avoided for the aggregator-on-empty-partition
+    bug documented at join_pairs_with_doc_attr; the shape here is the
+    repo-standard union → coarse key-bucket groupby → C-level per-
+    partition merge.
+
+    Scale: lineitem pre-aggregates PER BATCH to (orderkey, cents, lines)
+    partials before anything moves — the shuffle carries at most one row
+    per (batch, orderkey) from the big side plus one slim row per order.
+    Output verifies the denormalization invariant line-sum == o_totalprice
+    per order (orders with no lineitem keep 0s via the left join).
+    """
+    import pandas as pd
+
+    nb = np.int64(num_buckets)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        cents = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        df = (pd.DataFrame({"k": okey, "c": cents})
+              .groupby("k", sort=False)
+              .agg(c=("c", "sum"), n=("c", "size")).reset_index())
+        m = len(df)
+        return pa.table({
+            "part": pa.array(df["k"].to_numpy() % nb),
+            "okey": pa.array(df["k"].to_numpy(), pa.int64()),
+            "cents": pa.array(df["c"].to_numpy(), pa.int64()),
+            "n": pa.array(df["n"].to_numpy(np.int64)),
+            "side": pa.array(np.zeros(m, np.int8)),
+        })
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        cents = _cents(t["o_totalprice"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "part": pa.array(okey % nb),
+            "okey": pa.array(okey, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+            "n": pa.array(np.zeros(len(okey), np.int64)),
+            "side": pa.array(np.ones(len(okey), np.int8)),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "n_lines": pd.Series([], dtype="int64"),
+                "line_sum_cents": pd.Series([], dtype="int64"),
+                "o_total_cents": pd.Series([], dtype="int64"),
+            })
+        o = g[g["side"] == 1]
+        li = (g[g["side"] == 0].groupby("okey", sort=False)
+              .agg(c=("cents", "sum"), n=("n", "sum")))
+        li = li.reindex(o["okey"].to_numpy())
+        return pd.DataFrame({
+            "o_orderkey": o["okey"].to_numpy(),
+            "n_lines": li["n"].fillna(0).astype("int64").to_numpy(),
+            "line_sum_cents": li["c"].fillna(0).astype("int64").to_numpy(),
+            "o_total_cents": o["cents"].to_numpy(),
+        })
+
+    li = (rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                          columns=["l_orderkey", "l_extendedprice"])
+          .map_batches(li_partial, batch_format="pyarrow"))
+    orders = (rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_orderkey", "o_totalprice"])
+              .map_batches(o_rows, batch_format="pyarrow"))
+    return (li.union(orders)
+            .groupby("part")
+            .map_groups(merge, batch_format="pandas"))
+
+
+def customers_without_orders(sf_dir: str, num_buckets: int = 64,
+                             status: str = "F") -> rd.Dataset:
+    """Distributed ANTI-join: customers with no FINISHED order (NOT
+    EXISTS against the status='F' subset — every customer has *some*
+    order in this corpus, so the plain anti-join would be empty).
+
+    Same union + key-bucket shape as order_totals_join; the order side is
+    status-filtered at the scan and pre-deduped to distinct custkeys per
+    batch, so the shuffle carries slim key rows bounded by distinct keys
+    per batch, and each coarse partition resolves membership with one
+    C-level isin.
+    """
+    import pandas as pd
+
+    nb = np.int64(num_buckets)
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array(ck % nb),
+            "key": pa.array(ck, pa.int64()),
+            "nation": t["c_nationkey"].cast(pa.int64()),
+            "side": pa.array(np.zeros(len(ck), np.int8)),
+        })
+
+    def order_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], status))
+        ck = np.unique(t["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "part": pa.array(ck % nb),
+            "key": pa.array(ck, pa.int64()),
+            "nation": pa.array(np.full(len(ck), -1, np.int64)),
+            "side": pa.array(np.ones(len(ck), np.int8)),
+        })
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "c_custkey": pd.Series([], dtype="int64"),
+                "c_nationkey": pd.Series([], dtype="int64"),
+            })
+        cust = g[g["side"] == 0]
+        seen = g.loc[g["side"] == 1, "key"]
+        keep = cust[~cust["key"].isin(seen)]
+        return pd.DataFrame({
+            "c_custkey": keep["key"].to_numpy(),
+            "c_nationkey": keep["nation"].to_numpy(),
+        })
+
+    cust = (rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                            columns=["c_custkey", "c_nationkey"])
+            .map_batches(cust_rows, batch_format="pyarrow"))
+    orders = (rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_custkey", "o_orderstatus"])
+              .map_batches(order_keys, batch_format="pyarrow"))
+    return (cust.union(orders)
+            .groupby("part")
+            .map_groups(anti, batch_format="pandas"))

@@ -56,7 +56,8 @@ def ducksf():
      "revenue_rollup", "time_band_join", "group_quantiles", "pagerank",
      "cohort_retention", "link_degree_stats", "pca_parity",
      "bm25_topk", "ann_filtered", "host_pagerank_parity",
-     "pagerank_weighted_sample", "events_anomaly"],
+     "pagerank_weighted_sample", "events_anomaly",
+     "order_totals_join", "customers_without_orders"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
