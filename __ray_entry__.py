@@ -161,6 +161,26 @@ def _q_multimodal_audio(sf_dir: str):
     ).sort("audio_id")
 
 
+def _q_multimodal_wav(sf_dir: str):
+    """REAL WAV (RIFF) decode via stdlib wave — not a header-framed fake."""
+    from pholcus_ray.stages.multimodal import DecodeWav, synth_wav_table
+
+    n = 200 if _sf_name(sf_dir) != "sf0.1" else 1000
+    return _blocks(synth_wav_table(n)).map_batches(
+        DecodeWav, batch_format="pyarrow", batch_size=32, concurrency=2
+    ).sort("audio_id")
+
+
+def _q_multimodal_ppm(sf_dir: str):
+    """REAL binary-netpbm decode (P6) — pure header parse + numpy."""
+    from pholcus_ray.stages.multimodal import DecodePpm, synth_ppm_table
+
+    n = 200 if _sf_name(sf_dir) != "sf0.1" else 1000
+    return _blocks(synth_ppm_table(n)).map_batches(
+        DecodePpm, batch_format="pyarrow", batch_size=32, concurrency=2
+    ).sort("image_id")
+
+
 def _q_multimodal_resize(sf_dir: str):
     """Composed pipeline: images -> ResizeImage -> DecodeImage (resize
     preserves the payload header contract, so decode sees the new dims)."""
@@ -311,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": _q_host_pagerank,
         "host_pagerank_parity": _q_host_pagerank_parity,
         "pagerank_weighted_sample": G.pagerank_weighted_sample,
+        "minlabel_components": G.minlabel_components,
         # the crawl engine itself (non-SQL: rows-only checks)
         "crawl_log": _q_crawl_log,
         "crawl_items": _q_crawl_items,
@@ -321,6 +342,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio": _q_multimodal_audio,
         "multimodal_frame_sample": _q_multimodal_frames,
         "multimodal_resize": _q_multimodal_resize,
+        # REAL container decodes (stdlib wave / netpbm parse — see
+        # stages/multimodal.py; compressed codecs stay library-gated)
+        "multimodal_wav": _q_multimodal_wav,
+        "multimodal_ppm": _q_multimodal_ppm,
     }
 
 
@@ -346,6 +371,12 @@ def _pagerank_sample_sql() -> str:
     from pholcus_ray.pipelines.graph import pagerank_weighted_sample_oracle_sql
 
     return pagerank_weighted_sample_oracle_sql(iters=5)
+
+
+def _minlabel_sql() -> str:
+    from pholcus_ray.pipelines.graph import minlabel_oracle_sql
+
+    return minlabel_oracle_sql(iters=10)
 
 
 _SQL_WS = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
@@ -860,6 +891,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT CAST(5 AS BIGINT) AS iters, CAST(1 AS BIGINT) AS parity_ok
         """,
         "pagerank_weighted_sample": _pagerank_sample_sql(),
+        "minlabel_components": _minlabel_sql(),
         "events_anomaly": """
             -- |x - mean| > 2*sigma over observed hours, as the exact
             -- integer predicate (n*x - S)^2 > 4*(n*Q - S^2)

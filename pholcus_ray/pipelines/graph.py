@@ -650,3 +650,212 @@ h AS (SELECT doc_id, rank_q, md5(CAST(doc_id AS VARCHAR)) AS h FROM pr_out)
 SELECT h.doc_id, h.rank_q
 FROM h, mx
 WHERE ({hexfold}) * mx.mx < h.rank_q * 1048576"""
+
+
+# ---------------------------------------------------------------------------
+# Min-label propagation (the second Pregel shape: min-fold instead of sum)
+# ---------------------------------------------------------------------------
+
+_SYM_MEMO: dict[tuple[str, int], dict] = {}
+
+
+def _build_sym_edge_buckets(sf_dir: str, n_buckets: int,
+                            graph_key: str) -> dict:
+    """Build and pin SYMMETRIC edge buckets of the derived doc graph via a
+    real exchange — the general-case bucket build the pagerank docstrings
+    reference (a real edge table goes through exactly this path): edges
+    stream out of the source with both orientations, ONE coarse groupby
+    lands each bucket in a partitioned parquet dir (the corpus `bucket=`
+    layout), and per-bucket loader tasks pin the sorted tables in plasma.
+    Memoized per (sf_dir, n_buckets) like the corpus preload."""
+    import tempfile
+
+    memo_key = (sf_dir, n_buckets)
+    hit = _SYM_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    nb = np.int64(n_buckets)
+    out_dir = tempfile.mkdtemp(prefix="pholcus_symgraph_")
+
+    def emit(t: pa.Table) -> pa.Table:
+        src = t["doc_id"].to_numpy(zero_copy_only=False)
+        deg = 1 + (src % 3)
+        ss, dd = [], []
+        for i, (m, a) in enumerate(zip(_MULTS, _OFFS)):
+            sel = src[deg > i]
+            ss.append(sel)
+            dd.append((sel * m + a) % n_docs)
+        s = np.concatenate(ss) if ss else np.empty(0, np.int64)
+        d = np.concatenate(dd) if dd else np.empty(0, np.int64)
+        # both orientations: (a=s,b=d) and (a=d,b=s)
+        aa = np.concatenate([s, d])
+        bb = np.concatenate([d, s])
+        return pa.table({
+            "part": pa.array(aa % nb),
+            "a": pa.array(aa, pa.int64()),
+            "b": pa.array(bb, pa.int64()),
+        })
+
+    def spill(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"part": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        p = int(g["part"].iloc[0])
+        g = g.sort_values("a", kind="mergesort")
+        t = pa.table({
+            "a": pa.array(g["a"].to_numpy(np.int64)),
+            "b": pa.array(g["b"].to_numpy(np.int64)),
+            "bpart": pa.array(g["b"].to_numpy(np.int64) % nb),
+        })
+        pq.write_table(t, os.path.join(out_dir, f"bucket={p}.parquet"))
+        return pd.DataFrame({"part": [p], "n": [len(g)]})
+
+    built = (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])
+        .map_batches(emit, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(spill, batch_format="pandas")
+        .take_all()
+    )
+    present = {int(r["part"]) for r in built}
+
+    @ray.remote
+    def _load(p: int) -> pa.Table:
+        if p not in present:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "bpart": pa.array([], pa.int64())})
+        return pq.read_table(os.path.join(out_dir, f"bucket={p}.parquet"))
+
+    refs = {b: _load.remote(b) for b in range(n_buckets)}
+    ray.wait(list(refs.values()), num_returns=n_buckets)
+    _SYM_MEMO[memo_key] = refs
+    return refs
+
+
+def _sym_arrays(graph_key: str, bucket: int, refs: dict) -> tuple:
+    ck = ("sym:" + graph_key, bucket)
+    with _EDGE_LOCK:
+        hit = _EDGE_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    t = ray.get(refs[bucket])
+    tri = (t["a"].to_numpy(zero_copy_only=False),
+           t["b"].to_numpy(zero_copy_only=False),
+           t["bpart"].to_numpy(zero_copy_only=False))
+    with _EDGE_LOCK:
+        _EDGE_CACHE[ck] = tri
+    return tri
+
+
+def minlabel_components(sf_dir: str, iters: int = 10,
+                        n_buckets: int = 32) -> rd.Dataset:
+    """K rounds of min-label propagation over the UNDIRECTED derived doc
+    graph — the other Pregel fold (min instead of damped sum), fully
+    SQL-oracled by chained CTEs stating the identical K rounds. After
+    enough rounds the label IS the weakly-connected-component minimum
+    (dup_clusters' union-find is the adversarial-graph path; this is the
+    bounded-diameter bulk path); the query pins the K-round state, which
+    is exact on both sides whether or not K reached the diameter.
+
+    Per round: each label row emits itself (self-loop — guarantees every
+    node survives the fold with no sentinel machinery) plus per-neighbor
+    min partials against its bucket's PINNED symmetric edge table; ONE
+    slim (node, candidate-label) exchange; the fold is a pure groupby-min.
+    """
+    refs = _build_sym_edge_buckets(sf_dir, n_buckets,
+                                   f"mlc:{sf_dir}:{n_buckets}")
+    graph_key = f"mlc:{sf_dir}:{n_buckets}"
+    nb = np.int64(n_buckets)
+
+    def init(t: pa.Table) -> pa.Table:
+        node = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array(node % nb),
+            "node": pa.array(node, pa.int64()),
+            "lbl": pa.array(node, pa.int64()),
+        })
+
+    def propagate(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        lbl = t["lbl"].to_numpy(zero_copy_only=False)
+        part = t["part"].to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        node_s, lbl_s, part_s = node[order], lbl[order], part[order]
+        outs = [pa.table({"bpart": pa.array(part_s),
+                          "b": pa.array(node_s),
+                          "m": pa.array(lbl_s)})]  # self rows
+        for p in np.unique(part_s):
+            ea, eb, ebp = _sym_arrays(graph_key, int(p), refs)
+            if len(ea) == 0:
+                continue
+            pos = np.searchsorted(node_s, ea)
+            pos = np.minimum(pos, len(node_s) - 1)
+            ok = node_s[pos] == ea
+            if not ok.any():
+                continue
+            bb, mm, bp = eb[ok], lbl_s[pos[ok]], ebp[ok]
+            u, inv = np.unique(bb, return_inverse=True)
+            acc = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(acc, inv, mm)
+            first = np.zeros(len(u), np.int64)
+            first[inv] = np.arange(len(bb))
+            outs.append(pa.table({"bpart": pa.array(bp[first]),
+                                  "b": pa.array(u),
+                                  "m": pa.array(acc)}))
+        return pa.concat_tables(outs)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"part": pd.Series([], dtype="int64"),
+                                 "node": pd.Series([], dtype="int64"),
+                                 "lbl": pd.Series([], dtype="int64")})
+        f = g.groupby("b", sort=True)["m"].min()
+        node = f.index.to_numpy()
+        return pd.DataFrame({
+            "part": (node % int(nb)).astype(np.int64),
+            "node": node,
+            "lbl": f.to_numpy(),
+        })
+
+    labels = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id"])
+              .map_batches(init, batch_format="pyarrow"))
+    for _ in range(iters):
+        labels = (labels.map_batches(propagate, batch_format="pyarrow")
+                  .groupby("bpart")
+                  .map_groups(fold, batch_format="pandas"))
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["node"], "label": t["lbl"]})
+
+    return labels.map_batches(project, batch_format="pyarrow")
+
+
+def minlabel_oracle_sql(iters: int = 10) -> str:
+    head = f"""
+WITH mults(i, m, a) AS (VALUES (0, {_MULTS[0]}, {_OFFS[0]}),
+                               (1, {_MULTS[1]}, {_OFFS[1]}),
+                               (2, {_MULTS[2]}, {_OFFS[2]})),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src, (d.doc_id * t.m + t.a) % nn.n AS dst
+  FROM documents d CROSS JOIN nn JOIN mults t ON t.i <= d.doc_id % 3
+),
+sym AS (SELECT src AS a, dst AS b FROM edges
+        UNION ALL SELECT dst AS a, src AS b FROM edges),
+l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents)"""
+    body = ""
+    for k in range(1, iters + 1):
+        body += f""",
+l{k} AS (
+  SELECT p.node, CAST(LEAST(p.lbl, COALESCE(s.m, p.lbl)) AS BIGINT) AS lbl
+  FROM l{k - 1} p LEFT JOIN (
+     SELECT sym.b AS node, MIN(l.lbl) AS m
+     FROM sym JOIN l{k - 1} l ON l.node = sym.a GROUP BY sym.b) s
+  ON s.node = p.node)"""
+    return (f"{head}{body}\n"
+            f"SELECT node AS doc_id, lbl AS label FROM l{iters}")

@@ -2,12 +2,14 @@
 
 Images/audio/video are carried as ``binary`` columns with metadata struct
 columns; decode / feature-extract / resize / frame-sample are actor-pool
-``map_batches`` stages. The image/audio codec libraries are NOT present in
-this container, so the codec call itself is stubbed (DecodeImage with
-``backend="real"`` raises NotImplementedError at construction); the
-deterministic fake backend makes the Ray-side plumbing — schemas, batch
-sizing for wide binary rows, actor signature, output layout — real and
-testable end-to-end.
+``map_batches`` stages. Container formats the stdlib can parse are decoded
+FOR REAL: WAV via the ``wave`` module (DecodeWav) and binary netpbm
+PPM/PGM via a pure header parse (DecodePpm) — genuine bytes any external
+tool would accept. Only compressed codecs (png/jpg/webp, mp3/ogg/flac,
+h264) need PIL/cv2/librosa/ffmpeg, which are absent in this container, so
+those constructors raise NotImplementedError; the deterministic fake
+backend keeps the Ray-side plumbing — schemas, batch sizing for wide
+binary rows, actor signature, output layout — testable for them too.
 
 Scale notes: binary payloads dominate block size; these stages must run
 with small ``batch_size`` (tens of rows) and the payload column must be
@@ -285,3 +287,173 @@ class ResizeImage:
                 "payload": pa.array(out, pa.binary()),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# REAL container-format decoders (stdlib/numpy only — no PIL/librosa needed)
+# ---------------------------------------------------------------------------
+
+def synth_wav_table(n: int, seed: int = 21) -> pa.Table:
+    """Deterministic REAL WAV files (RIFF containers written by the stdlib
+    ``wave`` module) — genuine bytes a real audio tool would accept, not
+    header-framed fakes."""
+    import io
+    import wave
+
+    rng = np.random.default_rng(seed)
+    ids, payloads, srs, nss = [], [], [], []
+    for i in range(n):
+        sr = [8000, 16000, 44100][i % 3]
+        ns = int(rng.integers(256, 4096))
+        body = rng.integers(-(1 << 14), 1 << 14, size=ns, dtype=np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(body.tobytes())
+        ids.append(i)
+        payloads.append(buf.getvalue())
+        srs.append(sr)
+        nss.append(ns)
+    return pa.table(
+        {
+            "audio_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "sample_rate": pa.array(srs, pa.int32()),
+            "n_samples": pa.array(nss, pa.int32()),
+        },
+        schema=AUDIO_SCHEMA,
+    )
+
+
+class DecodeWav:
+    """Actor-pool stage: REAL WAV (RIFF) decode via the stdlib ``wave``
+    module — same feature contract as DecodeAudio (duration, RMS,
+    zero-crossings), so the two backends are drop-in interchangeable.
+    This is the honest 'real' half of the audio story: container parsing
+    is genuinely exercised; only compressed codecs (mp3/ogg/flac) remain
+    library-gated."""
+
+    def __init__(self, backend: str = "wav"):
+        if backend != "wav":
+            raise NotImplementedError(
+                "compressed audio codecs (mp3/ogg/flac) need "
+                "soundfile/librosa, absent in this environment; WAV decode "
+                "is real (stdlib wave)")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import io
+        import wave
+
+        durs, rmss, zcs = [], [], []
+        payloads = t["payload"].to_pylist()
+        for p in payloads:
+            with wave.open(io.BytesIO(p), "rb") as w:
+                sr = w.getframerate()
+                ns = w.getnframes()
+                raw = w.readframes(ns)
+            body = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
+            durs.append(round(ns / sr, 6))
+            rmss.append(round(float(np.sqrt((body * body).mean()))
+                              if ns else 0.0, 4))
+            zcs.append(int((np.signbit(body[1:])
+                            != np.signbit(body[:-1])).sum()) if ns > 1 else 0)
+        return pa.table(
+            {
+                "audio_id": t["audio_id"],
+                "duration_sec": pa.array(durs, pa.float64()),
+                "rms": pa.array(rmss, pa.float64()),
+                "zero_crossings": pa.array(zcs, pa.int64()),
+                "content_hash": pa.array(
+                    hash64_array([p.hex() for p in payloads]), pa.uint64()
+                ),
+            }
+        )
+
+
+def synth_ppm_table(n: int, seed: int = 23) -> pa.Table:
+    """Deterministic REAL PPM (P6) images — the binary netpbm format any
+    image tool reads; header is genuine ASCII 'P6 <w> <h> 255'."""
+    rng = np.random.default_rng(seed)
+    ids, payloads, ws, hs = [], [], [], []
+    for i in range(n):
+        w = int(rng.integers(8, 64))
+        h = int(rng.integers(8, 64))
+        body = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8)
+        ids.append(i)
+        payloads.append(f"P6\n{w} {h}\n255\n".encode() + body.tobytes())
+        ws.append(w)
+        hs.append(h)
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "format": pa.array(["ppm"] * n, pa.string()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+        },
+        schema=IMAGE_SCHEMA,
+    )
+
+
+class DecodePpm:
+    """Actor-pool stage: REAL PPM/PGM (P6/P5 binary netpbm) decode — pure
+    header parse + numpy reshape, no image library. Same output contract
+    as DecodeImage; compressed formats (png/jpg/webp) stay library-gated."""
+
+    def __init__(self, backend: str = "ppm"):
+        if backend != "ppm":
+            raise NotImplementedError(
+                "compressed image codecs (png/jpg/webp) need PIL/cv2, absent "
+                "in this environment; netpbm decode is real")
+
+    _CONSUMED = ("payload", "format", "width", "height")
+
+    @staticmethod
+    def _parse(p: bytes):
+        # netpbm header: magic, whitespace/comment-separated w, h, maxval,
+        # ONE whitespace byte, then the raster
+        magic = p[:2]
+        if magic not in (b"P5", b"P6"):
+            raise ValueError(f"not a binary netpbm payload: {magic!r}")
+        fields, pos = [], 2
+        while len(fields) < 3:
+            while p[pos:pos + 1].isspace():
+                pos += 1
+            if p[pos:pos + 1] == b"#":
+                while p[pos:pos + 1] not in (b"\n", b""):
+                    pos += 1
+                continue
+            start = pos
+            while not p[pos:pos + 1].isspace():
+                pos += 1
+            fields.append(int(p[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        w, h, _maxval = fields
+        ch = 3 if magic == b"P6" else 1
+        body = np.frombuffer(p, dtype=np.uint8,
+                             count=w * h * ch, offset=pos)
+        return magic.decode(), w, h, body
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_pylist()
+        fmts, ws, hs, means = [], [], [], []
+        for p in payloads:
+            magic, w, h, body = self._parse(p)
+            fmts.append("ppm" if magic == "P6" else "pgm")
+            ws.append(w)
+            hs.append(h)
+            means.append(round(float(body.mean()) if len(body) else 0.0, 4))
+        out = t.drop_columns(
+            [c for c in self._CONSUMED if c in t.column_names])
+        for name, arr in (
+            ("decoded_format", pa.array(fmts, pa.string())),
+            ("decoded_width", pa.array(ws, pa.int32())),
+            ("decoded_height", pa.array(hs, pa.int32())),
+            ("mean_intensity", pa.array(means, pa.float64())),
+            ("content_hash", pa.array(
+                hash64_array([p.hex() for p in payloads]), pa.uint64())),
+        ):
+            out = out.append_column(name, arr)
+        return out

@@ -57,7 +57,8 @@ def ducksf():
      "cohort_retention", "link_degree_stats", "pca_parity",
      "bm25_topk", "ann_filtered", "host_pagerank_parity",
      "pagerank_weighted_sample", "events_anomaly",
-     "order_totals_join", "customers_without_orders"],
+     "order_totals_join", "customers_without_orders",
+     "minlabel_components"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -1372,3 +1373,61 @@ def test_quantile_buckets_planted(ray_session, tmp_path_factory):
     sql = E.oracle_sql()["quantile_buckets"].replace("* 10 //", "* 4 //")
     odf = _norm(con.execute(sql).df())
     _frames_equal(_norm(df), odf)
+
+
+def test_decode_wav_real_container_exact():
+    """DecodeWav parses GENUINE RIFF bytes (stdlib wave) and the features
+    are exact on a hand-computed clip."""
+    import io
+    import wave
+
+    import pyarrow as pa
+
+    from pholcus_ray.stages.multimodal import DecodeWav
+
+    body = np.array([100, -100, 200, -200], dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(body.tobytes())
+    t = pa.table({"audio_id": pa.array([7], pa.int64()),
+                  "payload": pa.array([buf.getvalue()], pa.binary())})
+    out = DecodeWav()(t)
+    assert out["duration_sec"][0].as_py() == 0.0005
+    assert out["rms"][0].as_py() == round(float(np.sqrt(25000.0)), 4)
+    assert out["zero_crossings"][0].as_py() == 3
+
+
+def test_decode_ppm_real_netpbm_exact():
+    import pyarrow as pa
+
+    from pholcus_ray.stages.multimodal import DecodePpm, synth_ppm_table
+
+    raster = bytes([0, 0, 0, 255, 255, 255, 10, 20, 30, 40, 50, 60])
+    payload = b"P6\n# comment\n2 2\n255\n" + raster
+    t = pa.table({"image_id": pa.array([1], pa.int64()),
+                  "payload": pa.array([payload], pa.binary())})
+    out = DecodePpm()(t)
+    assert out["decoded_width"][0].as_py() == 2
+    assert out["decoded_height"][0].as_py() == 2
+    assert out["decoded_format"][0].as_py() == "ppm"
+    assert out["mean_intensity"][0].as_py() == round(
+        float(np.frombuffer(raster, np.uint8).mean()), 4)
+    # the synthetic table's metadata round-trips through the real parser
+    st = synth_ppm_table(8)
+    dec = DecodePpm()(st)
+    assert dec["decoded_width"].to_pylist() == st["width"].to_pylist()
+    assert dec["decoded_height"].to_pylist() == st["height"].to_pylist()
+
+
+def test_wav_synth_roundtrips_through_real_decoder():
+    from pholcus_ray.stages.multimodal import DecodeWav, synth_wav_table
+
+    st = synth_wav_table(6)
+    out = DecodeWav()(st)
+    for i in range(6):
+        sr = st["sample_rate"][i].as_py()
+        ns = st["n_samples"][i].as_py()
+        assert out["duration_sec"][i].as_py() == round(ns / sr, 6)
