@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank_parity": _q_host_pagerank_parity,
         "pagerank_weighted_sample": G.pagerank_weighted_sample,
         "minlabel_components": G.minlabel_components,
+        "triangle_count": G.triangle_count,
         # the crawl engine itself (non-SQL: rows-only checks)
         "crawl_log": _q_crawl_log,
         "crawl_items": _q_crawl_items,
@@ -377,6 +378,36 @@ def _minlabel_sql() -> str:
     from pholcus_ray.pipelines.graph import minlabel_oracle_sql
 
     return minlabel_oracle_sql(iters=10)
+
+
+def _triangle_sql() -> str:
+    from pholcus_ray.pipelines.graph import triangle_count_oracle_sql
+
+    return triangle_count_oracle_sql()
+
+
+def _minhash_lsh_sql() -> str:
+    from pholcus_ray.pipelines.textdata import minhash_lsh_oracle_sql
+
+    return minhash_lsh_oracle_sql()
+
+
+def _ngram_jaccard_pairs_sql() -> str:
+    from pholcus_ray.pipelines.textdata import ngram_jaccard_pairs_oracle_sql
+
+    return ngram_jaccard_pairs_oracle_sql()
+
+
+def _simhash_docs_sql() -> str:
+    from pholcus_ray.pipelines.textdata import simhash_docs_oracle_sql
+
+    return simhash_docs_oracle_sql()
+
+
+def _simhash_near_dups_sql() -> str:
+    from pholcus_ray.pipelines.textdata import simhash_near_dups_oracle_sql
+
+    return simhash_near_dups_oracle_sql()
 
 
 _SQL_WS = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
@@ -892,6 +923,14 @@ def _oracle_sql_raw() -> dict[str, str]:
         """,
         "pagerank_weighted_sample": _pagerank_sample_sql(),
         "minlabel_components": _minlabel_sql(),
+        # the md5_number_lower hash choice makes the full MinHash/SimHash
+        # constructions replayable in DuckDB (see textdata.py oracle
+        # builders) — these four were no_oracle before round 3
+        "triangle_count": _triangle_sql(),
+        "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "ngram_jaccard_pairs": _ngram_jaccard_pairs_sql(),
+        "simhash_docs": _simhash_docs_sql(),
+        "simhash_near_dups": _simhash_near_dups_sql(),
         "events_anomaly": """
             -- |x - mean| > 2*sigma over observed hours, as the exact
             -- integer predicate (n*x - S)^2 > 4*(n*Q - S^2)

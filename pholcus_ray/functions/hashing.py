@@ -60,6 +60,27 @@ def dedup_key_array(urls, methods=None, rules=None) -> np.ndarray:
     return hash_array(combined.to_numpy(dtype=object), categorize=False)
 
 
+# --- DuckDB-replicable 64-bit hash (SQL-oracle path) ------------------------
+
+
+def md5_lower64_array(values) -> np.ndarray:
+    """uint64 hash of each string: bytes 8..16 of the md5 digest read
+    little-endian — BIT-IDENTICAL to DuckDB's ``md5_number_lower()``.
+
+    This is the hash the content-defined operators (minhash shingles,
+    simhash token votes) use, precisely so their full constructions can be
+    replayed inside a DuckDB SQL oracle with no UDF: same digest, same byte
+    order, same 64-bit value. It is a Python-loop hash (hashlib has no
+    vectorized form), so it stays OFF the crawl hot path — request dedup /
+    shard routing keeps the C-level ``hash64_array``.
+    """
+    out = np.empty(len(values), dtype=np.uint64)
+    md5 = hashlib.md5
+    for i, s in enumerate(values):
+        out[i] = int.from_bytes(md5(s.encode("utf-8")).digest()[8:16], "little")
+    return out
+
+
 # --- reference-compatible md5 identity -------------------------------------
 
 

@@ -379,6 +379,214 @@ FROM ind GROUP BY in_degree"""
 
 
 # ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered wedge join)
+# ---------------------------------------------------------------------------
+
+
+def triangle_count(sf_dir: str, n_buckets: int = 16) -> pa.Table:
+    """Exact triangle count of the derived doc link graph, treated as an
+    undirected simple graph (direction collapsed, self-loops dropped).
+
+    The classic skew-proof shape (Schank/Wagner node-iterator with degree
+    ordering, the MapReduce form of Suri/Vassilvitskii's "Counting
+    triangles and the curse of the last reducer"): orient every undirected
+    edge from its (degree, id)-SMALLER endpoint to the larger; each
+    triangle then has exactly one apex whose two oriented out-edges form
+    the wedge, and a wedge closes iff its far pair is an edge. Orientation
+    bounds oriented out-degree by O(sqrt(m)) for ANY graph — a hub with a
+    million neighbors generates no wedge pairs unless the neighbor
+    out-ranks it — the graph twin of the crawl's hot-host salting.
+
+    Distributed shape: edges generate batch-locally from the doc_id
+    column; undirected dedup, the degree fold, the two-sided degree attach
+    (textdata.join_pairs_with_doc_attr — the pair-join helper is shared
+    across families), and the wedge-vs-edge semi-join are hash-bucketed
+    exchanges of slim int rows. Nothing graph-sized touches the driver;
+    the result is one row of totals.
+    """
+    from ray.data.aggregate import Sum
+
+    from .textdata import join_pairs_with_doc_attr
+
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    nb = np.uint64(n_buckets)
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def _pair_part(a: np.ndarray, b: np.ndarray) -> pa.Array:
+        return pa.array(((a.astype(np.uint64) * np.uint64(1000003)
+                          ^ b.astype(np.uint64)) % nb).astype(np.int32))
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        src = t["doc_id"].to_numpy(zero_copy_only=False)
+        deg = 1 + (src % 3)
+        ss, dd = [], []
+        for i, (m, a) in enumerate(zip(_MULTS, _OFFS)):
+            sel = src[deg > i]
+            ss.append(sel)
+            dd.append((sel * m + a) % n_docs)
+        s = np.concatenate(ss) if ss else np.empty(0, np.int64)
+        d = np.concatenate(dd) if dd else np.empty(0, np.int64)
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        keep = lo != hi
+        lo, hi = lo[keep], hi[keep]
+        return pa.table({"part": _pair_part(lo, hi),
+                         "a": pa.array(lo, pa.int64()),
+                         "b": pa.array(hi, pa.int64())})
+
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["a", "b"])[["a", "b"]]
+
+    ue = (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])
+        .map_batches(edge_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup_part, batch_format="pandas")
+        .materialize()  # consumed 3x: degree fold, attach join, closure join
+    )
+    n_edges = ue.count()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        ends = np.concatenate([t["a"].to_numpy(zero_copy_only=False),
+                               t["b"].to_numpy(zero_copy_only=False)])
+        node, cnt = np.unique(ends, return_counts=True)
+        return pa.table({"doc_id": pa.array(node, pa.int64()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    deg = (
+        ue.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("cnt", alias_name="deg"))
+    )
+
+    ej = join_pairs_with_doc_attr(ue, deg, "deg", pair_schema=pair_schema,
+                                  num_partitions=n_buckets)
+
+    def orient(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({"part": pa.array([], pa.int32()),
+                             "src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        da = t["deg_a"].to_numpy(zero_copy_only=False)
+        db = t["deg_b"].to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & (a < b))
+        src = np.where(a_first, a, b)
+        dst = np.where(a_first, b, a)
+        return pa.table({
+            "part": pa.array((src % n_buckets).astype(np.int32)),
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+        })
+
+    def wedges_of(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _src, sub in g.groupby("src", sort=False):
+            nbrs = sub["dst"].to_numpy()
+            k = len(nbrs)
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, k=1)
+            x, y = nbrs[i], nbrs[j]
+            outs.append(pd.DataFrame({"a": np.minimum(x, y),
+                                      "b": np.maximum(x, y)}))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "cnt": pd.Series(dtype="int64")})
+        w = pd.concat(outs)
+        return (w.groupby(["a", "b"], sort=False).size()
+                .rename("cnt").reset_index())
+
+    wedges = (
+        ej.map_batches(orient, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(wedges_of, batch_format="pandas")
+    )
+
+    def tag_wedge(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"part": _pair_part(a, b), "a": t["a"], "b": t["b"],
+                         "cnt": t["cnt"],
+                         "is_edge": pa.array(np.zeros(len(a), np.int8))})
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"part": _pair_part(a, b), "a": t["a"], "b": t["b"],
+                         "cnt": pa.array(np.zeros(len(a), np.int64)),
+                         "is_edge": pa.array(np.ones(len(a), np.int8))})
+
+    def close_part(g: pd.DataFrame) -> pd.DataFrame:
+        w = g[g["is_edge"] == 0]
+        e = g[g["is_edge"] == 1][["a", "b"]]
+        tri = int(w.merge(e, on=["a", "b"], how="inner")["cnt"].sum())
+        return pd.DataFrame({"tri": [tri], "wedge": [int(w["cnt"].sum())]})
+
+    totals = (
+        wedges.map_batches(tag_wedge, batch_format="pyarrow")
+        .union(ue.map_batches(tag_edge, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(close_part, batch_format="pandas")
+        .aggregate(Sum("tri", alias_name="n_triangles"),
+                   Sum("wedge", alias_name="n_wedges"))
+    )
+    return pa.table({
+        "n_nodes": pa.array([n_docs], pa.int64()),
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_wedges": pa.array([int(totals["n_wedges"] or 0)], pa.int64()),
+        "n_triangles": pa.array([int(totals["n_triangles"] or 0)],
+                                pa.int64()),
+    })
+
+
+def triangle_count_oracle_sql() -> str:
+    """DuckDB statement of the identical definition: undirected distinct
+    non-loop edges; wedges counted at the (deg, id)-smaller apex;
+    triangles as ordered (a < b < c) edge triples."""
+    return f"""
+WITH mults(i, m, a) AS (VALUES (0, {_MULTS[0]}, {_OFFS[0]}),
+                               (1, {_MULTS[1]}, {_OFFS[1]}),
+                               (2, {_MULTS[2]}, {_OFFS[2]})),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+dedges AS (
+  SELECT d.doc_id AS src, (d.doc_id * t.m + t.a) % nn.n AS dst
+  FROM documents d CROSS JOIN nn JOIN mults t ON t.i <= d.doc_id % 3
+),
+ue AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM dedges WHERE src <> dst
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM ue UNION ALL SELECT b AS node FROM ue)
+  GROUP BY 1
+),
+oriented AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.a ELSE e.b END AS src
+  FROM ue e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+),
+wcnt AS (
+  SELECT COALESCE(SUM(od * (od - 1) // 2), 0) AS w
+  FROM (SELECT src, COUNT(*) AS od FROM oriented GROUP BY 1)
+),
+tri AS (
+  SELECT COUNT(*) AS t
+  FROM ue e1
+  JOIN ue e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN ue e3 ON e3.a = e1.b AND e3.b = e2.b
+)
+SELECT (SELECT n FROM nn) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM ue) AS BIGINT) AS n_edges,
+       CAST((SELECT w FROM wcnt) AS BIGINT) AS n_wedges,
+       CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles"""
+
+
+# ---------------------------------------------------------------------------
 # PageRank over the REAL crawl link graph (host-level report)
 # ---------------------------------------------------------------------------
 

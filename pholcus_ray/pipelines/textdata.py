@@ -24,7 +24,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from ..functions.hashing import hash64_array, md5_hex_array
+from ..functions.hashing import hash64_array, md5_hex_array, md5_lower64_array
 
 _WS = re.compile(r"\s+")
 _MERSENNE = (1 << 61) - 1
@@ -124,7 +124,10 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
         shingles = [" ".join(toks)] if toks else [""]
     else:
         shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return np.unique(hash64_array(shingles) % np.uint64(_MERSENNE))
+    # md5_lower64 == DuckDB md5_number_lower(): the shingle hash is chosen
+    # to be SQL-replicable so dedup_minhash_lsh has an EXACT DuckDB oracle
+    # (hash -> mod-p61 minhash -> banding -> pairs, end to end)
+    return np.unique(md5_lower64_array(shingles) % np.uint64(_MERSENNE))
 
 
 _P61 = np.uint64(_MERSENNE)
@@ -483,6 +486,195 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5,
     ).map_batches(_verify, batch_format="pyarrow")
 
 
+# --- DuckDB oracle builders (engine and oracle share _minhash_params) -------
+
+
+def _sql_minhash_ctes(num_perm: int = 128, bands: int = 32,
+                      shingle_k: int = 3) -> str:
+    """CTE block replaying MinHasher inside DuckDB: md5_number_lower ==
+    md5_lower64_array, mod-p61 permutations in HUGEINT (exact 128-bit, the
+    twin of _mulmod_p61's limb arithmetic), equal-width banding. Candidates
+    are pairs with equal band CONTENT; the engine buckets by a 64-bit mix
+    of the band rows, identical up to ~n^2/2^64 band-hash collisions."""
+    a, b = _minhash_params(num_perm)
+    rows = num_perm // bands
+    values = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm)
+    )
+    return f"""
+      params(perm_id, pa, pb) AS (VALUES {values}),
+      mh_toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                    END AS tk
+        FROM documents
+      ),
+      mh_shingles AS (
+        -- one window per token position (clamped slice = whole-text
+        -- shingle for <k-token docs, '' for empty docs — _shingle_hashes'
+        -- exact edge cases); DISTINCT mirrors np.unique on the hashes
+        SELECT DISTINCT doc_id,
+               CAST(md5_number_lower(COALESCE(array_to_string(
+                   list_slice(tk, CAST(i AS INTEGER),
+                              CAST(i AS INTEGER) + {shingle_k - 1}), ' '),
+                   '')) AS HUGEINT) % 2305843009213693951 AS x
+        FROM mh_toks,
+             UNNEST(range(1, greatest(len(tk) - {shingle_k - 1}, 1) + 1))
+               AS t(i)
+      ),
+      mh_sig AS (
+        SELECT doc_id, perm_id,
+               min((CAST(pa AS HUGEINT) * x + pb) % 2305843009213693951)
+                 AS v
+        FROM mh_shingles CROSS JOIN params GROUP BY 1, 2
+      ),
+      mh_bands AS (
+        SELECT doc_id, perm_id // {rows} AS band,
+               list(v ORDER BY perm_id) AS bv
+        FROM mh_sig GROUP BY 1, 2
+      ),
+      mh_cand AS (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM mh_bands l JOIN mh_bands r
+          ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id
+      ),
+      mh_est AS (
+        -- k/num_perm is dyadic: the double division is exact on both sides
+        SELECT c.a, c.b,
+               SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) * 1.0
+                 / {num_perm} AS est_jaccard
+        FROM mh_cand c
+        JOIN mh_sig sa ON sa.doc_id = c.a
+        JOIN mh_sig sb ON sb.doc_id = c.b AND sb.perm_id = sa.perm_id
+        GROUP BY 1, 2
+      )"""
+
+
+def minhash_lsh_oracle_sql(threshold: float = 0.5, num_perm: int = 128,
+                           bands: int = 32) -> str:
+    """Exact DuckDB oracle for :func:`dedup_minhash_lsh`."""
+    return f"""
+      WITH {_sql_minhash_ctes(num_perm, bands)}
+      SELECT a, b, est_jaccard FROM mh_est
+      WHERE est_jaccard >= {threshold}
+      ORDER BY a, b
+    """
+
+
+def ngram_jaccard_pairs_oracle_sql(threshold: float = 0.3, n: int = 3,
+                                   num_perm: int = 128,
+                                   bands: int = 32) -> str:
+    """Exact DuckDB oracle for :func:`ngram_jaccard_pairs`: the minhash
+    candidate CTEs (est >= min(0.2, threshold) pre-filter) + exact
+    char-n-gram Jaccard with the repo's half-UP 1e-6 rounding."""
+    est_thr = min(0.2, threshold)
+    return f"""
+      WITH {_sql_minhash_ctes(num_perm, bands)},
+      cand AS (SELECT a, b FROM mh_est WHERE est_jaccard >= {est_thr}),
+      norm AS (
+        SELECT doc_id,
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS s
+        FROM documents
+      ),
+      grams AS (
+        SELECT DISTINCT doc_id, substr(s, CAST(g AS INTEGER), {n}) AS gram
+        FROM norm, UNNEST(range(1, length(s) - {n - 2})) AS t(g)
+        WHERE length(s) >= {n}
+        UNION
+        SELECT DISTINCT doc_id, s AS gram FROM norm
+        WHERE length(s) < {n} AND s <> ''
+      ),
+      gcounts AS (SELECT doc_id, COUNT(*) AS c FROM grams GROUP BY 1),
+      ginter AS (
+        SELECT c.a, c.b, COUNT(*) AS i
+        FROM cand c
+        JOIN grams g1 ON g1.doc_id = c.a
+        JOIN grams g2 ON g2.doc_id = c.b AND g2.gram = g1.gram
+        GROUP BY 1, 2
+      )
+      -- filter on the UNROUNDED ratio, round the output half-up (the
+      -- engine's keep-then-_round6 order); zero-intersection and
+      -- zero-gram pairs drop on both sides for any threshold > 0
+      SELECT g.a, g.b,
+             FLOOR(g.i * 1.0 / (ca.c + cb.c - g.i) * 1000000 + 0.5)
+               / 1000000 AS jaccard
+      FROM ginter g
+      JOIN gcounts ca ON ca.doc_id = g.a
+      JOIN gcounts cb ON cb.doc_id = g.b
+      WHERE g.i * 1.0 / (ca.c + cb.c - g.i) >= {threshold}
+      ORDER BY a, b
+    """
+
+
+def _sql_simhash_cte() -> str:
+    """CTE block replaying _simhash64 inside DuckDB: per-token-INSTANCE
+    md5_number_lower bits vote (2*ones > n == votes > 0), bit b weighted
+    2^b (little-endian unpackbits order); tokenless docs get simhash 0."""
+    pows = ", ".join(f"({b}, {1 << b})" for b in range(64))
+    return f"""
+      pows(bit, p) AS (VALUES {pows}),
+      sh_toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 AS tok
+        FROM documents WHERE trim(lower(text)) <> ''
+      ),
+      sh_h AS (
+        SELECT doc_id, CAST(md5_number_lower(tok) AS HUGEINT) AS h
+        FROM sh_toks
+      ),
+      sh_n AS (SELECT doc_id, COUNT(*) AS n FROM sh_h GROUP BY 1),
+      sh_bits AS (
+        SELECT doc_id, bit,
+               SUM(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE 0 END) AS ones
+        FROM sh_h CROSS JOIN pows GROUP BY 1, 2
+      ),
+      sh_val AS (
+        SELECT b.doc_id,
+               SUM(CASE WHEN 2 * ones > n THEN CAST(p AS HUGEINT)
+                        ELSE CAST(0 AS HUGEINT) END) AS hv
+        FROM sh_bits b JOIN sh_n USING (doc_id) JOIN pows USING (bit)
+        GROUP BY 1
+      ),
+      simhash_t AS (
+        SELECT d.doc_id, CAST(COALESCE(v.hv, 0) AS UBIGINT) AS simhash
+        FROM documents d LEFT JOIN sh_val v ON v.doc_id = d.doc_id
+      )"""
+
+
+def simhash_docs_oracle_sql() -> str:
+    """Exact DuckDB oracle for :func:`simhash_docs`."""
+    return f"""
+      WITH {_sql_simhash_cte()}
+      SELECT doc_id, simhash,
+             CAST(CAST(simhash AS HUGEINT) % 65536 AS UINTEGER) AS band0,
+             CAST((CAST(simhash AS HUGEINT) // 65536) % 65536
+                  AS UINTEGER) AS band1,
+             CAST((CAST(simhash AS HUGEINT) // 4294967296) % 65536
+                  AS UINTEGER) AS band2,
+             CAST(CAST(simhash AS HUGEINT) // 281474976710656
+                  AS UINTEGER) AS band3
+      FROM simhash_t ORDER BY doc_id
+    """
+
+
+def simhash_near_dups_oracle_sql(max_hamming: int = 3) -> str:
+    """Exact DuckDB oracle for :func:`simhash_near_dups`: by the pigeonhole
+    soundness the engine's banding enforces (n_bands > max_hamming), the
+    banded pair set EQUALS the brute-force hamming <= max_hamming pair set
+    — so the oracle states the brute-force definition directly."""
+    return f"""
+      WITH {_sql_simhash_cte()}
+      SELECT l.doc_id AS a, r.doc_id AS b,
+             CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT)
+               AS hamming
+      FROM simhash_t l JOIN simhash_t r ON l.doc_id < r.doc_id
+      WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+      ORDER BY a, b
+    """
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -494,7 +686,9 @@ def _simhash64(texts: list[str]) -> np.ndarray:
         toks = _tokens(text.lower())
         if not toks:
             continue
-        h = hash64_array(toks)
+        # md5_lower64 == DuckDB md5_number_lower(): token-hash choice makes
+        # the full simhash construction replayable in the SQL oracle
+        h = md5_lower64_array(toks)
         bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
         votes = bits.astype(np.int32).sum(axis=0) * 2 - len(toks)
         fused = np.packbits((votes > 0).astype(np.uint8), bitorder="little")

@@ -51,3 +51,38 @@ def test_pca_power_bit_identical_to_twin(ray_session):
     # L-inf normalized, non-degenerate direction
     assert int(np.abs(v).max()) == 1 << 20
     assert (v != 0).sum() > 4
+
+
+def test_triangle_count_matches_brute_force(ray_session):
+    from pholcus_ray.pipelines.graph import _MULTS, _OFFS, triangle_count
+
+    n = pq.ParquetFile(f"{SF}/documents.parquet").metadata.num_rows
+    src = np.arange(n, dtype=np.int64)
+    deg = 1 + (src % 3)
+    es, ed = [], []
+    for i, (m, a) in enumerate(zip(_MULTS, _OFFS)):
+        sel = src[deg > i]
+        es.append(sel)
+        ed.append((sel * m + a) % n)
+    s, d = np.concatenate(es), np.concatenate(ed)
+    adj = np.zeros((n, n), dtype=bool)
+    adj[s, d] = True
+    adj |= adj.T
+    np.fill_diagonal(adj, False)
+    want_tri = int(np.einsum("ij,jk,ki->", adj, adj, adj)) // 6
+    want_edges = int(adj.sum()) // 2
+
+    got = triangle_count(SF, n_buckets=8).to_pandas().iloc[0]
+    assert int(got["n_triangles"]) == want_tri
+    assert int(got["n_edges"]) == want_edges
+    assert int(got["n_nodes"]) == n
+    # every wedge at the apex either closes or not; triangles <= wedges
+    assert want_tri <= int(got["n_wedges"])
+
+
+def test_triangle_count_bucket_invariance(ray_session):
+    from pholcus_ray.pipelines.graph import triangle_count
+
+    a = triangle_count(SF, n_buckets=4).to_pandas()
+    b = triangle_count(SF, n_buckets=16).to_pandas()
+    assert a.equals(b)

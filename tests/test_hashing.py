@@ -57,3 +57,20 @@ def test_md5_hex_array_matches_hashlib():
     out = md5_hex_array(["abc", ""])
     assert out[0] == hashlib.md5(b"abc").hexdigest()
     assert out[1] == hashlib.md5(b"").hexdigest()
+
+
+def test_md5_lower64_matches_duckdb_md5_number_lower():
+    # the SQL-oracle contract: md5_lower64_array must be bit-identical to
+    # DuckDB's md5_number_lower() (bytes 8..16 of the digest, little-endian)
+    import duckdb
+
+    from pholcus_ray.functions.hashing import md5_lower64_array
+
+    vals = ["", "hello", "a b c", "héllo wörld", "x" * 1000]
+    got = md5_lower64_array(vals)
+    con = duckdb.connect()
+    for s, g in zip(vals, got):
+        want = con.execute("select md5_number_lower(?)", [s]).fetchone()[0]
+        assert int(g) == int(want)
+        assert int(g) == int.from_bytes(
+            hashlib.md5(s.encode()).digest()[8:16], "little")
