@@ -316,6 +316,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_recall": S.ann_ivf_recall,
         "kmeans_train": S.kmeans_train,
         "kmeans_parity": S.kmeans_parity,
+        "bpe_merges": T.bpe_merges,
+        "bpe_parity": T.bpe_parity,
         "pca_power": S.pca_power,
         "pca_parity": S.pca_parity,
         "minhash_lsh_recall": T.minhash_lsh_recall,
@@ -713,6 +715,20 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT CAST(10 AS BIGINT) AS k,
                    CAST(10 AS BIGINT) AS n_results,
                    CAST(1 AS BIGINT) AS recall_ok
+        """,
+        "bpe_parity": """
+            -- assertion oracle: the distributed BPE merge sequence must be
+            -- bit-identical to its sequential twin (parity_ok), complete
+            -- all rounds, and have trained on EVERY token instance
+            -- (n_words recomputed from documents — a dropped word or a
+            -- miscounted frequency fails here)
+            SELECT CAST(6 AS BIGINT) AS n_rounds,
+                   CAST(SUM(CASE WHEN trim(lower(text)) = '' THEN 0
+                            ELSE len(regexp_split_to_array(
+                                     trim(lower(text)), '\\s+')) END)
+                        AS BIGINT) AS n_words,
+                   CAST(1 AS BIGINT) AS parity_ok
+            FROM documents
         """,
         "kmeans_parity": """
             -- assertion oracle: distributed fixed-point Lloyd's must be

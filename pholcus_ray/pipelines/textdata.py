@@ -20,6 +20,7 @@ import unicodedata
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
@@ -2530,6 +2531,187 @@ def bigram_pmi(sf_dir: str, min_count: int = 5, k: int = 100,
             .groupby("part2").map_groups(join_b, batch_format="pandas")
             .sort(["score", "a", "b"], descending=[True, False, False])
             .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (tokenizer training)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_apply(syms: list, left: str, right: str) -> list:
+    """One merge pass over a symbol sequence — CANONICAL greedy
+    left-to-right, non-overlapping (Sennrich et al. 2016, "Neural Machine
+    Translation of Rare Words with Subword Units"): [a,b,a,b] merging
+    (a,b) -> [ab,ab]; [a,a,a] merging (a,a) -> [aa,a]."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_pair_counter(words: list, freqs: list):
+    from collections import Counter
+
+    c = Counter()
+    for syms, f in zip(words, freqs):
+        f = int(f)
+        for i in range(len(syms) - 1):
+            c[(syms[i], syms[i + 1])] += f
+    return c
+
+
+def _bpe_word_counts(sf_dir: str) -> rd.Dataset:
+    """Distributed word-frequency table — BPE trains on word counts, not
+    the raw corpus, so the vocab-sized table is all the rounds ever scan."""
+    from collections import Counter
+
+    def word_partial(t: pa.Table) -> pa.Table:
+        c = Counter()
+        for text in t["text"].to_pylist():
+            c.update(_tokens(text.lower()))
+        return pa.table({
+            "word": pa.array(list(c.keys()), pa.string()),
+            "freq": pa.array([int(v) for v in c.values()], pa.int64()),
+        })
+
+    return (_read_documents(sf_dir, columns=["text"])
+            .map_batches(word_partial, batch_format="pyarrow")
+            .groupby("word")
+            .aggregate(Sum("freq", alias_name="freq")))
+
+
+def bpe_merges(sf_dir: str, rounds: int = 6) -> pa.Table:
+    """Learn the first ``rounds`` BPE merges over the corpus — tokenizer
+    training as a distributed pipeline.
+
+    Shape: ONE corpus pass builds the word-frequency table (in-batch
+    Counter partials, vocab-sized exchange); every round after that scans
+    only the symbolized vocab table — per-batch Counter partials of
+    adjacent-pair counts weighted by word frequency, a pair-vocab-bounded
+    groupby-sum, and a sort-limit(1) argmax with the STATED tie-break
+    (count DESC, left ASC, right ASC) so the learned merge sequence is
+    bit-reproducible under any block layout. The winning merge broadcasts
+    as two plain strings captured in the next round's map_batches closure;
+    the driver holds only the ``rounds`` merge rows. Verified bit-identical
+    to the sequential twin (:func:`bpe_reference`) by :func:`bpe_parity`.
+    """
+
+    def symbolize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "syms": pa.array([list(w) for w in t["word"].to_pylist()],
+                             pa.list_(pa.string())),
+            "freq": t["freq"],
+        })
+
+    cur = (_bpe_word_counts(sf_dir)
+           .map_batches(symbolize, batch_format="pyarrow")
+           .materialize())
+
+    pair_schema = pa.schema([("left", pa.string()), ("right", pa.string()),
+                             ("cnt", pa.int64())])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        c = _bpe_pair_counter(t["syms"].to_pylist(), t["freq"].to_pylist())
+        if not c:
+            return pair_schema.empty_table()
+        return pa.table({
+            "left": pa.array([k[0] for k in c.keys()], pa.string()),
+            "right": pa.array([k[1] for k in c.keys()], pa.string()),
+            "cnt": pa.array([int(v) for v in c.values()], pa.int64()),
+        })
+
+    rows = []
+    for r in range(rounds):
+        top = (cur.map_batches(pair_partial, batch_format="pyarrow")
+               .groupby(["left", "right"])
+               .aggregate(Sum("cnt", alias_name="cnt"))
+               .sort(["cnt", "left", "right"],
+                     descending=[True, False, False])
+               .limit(1)
+               .take_all())
+        if not top:
+            break
+        left, right = top[0]["left"], top[0]["right"]
+        rows.append((r, left, right, int(top[0]["cnt"])))
+
+        def apply(t: pa.Table, left=left, right=right) -> pa.Table:
+            return pa.table({
+                "syms": pa.array(
+                    [_bpe_apply(s, left, right)
+                     for s in t["syms"].to_pylist()],
+                    pa.list_(pa.string())),
+                "freq": t["freq"],
+            })
+
+        cur = cur.map_batches(apply, batch_format="pyarrow").materialize()
+
+    return pa.table({
+        "round": pa.array([x[0] for x in rows], pa.int64()),
+        "left": pa.array([x[1] for x in rows], pa.string()),
+        "right": pa.array([x[2] for x in rows], pa.string()),
+        "pair_count": pa.array([x[3] for x in rows], pa.int64()),
+    })
+
+
+def bpe_reference(sf_dir: str, rounds: int = 6) -> pa.Table:
+    """Sequential single-process twin of :func:`bpe_merges` (same pure
+    _tokens/_bpe_apply/tie-break, whole corpus in one Counter) — the
+    kmeans_reference contract."""
+    from collections import Counter
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["text"])
+    wc = Counter()
+    for text in t["text"].to_pylist():
+        wc.update(_tokens(text.lower()))
+    words = {w: list(w) for w in wc}
+    rows = []
+    for r in range(rounds):
+        pc = Counter()
+        for w, syms in words.items():
+            f = wc[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (left, right), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        rows.append((r, left, right, int(cnt)))
+        for w in words:
+            words[w] = _bpe_apply(words[w], left, right)
+    return pa.table({
+        "round": pa.array([x[0] for x in rows], pa.int64()),
+        "left": pa.array([x[1] for x in rows], pa.string()),
+        "right": pa.array([x[2] for x in rows], pa.string()),
+        "pair_count": pa.array([x[3] for x in rows], pa.int64()),
+    })
+
+
+def bpe_parity(sf_dir: str, rounds: int = 6) -> pa.Table:
+    """Gate-visible verdict: the distributed merge sequence must be
+    bit-identical to the sequential twin, and the corpus word total the
+    training table saw must equal the real token count — the SQL oracle
+    pins parity_ok=1, n_rounds and recomputes n_words from documents, so
+    a silent divergence or dropped word fails CORRECTNESS."""
+    eng = bpe_merges(sf_dir, rounds).to_pydict()
+    ref = bpe_reference(sf_dir, rounds).to_pydict()
+    ok = eng == ref
+    n_words = _bpe_word_total(sf_dir)
+    return pa.table({
+        "n_rounds": pa.array([len(eng["round"])], pa.int64()),
+        "n_words": pa.array([n_words], pa.int64()),
+        "parity_ok": pa.array([int(ok)], pa.int64()),
+    })
+
+
+def _bpe_word_total(sf_dir: str) -> int:
+    got = _bpe_word_counts(sf_dir).aggregate(Sum("freq", alias_name="n"))
+    return int(got["n"] or 0)
 
 
 def heavy_hitters(sf_dir: str, k: int = 50,

@@ -1431,3 +1431,27 @@ def test_wav_synth_roundtrips_through_real_decoder():
         sr = st["sample_rate"][i].as_py()
         ns = st["n_samples"][i].as_py()
         assert out["duration_sec"][i].as_py() == round(ns / sr, 6)
+
+
+def test_bpe_apply_greedy_left_to_right():
+    from pholcus_ray.pipelines.textdata import _bpe_apply
+
+    # canonical non-overlapping greedy semantics (Sennrich et al. 2016)
+    assert _bpe_apply(list("abab"), "a", "b") == ["ab", "ab"]
+    assert _bpe_apply(list("aaa"), "a", "a") == ["aa", "a"]
+    assert _bpe_apply(["x", "ab", "c"], "ab", "c") == ["x", "abc"]
+    assert _bpe_apply(["dab", "c"], "ab", "c") == ["dab", "c"]  # no substring match
+    assert _bpe_apply([], "a", "b") == []
+    assert _bpe_apply(["a"], "a", "b") == ["a"]
+
+
+def test_bpe_merges_bit_identical_to_sequential_twin(ray_session):
+    from pholcus_ray.pipelines.textdata import bpe_merges, bpe_reference
+
+    eng = bpe_merges(SF, rounds=5).to_pandas()
+    ref = bpe_reference(SF, rounds=5).to_pandas()
+    assert eng.equals(ref)
+    assert len(eng) == 5
+    # counts are monotone non-increasing only within a merge family, but
+    # the FIRST merge must be the global most-frequent adjacent pair
+    assert eng["pair_count"].iloc[0] >= eng["pair_count"].max()
