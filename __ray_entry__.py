@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_quality": T.repetition_quality,
         "term_df": T.term_df,
         "hll_distinct_users": T.hll_distinct_users,
+        "hll_error_check": T.hll_error_check,
         "contamination_check": T.contamination_check,
         # capstone composition: quality gate -> exact dedup -> near-dup
         # removal -> split, one SQL oracle over the whole chain
@@ -715,6 +716,15 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT CAST(10 AS BIGINT) AS k,
                    CAST(10 AS BIGINT) AS n_results,
                    CAST(1 AS BIGINT) AS recall_ok
+        """,
+        "hll_error_check": """
+            -- assertion oracle: per event_type the HLL estimate must land
+            -- within 5% of the exact distinct-user count (exact counts
+            -- recomputed here; the float estimate itself is not
+            -- cross-engine bit-stable because of libm ln)
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+                   CAST(1 AS BIGINT) AS within_err
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "bpe_parity": """
             -- assertion oracle: the distributed BPE merge sequence must be

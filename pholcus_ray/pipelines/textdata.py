@@ -2034,6 +2034,32 @@ def hll_distinct_users(sf_dir: str, p: int = 12) -> rd.Dataset:
     )
 
 
+def hll_error_check(sf_dir: str, p: int = 12,
+                    max_err_pct: int = 5) -> pa.Table:
+    """Gate-visible accuracy assertion for the HLL sketch (the
+    minhash_lsh_recall pattern): per event_type, the sketch estimate must
+    land within ``max_err_pct`` of the EXACT distinct-user count. The
+    estimate itself can't be SQL-replicated bit-exactly (the small-range
+    correction is m·ln(m/zeros) and libm ln is not cross-engine
+    bit-stable), so the oracle pins the exact counts — which DuckDB
+    recomputes via COUNT(DISTINCT) — and within_err=1; a broken register
+    update, merge, or hash fails CORRECTNESS, not just pytest."""
+    from .relational import distinct_users
+
+    est = {r["event_type"]: int(r["n_users_approx"])
+           for r in hll_distinct_users(sf_dir, p).take_all()}
+    exact = {r["event_type"]: int(r["n_users"])
+             for r in distinct_users(sf_dir).take_all()}
+    types = sorted(exact)
+    ok = [int(abs(est.get(t, 0) - exact[t]) * 100 <= max_err_pct * exact[t])
+          for t in types]
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n_users": pa.array([exact[t] for t in types], pa.int64()),
+        "within_err": pa.array(ok, pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # deterministic splits + near-dup clustering
 # ---------------------------------------------------------------------------
