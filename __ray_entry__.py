@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_parity": S.kmeans_parity,
         "bpe_merges": T.bpe_merges,
         "bpe_parity": T.bpe_parity,
+        "lm_coverage": T.lm_coverage,
         "pca_power": S.pca_power,
         "pca_parity": S.pca_parity,
         "minhash_lsh_recall": T.minhash_lsh_recall,
@@ -387,6 +388,12 @@ def _triangle_sql() -> str:
     from pholcus_ray.pipelines.graph import triangle_count_oracle_sql
 
     return triangle_count_oracle_sql()
+
+
+def _lm_coverage_sql() -> str:
+    from pholcus_ray.pipelines.textdata import lm_coverage_oracle_sql
+
+    return lm_coverage_oracle_sql()
 
 
 def _minhash_lsh_sql() -> str:
@@ -954,6 +961,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         # builders) — these four were no_oracle before round 3
         "triangle_count": _triangle_sql(),
         "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "lm_coverage": _lm_coverage_sql(),
         "ngram_jaccard_pairs": _ngram_jaccard_pairs_sql(),
         "simhash_docs": _simhash_docs_sql(),
         "simhash_near_dups": _simhash_near_dups_sql(),
