@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": R.sessionize_events,
         "top_orders_per_priority": R.top_orders_per_priority,
         "events_asof_join": R.events_asof_join,
+        "events_moving_avg": R.events_moving_avg,
         "events_sliding_window": R.events_sliding_window,
         "value_quantiles": R.value_quantiles,
         "events_prop_stats": R.events_prop_stats,
@@ -276,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_exact": T.ngram_jaccard_exact,
         "word_jaccard_exact": T.word_jaccard_exact,
         "dup_clusters": T.dup_clusters,
+        "dup_keep_best": T.dup_keep_best,
         "split_by_hash": T.split_by_hash,
         "pii_scrub": T.pii_scrub,
         "chunk_docs": T.chunk_docs,
@@ -466,6 +468,19 @@ def _oracle_sql_raw() -> dict[str, str]:
         "distinct_users": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "events_moving_avg": """
+            -- per-user ROWS window; integer window sum + count only (no
+            -- float average crosses engines); ROUND(v*100) == the
+            -- engine's floor(v*100+0.5) for the positive value domain
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS w_n,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w
+                        AS BIGINT) AS w_sum_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
         """,
         "events_asof_join": """
             SELECT l.event_id,
@@ -962,6 +977,85 @@ def _oracle_sql_raw() -> dict[str, str]:
         "triangle_count": _triangle_sql(),
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "lm_coverage": _lm_coverage_sql(),
+        "dup_keep_best": """
+            -- per near-dup component keep the highest-quality member
+            -- (ties to the smaller doc_id): the dup_clusters transitive
+            -- closure composed with the text_quality score chain
+            WITH RECURSIVE norm AS (
+              SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id, substr(s, CAST(g AS INTEGER), 3) AS gram
+              FROM norm, UNNEST(range(1, length(s)-1)) AS t(g)
+              WHERE length(s) >= 3
+              UNION
+              SELECT DISTINCT doc_id, s AS gram FROM norm
+              WHERE length(s) < 3 AND s <> ''
+            ), gcounts AS (
+              SELECT doc_id, COUNT(*) AS c FROM grams GROUP BY 1
+            ), ginter AS (
+              SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS i
+              FROM grams g1 JOIN grams g2 USING (gram)
+              WHERE g1.doc_id < g2.doc_id
+              GROUP BY 1, 2
+            ), p AS (
+              SELECT a, b FROM ginter
+              JOIN gcounts ca ON ca.doc_id = ginter.a
+              JOIN gcounts cb ON cb.doc_id = ginter.b
+              WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.7
+            ), cedges AS (
+              SELECT a, b FROM p UNION SELECT b, a FROM p
+            ), reach(node, r) AS (
+              SELECT a, a FROM cedges
+              UNION
+              SELECT reach.node, e.b FROM reach JOIN cedges e ON e.a = reach.r
+            ), cc AS (
+              SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id,
+                     CAST(COUNT(DISTINCT r) AS BIGINT) AS cluster_size
+              FROM reach GROUP BY 1
+            ), qt AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                     END AS toks
+              FROM documents
+            ), qf AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     length(regexp_replace(text, '[0-9A-Za-z\\t\\n\\f\\r\\v ]', '', 'g'))
+                         AS punct,
+                     length(text) AS L,
+                     len(list_filter(toks, w -> lower(w) IN
+                         ('the','a','an','of','to','in','and','or','is',
+                          'are','for','on','with','as','at','by'))) AS stop_hits
+              FROM qt
+            ), qr AS (
+              SELECT doc_id, n_tokens,
+                     FLOOR(punct * 1.0 / greatest(1, L) * 1000000 + 0.5)
+                         / 1000000.0 AS punct_ratio,
+                     FLOOR(stop_hits * 1.0 / greatest(1, n_tokens) * 1000000
+                           + 0.5) / 1000000.0 AS stop_ratio
+              FROM qf
+            ), q AS (
+              SELECT doc_id,
+                     FLOOR((CASE WHEN n_tokens BETWEEN 5 AND 100000
+                                 THEN 1.0 ELSE 0.3 END)
+                           * (1.0 - least(punct_ratio * 4, 0.9))
+                           * (0.5 + least(stop_ratio * 2.5, 0.5))
+                           * 1000000 + 0.5) / 1000000.0 AS quality
+              FROM qr
+            ), ranked AS (
+              SELECT cc.cluster_id, cc.cluster_size, q.doc_id, q.quality,
+                     ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+                                        ORDER BY q.quality DESC, q.doc_id)
+                       AS rn
+              FROM cc JOIN q ON q.doc_id = cc.doc_id
+            )
+            SELECT cluster_id, doc_id AS keep_doc_id, quality,
+                   CAST(cluster_size AS BIGINT) AS cluster_size,
+                   CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+            FROM ranked WHERE rn = 1 ORDER BY cluster_id
+        """,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs_sql(),
         "simhash_docs": _simhash_docs_sql(),
         "simhash_near_dups": _simhash_near_dups_sql(),

@@ -1030,3 +1030,50 @@ def customers_without_orders(sf_dir: str, num_buckets: int = 64,
     return (cust.union(orders)
             .groupby("part")
             .map_groups(anti, batch_format="pandas"))
+
+
+def events_moving_avg(sf_dir: str, window: int = 3) -> rd.Dataset:
+    """Per-user ROWS-window aggregate (the window-function shape: SUM/COUNT
+    OVER (PARTITION BY user ORDER BY ts, event_id ROWS window-1 PRECEDING))
+    — the per-row moving-total feature build, kept integer-exact (window
+    sum in cents + window row count; no float average crosses engines).
+
+    Same partitioning contract as events_asof_join/sessionize: ONE coarse
+    user-bucket shuffle, then a single mergesort + cythonized
+    groupby-cumsum/shift pass per partition — no per-user map_groups, no
+    global sort until the output projection.
+    """
+    import pandas as pd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        t = t.append_column(
+            "cents", pa.array(_cents(t["value"].to_numpy(zero_copy_only=False)))
+        )
+        return t.append_column("part", pa.array((uid % 64).astype(np.int32)))
+
+    def window_sums(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cs = g.groupby("user_id", sort=False)["cents"].cumsum()
+        pos = g.groupby("user_id", sort=False).cumcount() + 1
+        prev = (g.assign(_cs=cs).groupby("user_id", sort=False)["_cs"]
+                .shift(window).fillna(0).astype("int64"))
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "ts_us": g["ts"].astype("int64").to_numpy(),
+            "w_n": np.minimum(pos.to_numpy(), window).astype(np.int64),
+            "w_sum_cents": (cs.to_numpy() - prev.to_numpy()).astype(np.int64),
+        })
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(window_sums, batch_format="pandas")
+        .sort("event_id")
+    )

@@ -3303,3 +3303,76 @@ def lm_coverage_oracle_sql(min_tok: int = 2, min_big: int = 2) -> str:
       FROM d_tok t JOIN d_big b USING (doc_id)
       ORDER BY doc_id
     """
+
+
+def dup_keep_best(sf_dir: str, threshold: float = 0.7, n: int = 3,
+                  num_parts: int = 32) -> rd.Dataset:
+    """Representative selection for near-dup clusters: per connected
+    component (:func:`dup_clusters`), keep the member with the highest
+    quality score (:func:`text_quality`), ties to the smaller doc_id —
+    the RefinedWeb-style "keep the best copy" step that upgrades
+    keep-first dedup when copies differ in boilerplate.
+
+    Shape: the cluster rows (near-dup-sized, orders below the corpus) and
+    the quality rows meet in a doc_id-bucketed partitioned hash join (no
+    broadcast, no driver dict); the per-cluster argmax is a second
+    cluster_id-bucketed exchange with a C-level sort + drop_duplicates
+    per partition. Quality is the 1e-6-rounded score, so the argmax
+    compares identical doubles on both engines.
+    """
+    clusters = dup_clusters(sf_dir, threshold=threshold, n=n)
+    quality = text_quality(sf_dir).select_columns(["doc_id", "quality"])
+    nb = np.int64(num_parts)
+
+    def tag_cluster(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array((did % nb).astype(np.int32)),
+            "kind": pa.array(np.zeros(len(did), np.int8)),
+            "doc_id": t["doc_id"],
+            "cluster_id": t["cluster_id"],
+            "cluster_size": t["cluster_size"],
+            "quality": pa.array(np.zeros(len(did), np.float64)),
+        })
+
+    def tag_quality(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        neg = np.full(len(did), -1, np.int64)
+        return pa.table({
+            "part": pa.array((did % nb).astype(np.int32)),
+            "kind": pa.array(np.ones(len(did), np.int8)),
+            "doc_id": t["doc_id"],
+            "cluster_id": pa.array(neg),
+            "cluster_size": pa.array(neg),
+            "quality": t["quality"],
+        })
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["kind"] == 0]
+        q = g[g["kind"] == 1][["doc_id", "quality"]]
+        m = c.drop(columns=["kind", "part", "quality"]).merge(
+            q, on="doc_id", how="left")
+        m["cpart"] = (m["cluster_id"] % int(nb)).astype(np.int32)
+        return m
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cluster_id", "quality", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        k = g.drop_duplicates(subset=["cluster_id"])
+        return pd.DataFrame({
+            "cluster_id": k["cluster_id"].to_numpy(),
+            "keep_doc_id": k["doc_id"].to_numpy(),
+            "quality": k["quality"].to_numpy(),
+            "cluster_size": k["cluster_size"].to_numpy(),
+            "n_dropped": (k["cluster_size"].to_numpy() - 1).astype(np.int64),
+        })
+
+    return (
+        clusters.map_batches(tag_cluster, batch_format="pyarrow")
+        .union(quality.map_batches(tag_quality, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(attach, batch_format="pandas")
+        .groupby("cpart")
+        .map_groups(best, batch_format="pandas")
+        .sort("cluster_id")
+    )
