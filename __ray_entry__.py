@@ -143,6 +143,12 @@ def _blocks(t, n_blocks: int = 8):
     return rd.from_arrow([t.slice(i, step) for i in range(0, n, step)])
 
 
+def _q_jsonl_roundtrip(sf_dir: str):
+    from pholcus_ray.sources.jsonl import jsonl_roundtrip
+
+    return jsonl_roundtrip(sf_dir)
+
+
 def _q_multimodal(sf_dir: str):
     from pholcus_ray.stages.multimodal import DecodeImage, synth_image_table
 
@@ -345,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_url_seen": _q_crawl_url_seen,
         "extract_text_identity": _q_extract_identity,
         # multimodal plumbing (deterministic fake decode backends)
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         "multimodal_decode": _q_multimodal,
         "multimodal_audio": _q_multimodal_audio,
         "multimodal_frame_sample": _q_multimodal_frames,
@@ -738,6 +745,18 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT CAST(10 AS BIGINT) AS k,
                    CAST(10 AS BIGINT) AS n_results,
                    CAST(1 AS BIGINT) AS recall_ok
+        """,
+        "jsonl_roundtrip": """
+            -- the engine computes these sums from documents AFTER a
+            -- write_json -> read_json roundtrip; recomputing them straight
+            -- from the parquet view makes the gate a lossless-roundtrip
+            -- proof (md5_number_lower == the engine's md5_lower64)
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(doc_id AS HUGEINT))
+                        % 2305843009213693951 AS BIGINT) AS id_sum_mod,
+                   CAST(SUM(CAST(md5_number_lower(text) AS HUGEINT))
+                        % 2305843009213693951 AS BIGINT) AS text_hash_mod
+            FROM documents
         """,
         "hll_error_check": """
             -- assertion oracle: per event_type the HLL estimate must land

@@ -87,6 +87,12 @@ _BENCH_QUERIES = [
     "time_band_join",
     "bm25_topk",
     "cohort_retention",
+    # round-3 continuation: new oracled operators
+    "triangle_count",
+    "bpe_merges",
+    "lm_coverage",
+    "events_moving_avg",
+    "dup_keep_best",
 ]
 
 
