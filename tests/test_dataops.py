@@ -1455,3 +1455,60 @@ def test_bpe_merges_bit_identical_to_sequential_twin(ray_session):
     # counts are monotone non-increasing only within a merge family, but
     # the FIRST merge must be the global most-frequent adjacent pair
     assert eng["pair_count"].iloc[0] >= eng["pair_count"].max()
+
+
+def test_minhash_sql_ctes_match_engine_on_adversarial_docs():
+    # the oracle contract on inputs the corpus may never produce: empty,
+    # whitespace-only, sub-shingle-length, unicode, repeated tokens
+    import duckdb
+    import pyarrow as pa
+
+    from pholcus_ray.pipelines.textdata import (
+        MinHasher, _sql_minhash_ctes, _sig_matrix)
+
+    texts = ["", "   ", "a", "a b", "a b a b a", "héllo wörld héllo",
+             "x y z x y z x y z", "tok"]
+    doc_ids = list(range(len(texts)))
+    num_perm, bands = 8, 4
+    eng = MinHasher(num_perm=num_perm)(pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    sig = _sig_matrix(eng["sig"], num_perm)
+
+    con = duckdb.connect()
+    con.register("documents", pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    import __ray_entry__ as E
+    ctes = E._ws_trim(_sql_minhash_ctes(num_perm, bands))
+    rows = con.execute(
+        f"WITH {ctes} SELECT doc_id, perm_id, v FROM mh_sig "
+        "ORDER BY doc_id, perm_id").fetchall()
+    for doc_id, perm_id, v in rows:
+        assert int(sig[doc_id][perm_id]) == int(v), (doc_id, perm_id)
+
+
+def test_simhash_sql_cte_matches_engine_on_adversarial_docs():
+    import duckdb
+    import pyarrow as pa
+
+    from pholcus_ray.pipelines.textdata import _simhash64, _sql_simhash_cte
+
+    texts = ["", "   ", "a", "a b", "a a a b", "héllo wörld héllo", "tok"]
+    doc_ids = list(range(len(texts)))
+    want = _simhash64(texts)
+
+    con = duckdb.connect()
+    con.register("documents", pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    import __ray_entry__ as E
+    cte = E._ws_trim(_sql_simhash_cte())
+    rows = con.execute(
+        f"WITH {cte} SELECT doc_id, simhash FROM simhash_t "
+        "ORDER BY doc_id").fetchall()
+    for doc_id, sh in rows:
+        assert int(want[doc_id]) == int(sh), doc_id
