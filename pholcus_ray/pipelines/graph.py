@@ -437,9 +437,14 @@ def triangle_count(sf_dir: str, n_buckets: int = 16) -> pa.Table:
     def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(subset=["a", "b"])[["a", "b"]]
 
+    from .textdata import _read_documents
+
     ue = (
-        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                        columns=["doc_id"])
+        # compute-matched block count (the _read_documents rationale): the
+        # per-doc edge rows are slim, so with Ray's default parallelism the
+        # SEVEN downstream exchange barriers pay per-block fixed costs that
+        # dominate wall time at bench scale (measured 10.7s -> ~5s)
+        _read_documents(sf_dir, columns=["doc_id"])
         .map_batches(edge_rows, batch_format="pyarrow")
         .groupby("part")
         .map_groups(dedup_part, batch_format="pandas")
