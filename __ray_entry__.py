@@ -177,6 +177,16 @@ def _q_multimodal_wav(sf_dir: str):
     ).sort("audio_id")
 
 
+def _q_multimodal_bmp(sf_dir: str):
+    """REAL Windows-BMP decode (uncompressed 24-bit) — struct + numpy."""
+    from pholcus_ray.stages.multimodal import DecodeBmp, synth_bmp_table
+
+    n = 200 if _sf_name(sf_dir) != "sf0.1" else 1000
+    return _blocks(synth_bmp_table(n)).map_batches(
+        DecodeBmp, batch_format="pyarrow", batch_size=32, concurrency=2
+    ).sort("image_id")
+
+
 def _q_multimodal_ppm(sf_dir: str):
     """REAL binary-netpbm decode (P6) — pure header parse + numpy."""
     from pholcus_ray.stages.multimodal import DecodePpm, synth_ppm_table
@@ -224,6 +234,12 @@ def _q_training_corpus(sf_dir: str):
     from pholcus_ray.pipelines.corpus import training_corpus_summary
 
     return training_corpus_summary(sf_dir)
+
+
+def _q_corpus_v2(sf_dir: str):
+    from pholcus_ray.pipelines.corpus import corpus_v2_summary
+
+    return corpus_v2_summary(sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -311,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # capstone composition: quality gate -> exact dedup -> near-dup
         # removal -> split, one SQL oracle over the whole chain
         "training_corpus_summary": _q_training_corpus,
+        "corpus_v2_summary": _q_corpus_v2,
         # similarity search
         "ann_topk": S.ann_topk,
         "ann_filtered": S.ann_filtered,
@@ -360,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stages/multimodal.py; compressed codecs stay library-gated)
         "multimodal_wav": _q_multimodal_wav,
         "multimodal_ppm": _q_multimodal_ppm,
+        "multimodal_bmp": _q_multimodal_bmp,
     }
 
 
@@ -1579,6 +1597,88 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM grams g JOIN ev USING (gram)
             WHERE g.doc_id % 50 <> 0
             GROUP BY 1 ORDER BY 1
+        """,
+        "corpus_v2_summary": """
+            -- capstone v2: lm_coverage OOV gate AND quality-score gate ->
+            -- exact dedup keep-first per md5 -> md5 split -> per-split
+            -- summary with the mod-p61 md5-lower64 text-hash sum, so the
+            -- EXACT surviving text set is value-verified
+            WITH tok AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                          END AS toks
+              FROM documents
+            ), inst AS (
+              SELECT doc_id, u.tok FROM tok, unnest(toks) AS u(tok)
+            ), uni AS (SELECT tok, COUNT(*) AS n FROM inst GROUP BY 1),
+            d_oov AS (
+              SELECT d.doc_id, COUNT(i.tok) AS n_tokens,
+                     COALESCE(SUM(CASE WHEN u.n < 2 THEN 1 ELSE 0 END), 0)
+                         AS n_oov
+              FROM documents d
+              LEFT JOIN inst i ON i.doc_id = d.doc_id
+              LEFT JOIN uni u ON u.tok = i.tok
+              GROUP BY 1
+            ), lmr AS (
+              SELECT doc_id, n_tokens,
+                     FLOOR(n_oov * 1.0 / greatest(n_tokens, 1) * 1000000
+                           + 0.5) / 1000000 AS oov_rate
+              FROM d_oov
+            ), qt AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                     END AS toks
+              FROM documents
+            ), qf AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     length(regexp_replace(text, '[0-9A-Za-z\\t\\n\\f\\r\\v ]', '', 'g'))
+                         AS punct,
+                     length(text) AS L,
+                     len(list_filter(toks, w -> lower(w) IN
+                         ('the','a','an','of','to','in','and','or','is',
+                          'are','for','on','with','as','at','by'))) AS stop_hits
+              FROM qt
+            ), qr AS (
+              SELECT doc_id, n_tokens,
+                     FLOOR(punct * 1.0 / greatest(1, L) * 1000000 + 0.5)
+                         / 1000000.0 AS punct_ratio,
+                     FLOOR(stop_hits * 1.0 / greatest(1, n_tokens) * 1000000
+                           + 0.5) / 1000000.0 AS stop_ratio
+              FROM qf
+            ), q AS (
+              SELECT doc_id,
+                     FLOOR((CASE WHEN n_tokens BETWEEN 5 AND 100000
+                                 THEN 1.0 ELSE 0.3 END)
+                           * (1.0 - least(punct_ratio * 4, 0.9))
+                           * (0.5 + least(stop_ratio * 2.5, 0.5))
+                           * 1000000 + 0.5) / 1000000.0 AS quality
+              FROM qr
+            ), gated AS (
+              SELECT d.doc_id, lmr.n_tokens, md5(d.text) AS m,
+                     CAST(CAST(md5_number_lower(d.text) AS HUGEINT)
+                          % 2305843009213693951 AS BIGINT) AS h
+              FROM documents d
+              JOIN lmr ON lmr.doc_id = d.doc_id
+              JOIN q ON q.doc_id = d.doc_id
+              WHERE lmr.oov_rate <= 0.3 AND q.quality >= 0.4
+            ), dd AS (
+              SELECT doc_id, n_tokens, h FROM (
+                SELECT doc_id, n_tokens, h,
+                       MIN(doc_id) OVER (PARTITION BY m) AS keep_id
+                FROM gated
+              ) WHERE doc_id = keep_id
+            )
+            SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'c' THEN 'train'
+                        WHEN md5(CAST(doc_id AS VARCHAR)) < 'e' THEN 'val'
+                        ELSE 'test' END AS split,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(CAST(h AS HUGEINT)) % 2305843009213693951
+                        AS BIGINT) AS text_hash_mod
+            FROM dd GROUP BY 1 ORDER BY 1
         """,
         "training_corpus_summary": r"""
             -- the full corpus-build composition: token gate -> exact dedup

@@ -150,3 +150,109 @@ def build_training_corpus(sf_dir: str, out_dir: str, min_tokens: int = 5,
 
     return write_sharded_parquet(make, ["train", "val", "test"], out_dir,
                                  shard_col="split")
+
+
+def corpus_v2_summary(sf_dir: str, max_oov: float = 0.3,
+                      min_quality: float = 0.4,
+                      num_parts: int = 32) -> rd.Dataset:
+    """Capstone v2: the LM-aware curation chain composed end to end —
+    lm_coverage OOV gate ∧ text_quality score gate → exact dedup
+    (keep-first per md5) → md5 split → per-split summary that is
+    CONTENT-verified: besides counts and token totals it carries the
+    mod-p61 sum of md5-lower64(text) over the survivors, so the oracle
+    value-verifies the exact surviving text set, not just its size.
+
+    Shape: the two per-doc quality operators run as themselves (their own
+    bounded exchanges); their outputs and the doc-local derivation meet in
+    ONE doc_id-bucketed exchange (tagged union + C-level pivot) — text
+    never crosses a stage boundary (the content hash is derived doc-local
+    and travels as one int64). Dedup is the standard md5-partition
+    keep-first; the final fold is 3 split groups in one tiny exchange.
+    """
+    from ..functions.hashing import md5_lower64_array
+    from .textdata import lm_coverage, text_quality
+
+    _P61 = (1 << 61) - 1
+    nb = np.int64(num_parts)
+    lm = lm_coverage(sf_dir).select_columns(["doc_id", "oov_rate"])
+    tq = text_quality(sf_dir).select_columns(["doc_id", "quality"])
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        ntok = np.array([len(_tokens(x)) for x in texts], dtype=np.int64)
+        h = (md5_lower64_array(texts) % np.uint64(_P61)).astype(np.int64)
+        return pa.table({
+            "part": pa.array((ids % nb).astype(np.int32)),
+            "kind": pa.array(np.zeros(len(ids), np.int8)),
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(ntok),
+            "text_md5": pa.array(md5_hex_array(texts).tolist(), pa.string()),
+            "h_mod": pa.array(h),
+            "metric": pa.array(np.zeros(len(ids), np.float64)),
+        })
+
+    def tag(kind: int, col: str):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            z = np.zeros(len(ids), np.int64)
+            return pa.table({
+                "part": pa.array((ids % nb).astype(np.int32)),
+                "kind": pa.array(np.full(len(ids), kind, np.int8)),
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(z),
+                "text_md5": pa.array([""] * len(ids), pa.string()),
+                "h_mod": pa.array(z),
+                "metric": t[col],
+            })
+        return f
+
+    def gate(g: pd.DataFrame) -> pd.DataFrame:
+        base = g[g["kind"] == 0]
+        oov = g[g["kind"] == 1].set_index("doc_id")["metric"]
+        qual = g[g["kind"] == 2].set_index("doc_id")["metric"]
+        ids = base["doc_id"].to_numpy()
+        keep = (oov.reindex(ids).to_numpy() <= max_oov) & \
+               (qual.reindex(ids).to_numpy() >= min_quality)
+        base = base[keep]
+        out = base[["doc_id", "n_tokens", "text_md5", "h_mod"]].copy()
+        out["mpart"] = out["text_md5"].str[:2].apply(
+            lambda s: int(s, 16) % int(nb)).astype(np.int32)
+        return out
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["text_md5", "doc_id"], kind="mergesort")
+        g = g.drop_duplicates(subset=["text_md5"], keep="first")
+        split = ["train" if h < "c" else ("val" if h < "e" else "test")
+                 for h in md5_hex_array([int(i) for i in g["doc_id"]])]
+        return pd.DataFrame({
+            "split": split,
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_tokens": g["n_tokens"].to_numpy(),
+            "h_mod": g["h_mod"].to_numpy(),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        hm = 0
+        for v in g["h_mod"]:
+            hm = (hm + int(v)) % _P61
+        return pd.DataFrame({
+            "split": [g["split"].iloc[0]],
+            "n_docs": [len(g)],
+            "sum_tokens": [int(g["n_tokens"].sum())],
+            "text_hash_mod": [hm],
+        })
+
+    return (
+        docs.map_batches(derive, batch_format="pyarrow")
+        .union(lm.map_batches(tag(1, "oov_rate"), batch_format="pyarrow"),
+               tq.map_batches(tag(2, "quality"), batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(gate, batch_format="pandas")
+        .groupby("mpart")
+        .map_groups(keep_first, batch_format="pandas")
+        .groupby("split")
+        .map_groups(fold, batch_format="pandas")
+        .sort("split")
+    )

@@ -457,3 +457,98 @@ class DecodePpm:
         ):
             out = out.append_column(name, arr)
         return out
+
+
+def synth_bmp_table(n: int, seed: int = 29) -> pa.Table:
+    """Deterministic REAL Windows BMP images (BITMAPINFOHEADER, uncompressed
+    24-bit BGR, 4-byte-padded bottom-up rows) — the stdlib-parseable
+    container every image tool reads."""
+    import struct
+
+    rng = np.random.default_rng(seed)
+    ids, payloads, ws, hs = [], [], [], []
+    for i in range(n):
+        w = int(rng.integers(4, 48))
+        h = int(rng.integers(4, 48))
+        stride = (w * 3 + 3) & ~3
+        raster = b""
+        for _row in range(h):
+            raster += rng.integers(0, 256, size=w * 3,
+                                   dtype=np.uint8).tobytes()
+            raster += b"\x00" * (stride - w * 3)
+        off = 14 + 40
+        size = off + len(raster)
+        hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, off)
+        dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                          len(raster), 2835, 2835, 0, 0)
+        ids.append(i)
+        payloads.append(hdr + dib + raster)
+        ws.append(w)
+        hs.append(h)
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "format": pa.array(["bmp"] * n, pa.string()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+        },
+        schema=IMAGE_SCHEMA,
+    )
+
+
+class DecodeBmp:
+    """Actor-pool stage: REAL BMP decode (BITMAPINFOHEADER, uncompressed
+    24-bit) — pure struct parse + numpy de-padding, no image library. Same
+    output contract as DecodePpm; compressed/palette BMP variants raise."""
+
+    def __init__(self, backend: str = "bmp"):
+        if backend != "bmp":
+            raise NotImplementedError(
+                "only uncompressed 24-bit BITMAPINFOHEADER BMP is decoded "
+                "natively; other variants need PIL/cv2, absent in this env")
+
+    _CONSUMED = ("payload", "format", "width", "height")
+
+    @staticmethod
+    def _parse(p: bytes):
+        import struct
+
+        if p[:2] != b"BM":
+            raise ValueError(f"not a BMP payload: {p[:2]!r}")
+        off = struct.unpack_from("<I", p, 10)[0]
+        (hdr_sz, w, h, _planes, bpp, comp) = struct.unpack_from(
+            "<IiiHHI", p, 14)
+        if hdr_sz < 40 or bpp != 24 or comp != 0:
+            raise ValueError(
+                f"unsupported BMP variant (hdr={hdr_sz} bpp={bpp} "
+                f"comp={comp}); only uncompressed 24-bit is native")
+        flipped = h > 0  # positive height = bottom-up row order
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3
+        rows = np.frombuffer(p, dtype=np.uint8, count=stride * h,
+                             offset=off).reshape(h, stride)[:, : w * 3]
+        if flipped:
+            rows = rows[::-1]
+        return w, h, rows
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_pylist()
+        ws, hs, means = [], [], []
+        for p in payloads:
+            w, h, rows = self._parse(p)
+            ws.append(w)
+            hs.append(h)
+            means.append(round(float(rows.mean()) if rows.size else 0.0, 4))
+        out = t.drop_columns(
+            [c for c in self._CONSUMED if c in t.column_names])
+        for name, arr in (
+            ("decoded_format", pa.array(["bmp"] * len(ws), pa.string())),
+            ("decoded_width", pa.array(ws, pa.int32())),
+            ("decoded_height", pa.array(hs, pa.int32())),
+            ("mean_intensity", pa.array(means, pa.float64())),
+            ("content_hash", pa.array(
+                hash64_array([p.hex() for p in payloads]), pa.uint64())),
+        ):
+            out = out.append_column(name, arr)
+        return out

@@ -1512,3 +1512,30 @@ def test_simhash_sql_cte_matches_engine_on_adversarial_docs():
         "ORDER BY doc_id").fetchall()
     for doc_id, sh in rows:
         assert int(want[doc_id]) == int(sh), doc_id
+
+
+def test_bmp_synth_roundtrips_through_real_decoder():
+    import struct
+
+    from pholcus_ray.stages.multimodal import DecodeBmp, synth_bmp_table
+
+    # hand-built 2x2 bottom-up 24-bit BMP with known bytes + row padding
+    w, h = 2, 2
+    stride = (w * 3 + 3) & ~3  # 8
+    rows = [bytes([1, 2, 3, 4, 5, 6]), bytes([7, 8, 9, 10, 11, 12])]
+    raster = b"".join(r + b"\x00" * (stride - 6) for r in rows)
+    off = 54
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(raster), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                      len(raster), 2835, 2835, 0, 0)
+    parsed_w, parsed_h, px = DecodeBmp._parse(hdr + dib + raster)
+    assert (parsed_w, parsed_h) == (2, 2)
+    # bottom-up: decoded row 0 is the LAST raster row; padding stripped
+    assert px[0].tolist() == [7, 8, 9, 10, 11, 12]
+    assert px[1].tolist() == [1, 2, 3, 4, 5, 6]
+    assert float(px.mean()) == sum(range(1, 13)) / 12
+
+    st = synth_bmp_table(8)
+    dec = DecodeBmp()(st)
+    assert dec["decoded_width"].to_pylist() == st["width"].to_pylist()
+    assert dec["decoded_height"].to_pylist() == st["height"].to_pylist()
