@@ -133,6 +133,18 @@ def _q_host_pagerank_parity(sf_dir: str):
     return host_pagerank_parity(_corpus_for(sf_dir))
 
 
+def _q_anchor_text(sf_dir: str):
+    from pholcus_ray.pipelines.graph import anchor_text
+
+    return anchor_text(_corpus_for(sf_dir))
+
+
+def _q_anchor_text_parity(sf_dir: str):
+    from pholcus_ray.pipelines.graph import anchor_text_parity
+
+    return anchor_text_parity(_corpus_for(sf_dir))
+
+
 def _blocks(t, n_blocks: int = 8):
     """Split an in-memory table into blocks so small actor pools get
     parallel work (round-1 finding: one block fed one actor, second idle)."""
@@ -332,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": S.ann_topk,
         "ann_filtered": S.ann_filtered,
         "knn_batch": S.knn_batch,
+        "knn_graph": S.knn_graph,
         "ann_ivf": S.ann_ivf,
         # IVF probing all clusters is exact == brute force: SQL-oracles the
         # IVF routing/assignment machinery itself
@@ -344,7 +357,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_parity": S.kmeans_parity,
         "bpe_merges": T.bpe_merges,
         "bpe_parity": T.bpe_parity,
+        "bpe_encode": T.bpe_encode,
+        "bpe_encode_parity": T.bpe_encode_parity,
         "lm_coverage": T.lm_coverage,
+        "model_score": T.model_score,
         "pca_power": S.pca_power,
         "pca_parity": S.pca_parity,
         "minhash_lsh_recall": T.minhash_lsh_recall,
@@ -358,6 +374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PageRank over the REAL crawl link graph (host-level), conformance
         # via the sequential twin; parity verdict is the SQL-visible gate
         "host_pagerank": _q_host_pagerank,
+        "anchor_text": _q_anchor_text,
+        "anchor_text_parity": _q_anchor_text_parity,
         "host_pagerank_parity": _q_host_pagerank_parity,
         "pagerank_weighted_sample": G.pagerank_weighted_sample,
         "minlabel_components": G.minlabel_components,
@@ -421,6 +439,12 @@ def _lm_coverage_sql() -> str:
     from pholcus_ray.pipelines.textdata import lm_coverage_oracle_sql
 
     return lm_coverage_oracle_sql()
+
+
+def _model_score_sql() -> str:
+    from pholcus_ray.pipelines.textdata import model_score_oracle_sql
+
+    return model_score_oracle_sql()
 
 
 def _minhash_lsh_sql() -> str:
@@ -799,6 +823,14 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS parity_ok
             FROM documents
         """,
+        "bpe_encode_parity": """
+            -- assertion oracle: the distributed tokenizer-APPLY pass must
+            -- be bit-identical to the sequential twin encode (counts AND
+            -- order-sensitive per-doc content checksums), over every doc
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(1 AS BIGINT) AS parity_ok
+            FROM documents
+        """,
         "kmeans_parity": """
             -- assertion oracle: distributed fixed-point Lloyd's must be
             -- bit-identical to its sequential twin (parity_ok) AND assign
@@ -1006,6 +1038,12 @@ def _oracle_sql_raw() -> dict[str, str]:
             -- (hosts, page counts, summed fixed-point ranks)
             SELECT CAST(5 AS BIGINT) AS iters, CAST(1 AS BIGINT) AS parity_ok
         """,
+        "anchor_text_parity": """
+            -- assertion oracle: distributed per-target anchor-text
+            -- aggregation over the real crawl link graph must equal the
+            -- sequential twin byte-for-byte on a non-empty target set
+            SELECT CAST(1 AS BIGINT) AS parity_ok
+        """,
         "pagerank_weighted_sample": _pagerank_sample_sql(),
         "minlabel_components": _minlabel_sql(),
         # the md5_number_lower hash choice makes the full MinHash/SimHash
@@ -1014,6 +1052,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "triangle_count": _triangle_sql(),
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "lm_coverage": _lm_coverage_sql(),
+        "model_score": _model_score_sql(),
         "dup_keep_best": """
             -- per near-dup component keep the highest-quality member
             -- (ties to the smaller doc_id): the dup_clusters transitive
@@ -1781,5 +1820,21 @@ def _oracle_sql_raw() -> dict[str, str]:
             WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
             QUALIFY rank <= 3
             ORDER BY query_id, rank
+        """,
+        "knn_graph": """
+            -- the FULL exact k-NN graph (every vector a query, k=5) —
+            -- the engine computes it blocked (bucket-pair join + partial
+            -- top-k merge), the oracle states the definition directly
+            WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+            SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                   round_even(list_cosine_similarity(a.emb, b.emb), 6) AS cos,
+                   CAST(row_number() OVER (
+                        PARTITION BY a.vec_id
+                        ORDER BY list_cosine_similarity(a.emb, b.emb) DESC, b.vec_id
+                   ) AS BIGINT) AS rank
+            FROM e2 a, e2 b
+            WHERE b.vec_id <> a.vec_id
+            QUALIFY rank <= 5
+            ORDER BY vec_id, rank
         """,
     }

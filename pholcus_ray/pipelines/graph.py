@@ -1072,3 +1072,129 @@ l{k} AS (
   ON s.node = p.node)"""
     return (f"{head}{body}\n"
             f"SELECT node AS doc_id, lbl AS label FROM l{iters}")
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text aggregation over the REAL crawl link graph
+# ---------------------------------------------------------------------------
+
+
+def _anchor_rows(urls: list, htmls: list):
+    """Shared pure (dst_url, anchor) extraction — engine batches AND the
+    sequential twin: every resolvable link (same extract_links + get_href
+    the crawl frontier uses) contributes one (target, stripped-anchor)
+    row; duplicates kept (each inlink is one vote)."""
+    from ..functions.textops import extract_links, to_text
+    from ..functions.urlnorm import get_href
+
+    dsts, anchors = [], []
+    for url, hb in zip(urls, htmls):
+        for href, anchor in extract_links(to_text(hb)):
+            d = get_href(url, href)
+            if d:
+                dsts.append(d)
+                anchors.append(anchor.strip())
+    return dsts, anchors
+
+
+def anchor_text(corpus_dir: str, n_buckets: int = 8) -> rd.Dataset:
+    """Per-target anchor-text aggregation — the classic web-corpus signal
+    (anchor strings describing a page are training text FOR that page, the
+    anchor-pretraining data shape) and the relevance feature BM25F-style
+    rankers consume.
+
+    Shape: one streaming pass over the pages emits slim (part, dst,
+    anchor) votes — html never leaves the extraction batch — then ONE
+    dst-hash-bucketed exchange; each partition folds its targets with a
+    C-level pandas (dst, anchor) groupby into inlink count, distinct
+    anchor count, and the plurality anchor under the stated tie-break
+    (count DESC, anchor ASC — deterministic under any vote arrival
+    order). Per-partition memory is its share of DISTINCT (dst, anchor)
+    pairs, not the vote stream.
+    """
+    import pandas as pd
+
+    ds = rd.read_parquet(os.path.join(corpus_dir, "pages"),
+                         columns=["url", "html"])
+    nb = np.uint64(n_buckets)
+
+    def votes(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash64_array
+
+        dsts, anchors = _anchor_rows(t["url"].to_pylist(),
+                                     t["html"].to_pylist())
+        h = hash64_array(dsts) if dsts else np.empty(0, np.uint64)
+        return pa.table({
+            "part": pa.array((h % nb).astype(np.int64)),
+            "dst": pa.array(dsts, pa.string()),
+            "anchor": pa.array(anchors, pa.string()),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby(["dst", "anchor"], sort=False).size()
+             .rename("votes").reset_index())
+        c = c.sort_values(["dst", "votes", "anchor"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = c.drop_duplicates(subset=["dst"])
+        tot = c.groupby("dst", sort=False)["votes"].sum()
+        ndis = c.groupby("dst", sort=False)["anchor"].size()
+        return pd.DataFrame({
+            "dst_url": top["dst"].to_numpy(),
+            "n_inlinks": tot.reindex(top["dst"]).to_numpy(dtype=np.int64),
+            "n_distinct_anchors": ndis.reindex(top["dst"])
+                .to_numpy(dtype=np.int64),
+            "top_anchor": top["anchor"].to_numpy(),
+            "top_votes": top["votes"].to_numpy(dtype=np.int64),
+        })
+
+    return (ds.map_batches(votes, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(fold, batch_format="pandas")
+            .sort("dst_url"))
+
+
+def anchor_text_reference(corpus_dir: str) -> pa.Table:
+    """Sequential single-process twin (same pure _anchor_rows, whole
+    corpus in one pandas frame, same tie-break) — the kmeans_reference
+    contract."""
+    import pandas as pd
+
+    tabs = []
+    pages = os.path.join(corpus_dir, "pages")
+    for sub in sorted(os.listdir(pages)):
+        d = os.path.join(pages, sub)
+        if os.path.isdir(d):
+            tabs += [pq.read_table(os.path.join(d, fn),
+                                   columns=["url", "html"])
+                     for fn in sorted(os.listdir(d))
+                     if fn.endswith(".parquet")]
+    t = pa.concat_tables(tabs).combine_chunks()
+    dsts, anchors = _anchor_rows(t["url"].to_pylist(), t["html"].to_pylist())
+    g = pd.DataFrame({"dst": dsts, "anchor": anchors})
+    c = (g.groupby(["dst", "anchor"], sort=False).size()
+         .rename("votes").reset_index())
+    c = c.sort_values(["dst", "votes", "anchor"],
+                      ascending=[True, False, True], kind="mergesort")
+    top = c.drop_duplicates(subset=["dst"])
+    tot = c.groupby("dst", sort=False)["votes"].sum()
+    ndis = c.groupby("dst", sort=False)["anchor"].size()
+    out = pd.DataFrame({
+        "dst_url": top["dst"].to_numpy(),
+        "n_inlinks": tot.reindex(top["dst"]).to_numpy(dtype=np.int64),
+        "n_distinct_anchors": ndis.reindex(top["dst"])
+            .to_numpy(dtype=np.int64),
+        "top_anchor": top["anchor"].to_numpy(),
+        "top_votes": top["votes"].to_numpy(dtype=np.int64),
+    }).sort_values("dst_url", kind="mergesort").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def anchor_text_parity(corpus_dir: str) -> pa.Table:
+    """Gate-visible verdict: the distributed anchor aggregation must equal
+    the sequential twin byte-for-byte on every column, over a non-empty
+    target set (n_targets isn't SQL-derivable — HTML parsing — so
+    non-emptiness folds into the pinned verdict instead)."""
+    eng = anchor_text(corpus_dir).to_pandas().reset_index(drop=True)
+    ref = anchor_text_reference(corpus_dir).to_pandas()
+    ok = eng.equals(ref) and len(eng) > 0
+    return pa.table({"parity_ok": pa.array([int(ok)], pa.int64())})

@@ -866,3 +866,110 @@ def ann_filtered(sf_dir: str, k: int = 10, query_vec_id: int = 0,
         .limit(k)
         .map_batches(round_cos, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact k-NN graph (every vector is a query) — bucket-pair blocked join
+# ---------------------------------------------------------------------------
+
+
+def knn_graph(sf_dir: str, k: int = 5, n_buckets: int = 4) -> rd.Dataset:
+    """The full exact cosine k-NN GRAPH: for EVERY vector, its k nearest
+    neighbors (excluding itself) with rank — the candidate structure
+    embedding-dedup, graph-based ANN indexes (HNSW seeds) and
+    cluster-balancing pipelines consume.
+
+    ``knn_batch`` broadcasts a few query rows; a graph over 10^9 vectors
+    cannot broadcast anything. This is the standard blocked all-pairs
+    shape: vectors hash into B buckets, every unordered bucket PAIR
+    (i <= j) gets both buckets' rows (each row is replicated B times —
+    the price of exact recall; IVF in this module is the approximate
+    escape when B× replication is too dear), one task computes the
+    (n_i × n_j) cosine block with a single matmul and keeps only each
+    row's LOCAL top-k per side, and a final per-vector merge of the B
+    partial top-k lists (B·k slim rows per vector, not N) yields the
+    exact answer. Per-task memory is two buckets ≈ 2N/B · dim floats —
+    B is the knob that fits a worker's heap; shuffle volume is B× the
+    table for the pair stage plus N·B·k merge rows.
+    """
+    import pandas as pd
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    B = int(n_buckets)
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+
+    def replicate(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"pair": pa.array([], pa.int32()),
+                             "side": pa.array([], pa.int32()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "embedding": pa.array([], pa.list_(pa.float32()))})
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        b = (ids % B).astype(np.int64)
+        parts, sides, take = [], [], []
+        for other in range(B):
+            lo = np.minimum(b, other)
+            hi = np.maximum(b, other)
+            parts.append(lo * B + hi)
+            sides.append(b)
+            take.append(np.arange(len(ids)))
+        idx = np.concatenate(take)
+        return pa.table({
+            "pair": pa.array(np.concatenate(parts).astype(np.int32)),
+            "side": pa.array(np.concatenate(sides).astype(np.int32)),
+            "vec_id": pa.array(ids[idx], pa.int64()),
+            "embedding": t["embedding"].take(pa.array(idx)),
+        })
+
+    def pair_topk(g: pd.DataFrame) -> pd.DataFrame:
+        pair = int(g["pair"].iloc[0])
+        i, j = pair // B, pair % B
+        # the i==j diagonal pair arrives with one copy per row; i<j pairs
+        # carry both buckets (each row tagged with its own bucket as side)
+        g = g.drop_duplicates(subset=["vec_id"])
+        M = _normalize(np.stack(
+            [np.asarray(e, dtype=np.float64) for e in g["embedding"]]))
+        ids = g["vec_id"].to_numpy()
+        side = g["side"].to_numpy()
+        out_v, out_n, out_c = [], [], []
+
+        def emit(rows: np.ndarray, cols: np.ndarray) -> None:
+            if not len(rows) or not len(cols):
+                return
+            sims = M[rows] @ M[cols].T
+            rid, cid = ids[rows], ids[cols]
+            for r in range(len(rows)):
+                cos = sims[r]
+                keep = cid != rid[r]
+                cs, cc = cid[keep], cos[keep]
+                order = np.lexsort((cs, -cc))[:k]
+                out_v.extend([int(rid[r])] * len(order))
+                out_n.extend(cs[order].tolist())
+                out_c.extend(cc[order].tolist())
+
+        ii = np.flatnonzero(side == i)
+        jj = np.flatnonzero(side == j)
+        if i == j:
+            emit(ii, ii)
+        else:
+            emit(ii, jj)
+            emit(jj, ii)
+        return pd.DataFrame({"vec_id": np.asarray(out_v, dtype=np.int64),
+                             "neighbor_id": np.asarray(out_n, dtype=np.int64),
+                             "cos": np.asarray(out_c, dtype=np.float64)})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "neighbor_id"],
+                          ascending=[False, True], kind="mergesort").head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        g["cos"] = np.round(g["cos"].to_numpy(), 6)
+        return g
+
+    return (
+        ds.map_batches(replicate, batch_format="pyarrow")
+        .groupby("pair")
+        .map_groups(pair_topk, batch_format="pandas")
+        .groupby("vec_id")
+        .map_groups(merge, batch_format="pandas")
+        .sort(["vec_id", "rank"])
+    )

@@ -3376,3 +3376,227 @@ def dup_keep_best(sf_dir: str, threshold: float = 0.7, n: int = 3,
         .map_groups(best, batch_format="pandas")
         .sort("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-linear model scoring (the quality-classifier inference shape)
+# ---------------------------------------------------------------------------
+
+
+class ModelScorer:
+    """Actor-pool inference stage: score every document with a hashed
+    bag-of-words linear model (the fastText-supervised / CCNet-quality-
+    classifier shape: token -> hash bucket -> weight, summed per doc).
+
+    The pattern this operator exists to demonstrate is the stateful-stage
+    contract: the weight table is built ONCE per actor in ``__init__``
+    (for a real model this is the np.load of a few-hundred-MB matrix —
+    never per batch, never shipped per task), while ``__call__`` does only
+    vectorized lookup+segment-sum work. The weights here are derived from
+    a pure integer formula, w[j] = (j * 2654435761) % 1000 - 500 over 256
+    buckets with md5-lower64 token hashing, so the whole inference pass is
+    replayable inside DuckDB and the gate value-verifies every score —
+    the same replayable-hash trick as the MinHash/SimHash oracles.
+
+    Scale shape: embarrassingly parallel map over batches; no shuffle, no
+    driver state; integer score sums (exact, commutative); the one float —
+    the per-token mean — is derived doc-locally with the shared _round6
+    half-UP scheme.
+    """
+
+    N_BUCKETS = 256
+
+    def __init__(self):
+        j = np.arange(self.N_BUCKETS, dtype=np.int64)
+        self.w = (j * 2654435761) % 1000 - 500  # int64, the "model"
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        toks = [_tokens(x) for x in texts]
+        lens = np.array([len(tk) for tk in toks], dtype=np.int64)
+        flat = [w for tk in toks for w in tk]
+        if flat:
+            idx = (md5_lower64_array(flat)
+                   % np.uint64(self.N_BUCKETS)).astype(np.int64)
+            per_tok = self.w[idx]
+            bounds = np.zeros(len(toks) + 1, dtype=np.int64)
+            np.cumsum(lens, out=bounds[1:])
+            totals = np.add.reduceat(
+                np.concatenate([per_tok, [0]]), bounds[:-1])
+            totals[lens == 0] = 0
+        else:
+            totals = np.zeros(len(toks), dtype=np.int64)
+        denom = np.maximum(lens, 1)
+        mean = np.floor(totals * 1.0 / denom * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(lens),
+            "score_total": pa.array(totals.astype(np.int64)),
+            "score_mean": pa.array(mean, pa.float64()),
+        })
+
+
+def model_score(sf_dir: str) -> rd.Dataset:
+    """Per-document hashed-linear model scores (see :class:`ModelScorer`)."""
+    return _read_documents(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(ModelScorer, batch_format="pyarrow",
+                     concurrency=2).sort("doc_id")
+
+
+def model_score_oracle_sql() -> str:
+    """DuckDB replay of the exact inference pass: same tokenization as
+    lm_coverage, md5_number_lower == md5_lower64_array, the same integer
+    weight formula, the same floor-half-UP mean."""
+    return """
+      WITH tok AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(text), '\\s+')
+                    END AS toks
+        FROM documents
+      ), inst AS (
+        SELECT doc_id,
+               CAST(CAST(md5_number_lower(u.tok) AS HUGEINT) % 256
+                    AS BIGINT) AS j
+        FROM tok, unnest(toks) AS u(tok)
+      ), sc AS (
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               SUM((j * 2654435761) % 1000 - 500) AS score_total
+        FROM inst GROUP BY 1
+      )
+      SELECT t.doc_id,
+             CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(sc.score_total, 0) AS BIGINT) AS score_total,
+             FLOOR(COALESCE(sc.score_total, 0) * 1.0
+                   / greatest(COALESCE(sc.n_tokens, 0), 1) * 1000000
+                   + 0.5) / 1000000 AS score_mean
+      FROM tok t LEFT JOIN sc ON sc.doc_id = t.doc_id
+      ORDER BY t.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer APPLY (the other half of bpe_merges)
+# ---------------------------------------------------------------------------
+
+
+def _pow_range_p61(r: int, n: int) -> np.ndarray:
+    """``[r^1, r^2, ..., r^n] mod p61`` with O(log n) vectorized doubling
+    steps: the filled prefix of length k extends by prefix·r^k."""
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    out[0] = r % int(_P61)
+    k = 1
+    while k < n:
+        m = min(k, n - k)
+        out[k:k + m] = _mulmod_p61(
+            out[:m], np.full(m, out[k - 1], dtype=np.uint64))
+        k += k
+    return out
+
+
+class BpeEncoder:
+    """Actor-pool tokenizer-apply stage: encode every document with a
+    learned BPE merge list (the inference half of :func:`bpe_merges` —
+    a production pipeline trains once, then applies the tokenizer to the
+    whole corpus for token counting / sequence packing).
+
+    Stateful-stage contract: the merge list arrives ONCE per actor via a
+    ``ray.put`` handle resolved in ``__init__`` (for a real tokenizer this
+    is the vocab/merges file load), together with a word→encoding memo
+    dict — Zipf makes the cache hit rate extreme, so the per-word merge
+    loop runs roughly once per DISTINCT word per actor, not per token
+    instance. ``__call__`` folds each doc to (count, order-sensitive
+    content checksum) so nothing token-sized leaves the stage.
+
+    The checksum is the polynomial rolling hash sum_i h_i·r^i mod p61
+    over the doc's output symbols (h = hash64(sym) mod p61, powers of r
+    built with O(log n) vectorized doublings, products via _mulmod_p61)
+    — geometric weights so symbol ORDER matters (linear weights i·h are
+    blind to reversal: sum i·h_{s_i} == sum (n+1-i)·h_{s_i} whenever the
+    multiset matches, caught by the order-sensitivity test), join-free so
+    no separator collision (the NUL-join groupby lesson), exact integers.
+    """
+
+    _R = 1_000_003
+
+    def __init__(self, merges_ref):
+        self.merges = (ray.get(merges_ref)
+                       if not isinstance(merges_ref, list) else merges_ref)
+        self.cache: dict = {}
+
+    def encode_word(self, w: str) -> list:
+        enc = self.cache.get(w)
+        if enc is None:
+            syms = list(w)
+            for left, right in self.merges:
+                if len(syms) < 2:
+                    break
+                syms = _bpe_apply(syms, left, right)
+            enc = self.cache[w] = syms
+        return enc
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n_words, n_syms, checks = [], [], []
+        for text in t["text"].to_pylist():
+            toks = _tokens(text.lower())
+            syms = [s for w in toks for s in self.encode_word(w)]
+            n_words.append(len(toks))
+            n_syms.append(len(syms))
+            if syms:
+                h = hash64_array(syms) % _P61
+                c = int(_mulmod_p61(h, _pow_range_p61(self._R, len(h)))
+                        .astype(object).sum() % int(_P61))
+            else:
+                c = 0
+            checks.append(c)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_bpe_tokens": pa.array(n_syms, pa.int64()),
+            "enc_hash": pa.array(checks, pa.int64()),
+        })
+
+
+def bpe_encode(sf_dir: str, rounds: int = 6) -> rd.Dataset:
+    """Distributed BPE encode of the whole corpus under the merges
+    :func:`bpe_merges` learns (see :class:`BpeEncoder`)."""
+    mt = bpe_merges(sf_dir, rounds)
+    merges = list(zip(mt["left"].to_pylist(), mt["right"].to_pylist()))
+    ref = ray.put(merges)
+    return (_read_documents(sf_dir, columns=["doc_id", "text"])
+            .map_batches(BpeEncoder, fn_constructor_kwargs={"merges_ref": ref},
+                         batch_format="pyarrow", concurrency=2)
+            .sort("doc_id"))
+
+
+def bpe_encode_reference(sf_dir: str, rounds: int = 6) -> pa.Table:
+    """Sequential twin: the SAME BpeEncoder class over the whole corpus as
+    one batch in one process, under the sequential twin's merges — the
+    kmeans_reference contract (engine-vs-twin equality proves the
+    distributed batch/actor layout changes nothing)."""
+    import pyarrow.compute as pc
+
+    rt = bpe_reference(sf_dir, rounds)
+    merges = list(zip(rt["left"].to_pylist(), rt["right"].to_pylist()))
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    out = BpeEncoder(merges)(t)
+    return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))
+
+
+def bpe_encode_parity(sf_dir: str, rounds: int = 6) -> pa.Table:
+    """Gate-visible verdict: distributed encode ≡ sequential twin encode
+    (doc counts, symbol counts AND order-sensitive content checksums all
+    bit-equal); the SQL oracle pins parity_ok=1 and recomputes n_docs."""
+    eng = bpe_encode(sf_dir, rounds).to_pandas().reset_index(drop=True)
+    ref = bpe_encode_reference(sf_dir, rounds).to_pandas()
+    ok = eng.equals(ref)
+    return pa.table({
+        "n_docs": pa.array([len(eng)], pa.int64()),
+        "parity_ok": pa.array([int(ok)], pa.int64()),
+    })

@@ -58,7 +58,8 @@ def ducksf():
      "bm25_topk", "ann_filtered", "host_pagerank_parity",
      "pagerank_weighted_sample", "events_anomaly",
      "order_totals_join", "customers_without_orders",
-     "minlabel_components"],
+     "minlabel_components", "model_score", "knn_graph",
+     "bpe_encode_parity", "anchor_text_parity"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -1539,3 +1540,122 @@ def test_bmp_synth_roundtrips_through_real_decoder():
     dec = DecodeBmp()(st)
     assert dec["decoded_width"].to_pylist() == st["width"].to_pylist()
     assert dec["decoded_height"].to_pylist() == st["height"].to_pylist()
+
+
+def test_model_scorer_matches_naive_python():
+    import hashlib
+
+    import pyarrow as pa
+
+    from pholcus_ray.pipelines.textdata import ModelScorer
+
+    texts = ["hello world hello", "", "   ", "one", "a b c d e f g",
+             "héllo wörld", "x " * 500]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = ModelScorer()(t)
+
+    def naive(text):
+        toks = text.strip().split()
+        total = 0
+        for tok in toks:
+            j = int.from_bytes(hashlib.md5(tok.encode()).digest()[8:16],
+                               "little") % 256
+            total += (j * 2654435761) % 1000 - 500
+        import math
+        mean = math.floor(total / max(len(toks), 1) * 1e6 + 0.5) / 1e6
+        return len(toks), total, mean
+
+    for i, text in enumerate(texts):
+        n, tot, mean = naive(text)
+        assert out["n_tokens"][i].as_py() == n, text
+        assert out["score_total"][i].as_py() == tot, text
+        assert out["score_mean"][i].as_py() == mean, text
+
+
+def test_model_score_sql_oracle_parity(ray_session):
+    import duckdb
+
+    from pholcus_ray.pipelines.textdata import model_score, model_score_oracle_sql
+
+    got = model_score(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(model_score_oracle_sql()).df()
+    assert len(got) == len(want)
+    for c in ["doc_id", "n_tokens", "score_total"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert (got["score_mean"].to_numpy() == want["score_mean"].to_numpy()).all()
+
+
+def test_knn_graph_matches_brute_force_and_bucket_invariant(ray_session):
+    import pyarrow.parquet as pq
+
+    from pholcus_ray.pipelines.similarity import (_normalize, _to_matrix,
+                                                  knn_graph)
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    M = _normalize(_to_matrix(t["embedding"]))
+    sims = M @ M.T
+    k = 5
+    got = knn_graph(SF, k=k, n_buckets=4).to_pandas()
+    gb = {v: sub for v, sub in got.groupby("vec_id")}
+    for r, vid in enumerate(ids):
+        cos = sims[r].copy()
+        keep = ids != vid
+        order = np.lexsort((ids[keep], -cos[keep]))[:k]
+        want_n = ids[keep][order]
+        sub = gb[vid]
+        assert (sub["neighbor_id"].to_numpy() == want_n).all(), vid
+        assert (sub["rank"].to_numpy() == np.arange(1, len(want_n) + 1)).all()
+        assert np.allclose(sub["cos"].to_numpy(),
+                           np.round(cos[keep][order], 6), atol=2e-6)
+
+    again = knn_graph(SF, k=k, n_buckets=7).to_pandas()
+    assert got.reset_index(drop=True).equals(again.reset_index(drop=True))
+
+
+def test_bpe_encoder_checksum_order_sensitive_and_empty():
+    import pyarrow as pa
+
+    from pholcus_ray.pipelines.textdata import BpeEncoder
+
+    enc = BpeEncoder([])
+    o1 = enc(pa.table({"doc_id": pa.array([0], pa.int64()),
+                       "text": pa.array(["ab ba"], pa.string())}))
+    o2 = enc(pa.table({"doc_id": pa.array([0], pa.int64()),
+                       "text": pa.array(["ba ab"], pa.string())}))
+    # same multiset of symbols, different order -> same count, different hash
+    assert o1["n_bpe_tokens"][0].as_py() == o2["n_bpe_tokens"][0].as_py() == 4
+    assert o1["enc_hash"][0].as_py() != o2["enc_hash"][0].as_py()
+    o3 = enc(pa.table({"doc_id": pa.array([0], pa.int64()),
+                       "text": pa.array([""], pa.string())}))
+    assert o3["n_bpe_tokens"][0].as_py() == 0
+    assert o3["enc_hash"][0].as_py() == 0
+    # merges actually apply: (a,b) merge halves the ab-word symbol count
+    encm = BpeEncoder([("a", "b")])
+    o4 = encm(pa.table({"doc_id": pa.array([0], pa.int64()),
+                        "text": pa.array(["abab"], pa.string())}))
+    assert o4["n_bpe_tokens"][0].as_py() == 2
+
+
+def test_bpe_encode_distributed_matches_sequential_twin(ray_session):
+    from pholcus_ray.pipelines.textdata import bpe_encode_parity
+
+    t = bpe_encode_parity(SF).to_pandas()
+    assert int(t["parity_ok"].iloc[0]) == 1
+    assert int(t["n_docs"].iloc[0]) > 0
+
+
+def test_pow_range_p61_matches_bigint():
+    from pholcus_ray.pipelines.textdata import _pow_range_p61
+
+    P = (1 << 61) - 1
+    for r in (1_000_003, 2, P - 1):
+        got = _pow_range_p61(r, 70)
+        for i in range(70):
+            assert int(got[i]) == pow(r, i + 1, P), (r, i)
+    assert len(_pow_range_p61(3, 0)) == 0
