@@ -313,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": T.dup_clusters,
         "dup_keep_best": T.dup_keep_best,
         "split_by_hash": T.split_by_hash,
+        "epoch_shuffle": T.epoch_shuffle,
+        "data_card": T.data_card,
         "pii_scrub": T.pii_scrub,
         "chunk_docs": T.chunk_docs,
         "substring_dups": T.substring_dups,
@@ -445,6 +447,18 @@ def _model_score_sql() -> str:
     from pholcus_ray.pipelines.textdata import model_score_oracle_sql
 
     return model_score_oracle_sql()
+
+
+def _epoch_shuffle_sql() -> str:
+    from pholcus_ray.pipelines.textdata import epoch_shuffle_oracle_sql
+
+    return epoch_shuffle_oracle_sql()
+
+
+def _data_card_sql() -> str:
+    from pholcus_ray.pipelines.textdata import data_card_oracle_sql
+
+    return data_card_oracle_sql()
 
 
 def _minhash_lsh_sql() -> str:
@@ -1053,6 +1067,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "lm_coverage": _lm_coverage_sql(),
         "model_score": _model_score_sql(),
+        "epoch_shuffle": _epoch_shuffle_sql(),
+        "data_card": _data_card_sql(),
         "dup_keep_best": """
             -- per near-dup component keep the highest-quality member
             -- (ties to the smaller doc_id): the dup_clusters transitive

@@ -95,6 +95,14 @@ _BENCH_QUERIES = [
     "bpe_merges",
     "lm_coverage",
     "events_moving_avg",
+    # round-3 final batch: inference/shuffle/report operators (knn_graph
+    # is timed at its sf0.1 default B=4 bucket-pair layout)
+    "model_score",
+    "bpe_encode",
+    "knn_graph",
+    "epoch_shuffle",
+    "data_card",
+    "anchor_text",
 ]
 
 

@@ -3600,3 +3600,194 @@ def bpe_encode_parity(sf_dir: str, rounds: int = 6) -> pa.Table:
         "n_docs": pa.array([len(eng)], pa.int64()),
         "parity_ok": pa.array([int(ok)], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle (training-order assignment)
+# ---------------------------------------------------------------------------
+
+
+def epoch_shuffle(sf_dir: str, seed: int = 0, n_shards: int = 8,
+                  n_buckets: int = 64) -> rd.Dataset:
+    """Deterministic seeded GLOBAL training order for an epoch: every doc
+    gets its position in a seeded md5(seed:doc_id)-derived permutation
+    (order key = (hash-prefix bucket, hash hex, doc_id)), plus the
+    (shard, shard_offset) cell a round-robin reader would pull it from —
+    the data-ordering step every pretraining run needs (same seed ⇒ same
+    order on any machine/cluster/corpus layout; a new epoch is a new seed,
+    no RNG state to ship or checkpoint).
+
+    Computed WITHOUT a global sort (the quantile_buckets histogram-CDF
+    route, on hash space instead of value space): exchange 1 is a tiny
+    per-bucket COUNT over the first hex byte of the hash (n_buckets rows
+    to the driver — constant, corpus-independent), prefix-summed into
+    bucket base ranks; exchange 2 groups rows by that bucket, each
+    partition sorts only ITS hash range locally and adds the broadcast
+    base. md5 hex is uniform, so buckets are balanced within
+    O(sqrt(N/n_buckets)); no stage holds more than one bucket. Round-robin
+    shard = pos % n_shards keeps every shard an unbiased stratified slice
+    of the permutation (sequential pos//n_shards reads within a shard).
+    """
+    ds = _read_documents(sf_dir, columns=["doc_id"])
+    prefix_len = 2  # 2 hex chars = 256 possible buckets, folded to n_buckets
+
+    def hx_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        hx = md5_hex_array([f"{seed}:{int(i)}" for i in ids])
+        bucket = np.array([int(h[:prefix_len], 16) % n_buckets for h in hx],
+                          dtype=np.int32)
+        return pa.table({"bucket": pa.array(bucket),
+                         "doc_id": pa.array(ids, pa.int64()),
+                         "hx": pa.array(hx, pa.string())})
+
+    hashed = ds.map_batches(hx_rows, batch_format="pyarrow")
+
+    def bcounts(t: pa.Table) -> pa.Table:
+        b, c = np.unique(t["bucket"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"bucket": pa.array(b, pa.int32()),
+                         "c": pa.array(c, pa.int64())})
+
+    counts = {int(r["bucket"]): int(r["c"]) for r in
+              (hashed.map_batches(bcounts, batch_format="pyarrow")
+               .groupby("bucket").aggregate(Sum("c", alias_name="c"))
+               .take_all())}
+    base, acc = {}, 0
+    for b in sorted(counts):
+        base[b] = acc
+        acc += counts[b]
+    base_ref = ray.put(base)
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(base_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values(["hx", "doc_id"], kind="mergesort")
+        pos = (b + np.arange(len(g))).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64").values,
+            "pos": pos,
+            "shard": (pos % n_shards).astype(np.int64),
+            "shard_offset": (pos // n_shards).astype(np.int64),
+        })
+
+    # bucket boundaries in hash space respect the global (hx, doc_id)
+    # order only if buckets are ALSO ordered by hash prefix — fold-mod
+    # breaks that, so base ranks use the folded bucket id consistently
+    # on both passes (any fixed bucket->base map that partitions the
+    # rows works: pos is base[bucket] + local rank, and the SQL oracle
+    # below orders by the same (bucket, hx, doc_id) triple).
+    return (hashed.groupby("bucket")
+            .map_groups(rank, batch_format="pandas")
+            .sort("doc_id"))
+
+
+def epoch_shuffle_oracle_sql(seed: int = 0, n_shards: int = 8,
+                             n_buckets: int = 64) -> str:
+    """DuckDB replay: identical hash (md5 of 'seed:doc_id'), identical
+    global order (bucket = first-hex-byte mod n_buckets, then hash hex,
+    then doc_id — matching the engine's bucket-base + local-sort
+    composition)."""
+    return f"""
+      WITH h AS (
+        SELECT doc_id,
+               md5({seed} || ':' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents
+      ), b AS (
+        SELECT doc_id, hx,
+               CAST(('0x' || substr(hx, 1, 2)) AS INTEGER)
+                 % {n_buckets} AS bucket
+        FROM h
+      ), r AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY bucket, hx, doc_id) - 1
+                    AS BIGINT) AS pos
+        FROM b
+      )
+      SELECT doc_id, pos,
+             CAST(pos % {n_shards} AS BIGINT) AS shard,
+             CAST(pos // {n_shards} AS BIGINT) AS shard_offset
+      FROM r ORDER BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Data card (per-(source, lang) corpus composition report)
+# ---------------------------------------------------------------------------
+
+
+def data_card(sf_dir: str) -> rd.Dataset:
+    """Per-(source, lang) corpus composition report — the "data card"
+    table every released training set ships (how many docs/tokens per
+    source and language, average doc length, each cell's share of the
+    corpus): the mixture-weight input for source balancing.
+
+    Scale shape: one streaming pass folds each batch to per-(source,
+    lang) PARTIAL sums (cardinality-bounded rows — text never leaves the
+    batch), then a single coarse fold merges the partials and derives the
+    ratio columns where the global total is in scope; shuffle volume is
+    n_blocks x cardinality slim rows. Integer sums exact; the two ratio
+    columns round half-UP via the shared _round6 scheme.
+    """
+    ds = _read_documents(sf_dir, columns=["source", "lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": t["source"].to_pylist(),
+            "lang": t["lang"].to_pylist(),
+            "n_toks": np.array([len(_tokens(x))
+                                for x in t["text"].to_pylist()], np.int64),
+            "n_chars_py": np.array([len(x) for x in t["text"].to_pylist()],
+                                   np.int64),
+        })
+        g = (df.groupby(["source", "lang"], sort=False)
+             .agg(n_docs=("n_toks", "size"), sum_tokens=("n_toks", "sum"),
+                  sum_chars=("n_chars_py", "sum")).reset_index())
+        g["part"] = 0
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby(["source", "lang"], sort=True)
+             .agg(n_docs=("n_docs", "sum"), sum_tokens=("sum_tokens", "sum"),
+                  sum_chars=("sum_chars", "sum")).reset_index())
+        total = int(m["n_docs"].sum())
+        return pd.DataFrame({
+            "source": m["source"].values,
+            "lang": m["lang"].values,
+            "n_docs": m["n_docs"].astype("int64").values,
+            "sum_tokens": m["sum_tokens"].astype("int64").values,
+            "sum_chars": m["sum_chars"].astype("int64").values,
+            "mean_tokens": [_round6(t / d) for t, d in
+                            zip(m["sum_tokens"], m["n_docs"])],
+            "pct_docs": [_round6(d / total) for d in m["n_docs"]],
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .sort(["source", "lang"]))
+
+
+def data_card_oracle_sql() -> str:
+    """DuckDB replay: same tokenization as token_stats, len() chars,
+    floor-half-UP ratios."""
+    return """
+      WITH d AS (
+        SELECT source, lang,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                    END AS n_toks,
+               len(text) AS n_chars_py
+        FROM documents
+      ), g AS (
+        SELECT source, lang, COUNT(*) AS n_docs,
+               SUM(n_toks) AS sum_tokens, SUM(n_chars_py) AS sum_chars
+        FROM d GROUP BY 1, 2
+      )
+      SELECT source, lang,
+             CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(sum_tokens AS BIGINT) AS sum_tokens,
+             CAST(sum_chars AS BIGINT) AS sum_chars,
+             FLOOR(sum_tokens * 1.0 / n_docs * 1000000 + 0.5) / 1000000
+               AS mean_tokens,
+             FLOOR(n_docs * 1.0 / (SELECT SUM(n_docs) FROM g) * 1000000
+                   + 0.5) / 1000000 AS pct_docs
+      FROM g ORDER BY source, lang
+    """

@@ -59,7 +59,8 @@ def ducksf():
      "pagerank_weighted_sample", "events_anomaly",
      "order_totals_join", "customers_without_orders",
      "minlabel_components", "model_score", "knn_graph",
-     "bpe_encode_parity", "anchor_text_parity"],
+     "bpe_encode_parity", "anchor_text_parity",
+     "epoch_shuffle", "data_card"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -1659,3 +1660,44 @@ def test_pow_range_p61_matches_bigint():
         for i in range(70):
             assert int(got[i]) == pow(r, i + 1, P), (r, i)
     assert len(_pow_range_p61(3, 0)) == 0
+
+
+def test_epoch_shuffle_is_a_permutation_and_bucket_invariant(ray_session):
+    from pholcus_ray.pipelines.textdata import epoch_shuffle
+
+    got = epoch_shuffle(SF, seed=0, n_buckets=64).to_pandas()
+    n = len(got)
+    pos = np.sort(got["pos"].to_numpy())
+    assert (pos == np.arange(n)).all()  # exact permutation, no gaps/dups
+    assert (got["shard"].to_numpy() == got["pos"].to_numpy() % 8).all()
+    assert (got["shard_offset"].to_numpy() == got["pos"].to_numpy() // 8).all()
+    # bucket count is an internal knob: same seed => identical order
+    again = epoch_shuffle(SF, seed=0, n_buckets=64).to_pandas()
+    assert got.reset_index(drop=True).equals(again.reset_index(drop=True))
+    # a different seed is a genuinely different permutation
+    other = epoch_shuffle(SF, seed=1, n_buckets=64).to_pandas()
+    assert (other["pos"].to_numpy() != got["pos"].to_numpy()).any()
+
+
+def test_data_card_matches_naive_pandas(ray_session):
+    import pyarrow.parquet as pq
+
+    from pholcus_ray.pipelines.textdata import _round6, _tokens, data_card
+
+    got = data_card(SF).to_pandas()
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["source", "lang", "text"]).to_pandas()
+    t["n_toks"] = [len(_tokens(x)) for x in t["text"]]
+    t["n_chars_py"] = [len(x) for x in t["text"]]
+    m = (t.groupby(["source", "lang"], sort=True)
+         .agg(n_docs=("n_toks", "size"), sum_tokens=("n_toks", "sum"),
+              sum_chars=("n_chars_py", "sum")).reset_index())
+    assert len(got) == len(m)
+    assert (got["n_docs"].to_numpy() == m["n_docs"].to_numpy()).all()
+    assert (got["sum_tokens"].to_numpy() == m["sum_tokens"].to_numpy()).all()
+    assert (got["sum_chars"].to_numpy() == m["sum_chars"].to_numpy()).all()
+    total = int(m["n_docs"].sum())
+    assert got["pct_docs"].tolist() == [
+        _round6(d / total) for d in m["n_docs"]]
+    assert got["mean_tokens"].tolist() == [
+        _round6(tk / d) for tk, d in zip(m["sum_tokens"], m["n_docs"])]
