@@ -61,7 +61,8 @@ class RuleContext:
                  html_bytes: bytes, temp: str = "", keyin: str = "",
                  download_time: str = "", method: str = "GET",
                  post_data: str = "", cookie: str = "", user_agent: str = "",
-                 status: int = 200):
+                 status: int = 200, limit: int = 0, pausetime: float = 0.0,
+                 response_headers: dict | None = None):
         self.url = url
         self.referer = referer
         self.rule = rule
@@ -74,6 +75,9 @@ class RuleContext:
         self.cookie = cookie          # Cookie header this fetch carried
         self.user_agent = user_agent  # UA this fetch carried (request.go:214, GetCookies parity)
         self.status = status          # response status (GetStatusCode, context.go:445)
+        self.limit = limit            # spider crawl limit (GetLimit, context.go:519)
+        self.pausetime = pausetime    # politeness pause (SetPausetime target)
+        self.response_headers = dict(response_headers or {})
         self.spider = None            # attached by Spider.run_rule (GetSpider)
         self._temp: dict = json.loads(temp) if temp else {}
         self._text: str | None = None
@@ -83,6 +87,15 @@ class RuleContext:
         self.files: list[tuple[str, bytes]] = []
         self.logs: list[str] = []
         self.error: Exception | None = None
+        # control signals a rule raised (SetKeyin/SetLimit/SetPausetime/
+        # SetTimer/RunTimer, context.go:378-406). The reference mutates live
+        # scheduler state from the rule goroutine; in the distributed engine
+        # rules run inside stateless fetch+parse tasks, so these accumulate
+        # here for the DRIVER to apply between rounds (the SURVEY §2.8
+        # "driver checks between rounds" mapping of pause/knob polling —
+        # timers feed state.timer.run_recurring; limit/pausetime map to
+        # CrawlConfig.max_pages / host-budget knobs on the next round).
+        self.controls: list[tuple[str, object]] = []
 
     # --- lazy projections (reference context.go:612-644) ---
 
@@ -147,6 +160,43 @@ class RuleContext:
     def get_text(self) -> str:
         return self.text
 
+    def get_limit(self) -> int:
+        return self.limit
+
+    def get_header(self, key: str | None = None):
+        """Response header(s) (GetHeader, context.go:580-588): the full
+        dict, or one value (empty string if absent)."""
+        if key is None:
+            return dict(self.response_headers)
+        return self.response_headers.get(key, "")
+
+    def get_request_header(self, key: str | None = None):
+        """Request header(s) as sent (GetRequestHeader, context.go:590-598)
+        — synthesized from the carried Cookie/User-Agent, the two headers
+        the fetch path actually varies per request."""
+        h = {}
+        if self.user_agent:
+            h["User-Agent"] = self.user_agent
+        if self.cookie:
+            h["Cookie"] = self.cookie
+        if key is None:
+            return h
+        return h.get(key, "")
+
+    def get_request(self) -> LinkRequest:
+        """The current request as a LinkRequest view (GetRequest,
+        context.go:450-456)."""
+        return LinkRequest(url=self.url, rule=self.rule, method=self.method,
+                           post_data=self.post_data, temp=self.temp_json())
+
+    def copy_request(self) -> LinkRequest:
+        """Independent copy of the current request (CopyRequest,
+        context.go:458) — mutate and re-enqueue without touching the
+        original."""
+        import copy
+
+        return copy.deepcopy(self.get_request())
+
     # --- request/body mutators (context.go:309-317, 409) ---
 
     def set_url(self, url: str) -> None:
@@ -208,6 +258,55 @@ class RuleContext:
             self.spider.run_rule(self)
         finally:
             self.rule = prev
+
+    def create_item(self, indexed: dict, rule: str | None = None) -> dict:
+        """Build an item dict from {field-index: value} using the rule's
+        ItemFields (CreateItem, context.go:288-302); indices without a
+        registered field are dropped, matching GetItemField's empty-name
+        behavior."""
+        out = {}
+        for idx, value in sorted(indexed.items()):
+            name = self.get_item_field(int(idx), rule)
+            if name:
+                out[name] = value
+        return out
+
+    def aid(self, args: dict | None = None, rule: str | None = None):
+        """Invoke the spider's AidFunc helper (Aid, context.go:333-352;
+        spider.go:57) — the escape hatch rules use for data-dependent
+        frontier expansion (jdsearch.go:49-67 paging fan-out). The helper
+        receives (ctx, args) and may enqueue via ctx.add_queue."""
+        del rule  # reference routes Aid through the spider, not per rule
+        if self.spider is None or self.spider.aid_func is None:
+            return None
+        return self.spider.aid_func(self, args or {})
+
+    # --- scheduler knobs + timers (context.go:378-406) ---
+    # accumulated as control signals; see __init__ notes on why the driver
+    # (not the worker task) applies them
+
+    def set_keyin(self, keyin: str) -> None:
+        self.keyin = keyin
+        self.controls.append(("keyin", keyin))
+
+    def set_limit(self, limit: int) -> None:
+        self.limit = int(limit)
+        self.controls.append(("limit", int(limit)))
+
+    def set_pausetime(self, pause_sec: float) -> None:
+        self.pausetime = float(pause_sec)
+        self.controls.append(("pausetime", float(pause_sec)))
+
+    def set_timer(self, timer_id: str, timer) -> None:
+        """Register a named recurring timer (SetTimer, context.go:399-403);
+        the driver wires it into state.timer.run_recurring."""
+        self.controls.append(("set_timer", (timer_id, timer)))
+
+    def run_timer(self, timer_id: str) -> None:
+        """Request a timer tick (RunTimer, context.go:405-406). The
+        reference blocks the rule goroutine until the bell; the driver-side
+        equivalent re-arms the crawl at the timer's next virtual fire."""
+        self.controls.append(("run_timer", timer_id))
 
     # --- diagnostics (context.go:420-431) ---
 
@@ -299,6 +398,9 @@ class Spider:
     # spider.go:33 EnableCookie: cookies + FIXED UA when True, no cookies +
     # per-attempt UA rotation when False (surfer/param.go:86-96)
     enable_cookie: bool = False
+    # spider.go:57 AidFunc: the rule-invocable helper (ctx.aid); receives
+    # (ctx, args) — used for data-dependent paging fan-out
+    aid_func: Callable | None = None
 
     def run_rule(self, ctx: RuleContext) -> None:
         ctx.spider = self  # GetSpider / item-field verbs (context.go:433)

@@ -566,3 +566,70 @@ def test_streaming_excel_matches_collected_members(two_rule_run, tmp_path):
             assert za.namelist() == zb.namelist(), tag
             for name in za.namelist():
                 assert za.read(name) == zb.read(name), (tag, name)
+
+
+def test_ctx_create_item_aid_and_request_views():
+    """CreateItem index->name mapping (context.go:288-302), AidFunc paging
+    fan-out (context.go:333-352, jdsearch.go:49-67 shape), GetRequest/
+    CopyRequest independence (context.go:450-458)."""
+
+    def aid_pages(ctx, args):
+        # the classic AidFunc: enqueue pages 2..n computed from parsed data
+        for p in range(2, int(args["total_pages"]) + 1):
+            ctx.add_queue(f"/list?page={p}", rule="page")
+        return args["total_pages"]
+
+    def parse(ctx):
+        item = ctx.create_item({0: "t0", 1: "v1", 9: "dropped"})
+        ctx.output(item)
+        ctx.aid({"total_pages": 3})
+
+    sp = Spider(name="aidspider",
+                rules={"page": Rule(parse=parse,
+                                    item_fields=["title", "value"])},
+                aid_func=aid_pages)
+    ctx = RuleContext(url="http://h0.example.com/list?page=1",
+                      referer="", rule="page", depth=0,
+                      html_bytes=b"<html></html>")
+    sp.run_rule(ctx)
+    # index 9 has no registered field -> dropped
+    assert ctx.items == [{"title": "t0", "value": "v1"}]
+    assert [r.url for r in ctx.requests] == [
+        "http://h0.example.com/list?page=2",
+        "http://h0.example.com/list?page=3",
+    ]
+    # request views: copy is independent of the live context
+    req = ctx.get_request()
+    assert req.url == ctx.url and req.rule == "page"
+    cp = ctx.copy_request()
+    cp.url = "http://elsewhere.example.com/"
+    assert ctx.get_request().url == "http://h0.example.com/list?page=1"
+
+
+def test_ctx_scheduler_knobs_and_timers_accumulate_controls():
+    """SetKeyin/SetLimit/SetPausetime/SetTimer/RunTimer (context.go:378-406)
+    accumulate driver-applied control signals; getters see the local write;
+    header verbs expose the carried request/response headers."""
+    from pholcus_ray.state.timer import CountdownTimer
+
+    ctx = RuleContext(url="http://h0.example.com/", referer="", rule="page",
+                      depth=0, html_bytes=b"", keyin="old", limit=10,
+                      cookie="sid=1", user_agent="UA-7",
+                      response_headers={"Content-Type": "text/html"})
+    ctx.set_keyin("new")
+    ctx.set_limit(99)
+    ctx.set_pausetime(2.5)
+    t = CountdownTimer(every_sec=60.0)
+    ctx.set_timer("refresh", t)
+    ctx.run_timer("refresh")
+    assert ctx.get_keyin() == "new" and ctx.get_limit() == 99
+    assert ctx.pausetime == 2.5
+    assert ctx.controls == [
+        ("keyin", "new"), ("limit", 99), ("pausetime", 2.5),
+        ("set_timer", ("refresh", t)), ("run_timer", "refresh"),
+    ]
+    assert ctx.get_header("Content-Type") == "text/html"
+    assert ctx.get_header("X-Missing") == ""
+    assert ctx.get_request_header() == {"User-Agent": "UA-7",
+                                        "Cookie": "sid=1"}
+    assert ctx.get_request_header("Cookie") == "sid=1"
