@@ -343,22 +343,46 @@ def main(sustained_only: bool = False) -> None:
         queries, query_runs = bench_queries()
         probes["probe_after"] = phase_probe()
     sf = os.path.basename(os.path.normpath(SF_DIR))
-    print(
-        json.dumps(
-            {
-                "metric": "sustained_fetch_extract_sec",
-                "value": sustained["sec"],
-                "unit": "sec",
-                "queries": queries,
-                "sf": sf,
-                "num_cpus": NUM_CPUS,
-                "sustained": sustained,
-                "crawl": crawl,
-                "query_runs": query_runs,
-                **probes,
-            }
-        )
-    )
+    full = {
+        "metric": "sustained_fetch_extract_sec",
+        "value": sustained["sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "sustained": sustained,
+        "crawl": crawl,
+        "query_runs": query_runs,
+        **probes,
+    }
+    # The driver's stdout capture keeps only the LAST ~2000 chars; round 3's
+    # single 4.5 kB line lost its head and parsed as null (VERDICT r3 #1).
+    # Protocol now: persist the full record to a file, print it first for
+    # humans, and make the FINAL stdout line a compact (<1.9 kB) JSON the
+    # driver can always parse from its tail window.
+    if not sustained_only:
+        full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench_full_last.json")
+        try:
+            with open(full_path, "w") as fh:
+                json.dump(full, fh)
+        except OSError:
+            full_path = None
+        print(json.dumps(full))
+        compact = dict(full)
+        compact.pop("query_runs", None)
+        compact["full_record"] = (os.path.basename(full_path)
+                                  if full_path else None)
+        compact["queries"] = {k: round(v, 2) for k, v in queries.items()}
+        line = json.dumps(compact)
+        if len(line) > 1900:  # keep only the slowest queries in the tail line
+            slow = dict(sorted(queries.items(), key=lambda kv: -kv[1])[:15])
+            compact["queries"] = {k: round(v, 2) for k, v in slow.items()}
+            compact["queries_truncated_to_slowest"] = len(slow)
+            line = json.dumps(compact)
+        print(line)
+    else:
+        print(json.dumps(full))
     import ray
 
     ray.shutdown()
@@ -466,7 +490,7 @@ def scaling() -> None:
         }
 
     lo, hi = 8, 32
-    n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "2"))
+    n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
     # generate + page-cache-warm the scaled corpus BEFORE the timed legs
     from pholcus_ray.sources.pages import cached_corpus
 
@@ -510,28 +534,36 @@ def scaling() -> None:
     eff = effs[len(effs) // 2] if len(effs) % 2 else round(
         (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
     best = max(pairs, key=lambda q: q["efficiency"])
-    print(
-        json.dumps(
-            {
-                "workload": "sustained full-frontier fetch+extract",
-                "sustained_pages": pages,
-                "cpus_lo": lo,
-                "cpus_hi": hi,
-                "urls_per_sec_lo": best["urls_per_sec_lo"],
-                "urls_per_sec_hi": best["urls_per_sec_hi"],
-                "sec_lo": best["sec_lo"],
-                "sec_hi": best["sec_hi"],
-                "scaling_efficiency": eff,
-                "pair_efficiencies": [p["efficiency"] for p in pairs],
-                "pairs": pairs,
-                "probe_precooldown": pre,
-                "hw_ceiling": hw,
-                "efficiency_vs_hw_ceiling": round(
-                    eff / hw["hw_efficiency"], 3
-                ) if hw["hw_efficiency"] else None,
-            }
-        )
-    )
+    record = {
+        "workload": "sustained full-frontier fetch+extract",
+        "sustained_pages": pages,
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "urls_per_sec_lo": best["urls_per_sec_lo"],
+        "urls_per_sec_hi": best["urls_per_sec_hi"],
+        "sec_lo": best["sec_lo"],
+        "sec_hi": best["sec_hi"],
+        "scaling_efficiency": eff,
+        "pair_efficiencies": [p["efficiency"] for p in pairs],
+        "pairs": pairs,
+        "probe_precooldown": pre,
+        "hw_ceiling": hw,
+        "efficiency_vs_hw_ceiling": round(
+            eff / hw["hw_efficiency"], 3
+        ) if hw["hw_efficiency"] else None,
+    }
+    # same tail-window protocol as main(): full record to a file + printed
+    # first; compact, always-parseable JSON as the FINAL stdout line.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_scaling_last.json"), "w") as fh:
+            json.dump(record, fh)
+    except OSError:
+        pass
+    print(json.dumps(record))
+    compact = {k: v for k, v in record.items() if k != "pairs"}
+    compact["full_record"] = "bench_scaling_last.json"
+    print(json.dumps(compact))
 
 
 _HW_PAGES: list = []
