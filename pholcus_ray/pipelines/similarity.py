@@ -36,6 +36,24 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _read_embeddings(sf_dir: str, columns: list[str],
+                     rows_per_block: int = 500) -> rd.Dataset:
+    """Column-pruned embeddings read with a compute-matched block count
+    (same rationale as textdata._read_documents: Ray's heuristic splits a
+    sub-MB single file into ~2x-cpus blocks and every downstream
+    sort-shuffle pays 64 blocks' fixed costs; measured on knn_graph at
+    sf0.1: 64 blocks -> 1.9 s, sized blocks -> well under). Directory
+    inputs (the at-scale layout) keep Ray's size-based heuristic."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    kw = {}
+    if os.path.isfile(path):
+        rows = pq.ParquetFile(path).metadata.num_rows
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        kw["override_num_blocks"] = max(1, min(rows // rows_per_block + 1,
+                                               4 * cpus))
+    return rd.read_parquet(path, columns=columns, **kw)
+
+
 def ann_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> rd.Dataset:
     """Brute-force cosine top-k for one query vector (the oracle baseline).
 
@@ -894,9 +912,8 @@ def knn_graph(sf_dir: str, k: int = 5, n_buckets: int = 4) -> rd.Dataset:
     """
     import pandas as pd
 
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
     B = int(n_buckets)
-    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    ds = _read_embeddings(sf_dir, columns=["vec_id", "embedding"])
 
     def replicate(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -921,6 +938,8 @@ def knn_graph(sf_dir: str, k: int = 5, n_buckets: int = 4) -> rd.Dataset:
             "embedding": t["embedding"].take(pa.array(idx)),
         })
 
+    MERGE_PARTS = 32  # coarse vec_id%P merge partitions (not per-vector!)
+
     def pair_topk(g: pd.DataFrame) -> pd.DataFrame:
         pair = int(g["pair"].iloc[0])
         i, j = pair // B, pair % B
@@ -934,18 +953,28 @@ def knn_graph(sf_dir: str, k: int = 5, n_buckets: int = 4) -> rd.Dataset:
         out_v, out_n, out_c = [], [], []
 
         def emit(rows: np.ndarray, cols: np.ndarray) -> None:
+            """Keep, per query row, every candidate whose cosine ties or
+            beats the row's k-th best IN THIS PAIR — a provable superset of
+            the pair's contribution to the global top-k (anything below k
+            same-pair candidates can never rank globally), fully vectorized
+            (matmul + per-row argpartition threshold; no Python row loop).
+            Exact ordering/tie-break happens once, in the coarse merge."""
             if not len(rows) or not len(cols):
                 return
             sims = M[rows] @ M[cols].T
             rid, cid = ids[rows], ids[cols]
-            for r in range(len(rows)):
-                cos = sims[r]
-                keep = cid != rid[r]
-                cs, cc = cid[keep], cos[keep]
-                order = np.lexsort((cs, -cc))[:k]
-                out_v.extend([int(rid[r])] * len(order))
-                out_n.extend(cs[order].tolist())
-                out_c.extend(cc[order].tolist())
+            sims[cid[None, :] == rid[:, None]] = -np.inf  # mask self
+            C = sims.shape[1]
+            if C > k:
+                kth = -np.partition(-sims, k - 1, axis=1)[:, k - 1:k]
+                keep = sims >= kth
+            else:
+                keep = np.ones_like(sims, dtype=bool)
+            keep &= sims != -np.inf
+            r_idx, c_idx = np.nonzero(keep)
+            out_v.append(rid[r_idx])
+            out_n.append(cid[c_idx])
+            out_c.append(sims[r_idx, c_idx])
 
         ii = np.flatnonzero(side == i)
         jj = np.flatnonzero(side == j)
@@ -954,22 +983,39 @@ def knn_graph(sf_dir: str, k: int = 5, n_buckets: int = 4) -> rd.Dataset:
         else:
             emit(ii, jj)
             emit(jj, ii)
-        return pd.DataFrame({"vec_id": np.asarray(out_v, dtype=np.int64),
-                             "neighbor_id": np.asarray(out_n, dtype=np.int64),
-                             "cos": np.asarray(out_c, dtype=np.float64)})
+        v = (np.concatenate(out_v) if out_v
+             else np.array([], dtype=np.int64)).astype(np.int64)
+        return pd.DataFrame({
+            "vec_id": v,
+            "neighbor_id": (np.concatenate(out_n) if out_n
+                            else np.array([], dtype=np.int64)).astype(np.int64),
+            "cos": (np.concatenate(out_c) if out_c
+                    else np.array([], dtype=np.float64)),
+            "mpart": (v % MERGE_PARTS).astype(np.int32),
+        })
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos", "neighbor_id"],
-                          ascending=[False, True], kind="mergesort").head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-        g["cos"] = np.round(g["cos"].to_numpy(), 6)
-        return g
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        """One C-level mergesort + groupby-cumcount rank cut over a COARSE
+        vec_id%P partition (candidate (v, n) pairs are globally unique —
+        each neighbor's bucket meets v's bucket in exactly one pair task —
+        so no dedup is needed before the cut)."""
+        g = g.sort_values(["vec_id", "cos", "neighbor_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        rank = (g.groupby("vec_id", sort=False).cumcount() + 1).to_numpy()
+        keep = rank <= k
+        g = g.loc[keep]
+        return pd.DataFrame({
+            "vec_id": g["vec_id"].to_numpy(),
+            "neighbor_id": g["neighbor_id"].to_numpy(),
+            "cos": np.round(g["cos"].to_numpy(), 6),
+            "rank": rank[keep].astype(np.int64),
+        })
 
     return (
         ds.map_batches(replicate, batch_format="pyarrow")
         .groupby("pair")
         .map_groups(pair_topk, batch_format="pandas")
-        .groupby("vec_id")
-        .map_groups(merge, batch_format="pandas")
+        .groupby("mpart")
+        .map_groups(merge_part, batch_format="pandas")
         .sort(["vec_id", "rank"])
     )
