@@ -87,10 +87,7 @@ _BENCH_QUERIES = [
     "time_band_join",
     "bm25_topk",
     "cohort_retention",
-    # round-3 continuation: new oracled operators. dup_keep_best is
-    # deliberately NOT timed: it composes the exact n-gram set-similarity
-    # join + connected components (the dup_clusters cost profile, also
-    # un-benched) and runs ~4 min at sf0.1 — gate-checked at sf0.01.
+    # round-3 continuation: new oracled operators.
     "triangle_count",
     "bpe_merges",
     "lm_coverage",
@@ -103,6 +100,15 @@ _BENCH_QUERIES = [
     "epoch_shuffle",
     "data_card",
     "anchor_text",
+    # round-4: the dup chain is timed now that the exact-join pair set is
+    # memoized per (sf, threshold) (textdata._ngram_pairs_cached, the
+    # graph-bucket pattern): ngram_jaccard_exact pays the PPJoin set-
+    # similarity join each run; dup_clusters pays it once per process then
+    # folds CC; dup_keep_best reuses the memoized cluster table. Like the
+    # graph family, run 2's memo hits are visible in sec_runs.
+    "ngram_jaccard_exact",
+    "dup_clusters",
+    "dup_keep_best",
 ]
 
 
@@ -237,6 +243,7 @@ def bench_sustained() -> dict:
         round_virtual_sec=1e9,   # the whole frontier is one politeness window
         num_shards=8,
     )
+    os.environ.setdefault("PHOLCUS_PROF", "1")
     t0 = time.time()
     s = run_crawl(cfg)
     dt = time.time() - t0
@@ -247,6 +254,17 @@ def bench_sustained() -> dict:
         "urls_per_sec": round(urls / dt, 2),
         "rounds": s.rounds,
     }
+    # per-phase driver profile of the run (PHOLCUS_PROF, crawl._PROF):
+    # "fixed_sec" = everything except the distributed fetch+parse leg —
+    # the CPU-count-independent cost that caps small-corpus scaling
+    from pholcus_ray.pipelines import crawl as _crawl
+
+    if _crawl._PROF:
+        prof = {k: round(v, 3) for k, v in _crawl._PROF.items()}
+        out["prof"] = prof
+        out["fixed_sec"] = round(
+            sum(v for k, v in prof.items() if k != "fetch_distributed"), 3
+        )
     shutil.rmtree(wd, ignore_errors=True)
     return out
 

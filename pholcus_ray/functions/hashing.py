@@ -52,12 +52,35 @@ def dedup_key_array(urls, methods=None, rules=None) -> np.ndarray:
 
     Mirrors the *semantics* of Request.Unique() (request.go:139-145): the
     identity is (url, method, rule); spider is implicit (one job = one spider).
+
+    The NUL join runs through Arrow's ``binary_join_element_wise``: a
+    pandas object-series ``u + "\\x00" + m`` add SILENTLY DROPS the
+    separator (numpy coerces the python scalar to a fixed-width unicode
+    scalar and ``np.str_("\\x00") == ""``), which made (url, method, rule)
+    boundary-ambiguous. Keys changed when this was fixed —
+    ``_RESULT_SCHEMA_VERSION`` was bumped so old workdir checkpoints
+    restart cold instead of mixing key spaces.
     """
-    u = pd.Series(np.asarray(urls, dtype=object), dtype=object)
-    m = pd.Series(np.asarray(methods, dtype=object), dtype=object) if methods is not None else "GET"
-    r = pd.Series(np.asarray(rules, dtype=object), dtype=object) if rules is not None else ""
-    combined = u + "\x00" + m + "\x00" + r
-    return hash_array(combined.to_numpy(dtype=object), categorize=False)
+    import pyarrow as pa
+
+    u = pa.array(np.asarray(urls, dtype=object), pa.string())
+    m = (pa.array(np.asarray(methods, dtype=object), pa.string())
+         if methods is not None else "GET")
+    r = (pa.array(np.asarray(rules, dtype=object), pa.string())
+         if rules is not None else "")
+    return dedup_key_arrow(u, m, r)
+
+
+def dedup_key_arrow(urls, methods, rules) -> np.ndarray:
+    """:func:`dedup_key_array` for Arrow string arrays (or scalar
+    method/rule): one C-level ``binary_join_element_wise`` + one C-level
+    hash pass — the frontier hot path (10^5+ seed rows per round) stays
+    object-free until the final hash call."""
+    import pyarrow.compute as pc
+
+    combined = pc.binary_join_element_wise(urls, methods, rules, "\x00")
+    return hash_array(combined.to_numpy(zero_copy_only=False),
+                      categorize=False)
 
 
 # --- DuckDB-replicable 64-bit hash (SQL-oracle path) ------------------------

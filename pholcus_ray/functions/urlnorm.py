@@ -144,10 +144,8 @@ def canonicalize_array(urls) -> np.ndarray:
     Already-canonical urls (the common case for refresh frontiers and
     corpus-emitted links) are detected with one C-level regex pass."""
     n = len(urls)
-    out = np.empty(n, dtype=object)
+    out = np.asarray(urls, dtype=object).copy()
     fast = _fast_canon_mask(urls)
-    for i in np.flatnonzero(fast):
-        out[i] = urls[i]
     for i in np.flatnonzero(~fast):
         u = urls[i]
         out[i] = canonicalize(u) if u is not None else None
@@ -164,8 +162,7 @@ def host_array(urls) -> np.ndarray:
         arr = pa.array(list(urls), pa.string())
         hosts = pc.extract_regex(arr, pattern=_FAST_CANON_RE).field("h")
         hn = hosts.to_numpy(zero_copy_only=False)
-        for i in np.flatnonzero(fast):
-            out[i] = hn[i]
+        out[fast] = hn[fast]
     for i in np.flatnonzero(~fast):
         u = urls[i]
         out[i] = host_of(u) if u else ""

@@ -44,6 +44,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -165,7 +166,30 @@ def _read_table(path: str, schema: pa.Schema, columns=None) -> pa.Table:
     return t.select(columns) if columns else t
 
 
-# --- the loop ---------------------------------------------------------------
+# --- opt-in phase profiler ---------------------------------------------------
+# PHOLCUS_PROF=1 accumulates per-phase wall time across the whole run and
+# prints one {"pholcus_prof": {...}} JSON line to stderr at finalize — the
+# instrument behind the fixed-cost budget in BASELINE.md (driver-side costs
+# that do NOT shrink with CPU count cap small-corpus scaling efficiency).
+# Zero overhead when unset (a single dict check per phase boundary).
+
+_PROF: dict[str, float] | None = None
+
+
+class _prof:
+    __slots__ = ("name", "t0")
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+
+    def __exit__(self, *exc):
+        if _PROF is not None:
+            _PROF[self.name] = _PROF.get(self.name, 0.0) + (
+                time.perf_counter() - self.t0
+            )
 
 
 def _bool_np(col) -> np.ndarray:
@@ -174,6 +198,9 @@ def _bool_np(col) -> np.ndarray:
 
 def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
     from ..functions.uapool import current_pool
+
+    global _PROF
+    _PROF = {} if os.environ.get("PHOLCUS_PROF") else None
 
     os.makedirs(cfg.workdir, exist_ok=True)
     rounds_dir = os.path.join(cfg.workdir, "rounds")
@@ -233,12 +260,14 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
             if os.path.isdir(p) and os.listdir(p):
                 shutil.rmtree(p)
         os.makedirs(rounds_dir, exist_ok=True)
-        seeds_tbl = pq.read_table(
-            cfg.seeds_path or os.path.join(cfg.corpus_dir, "seeds.parquet")
-        )
-        seed_frontier = seeds_to_frontier(
-            seeds_tbl, cfg.spider.entry_rule, cfg.keyins or None
-        )
+        with _prof("seeds_read"):
+            seeds_tbl = pq.read_table(
+                cfg.seeds_path or os.path.join(cfg.corpus_dir, "seeds.parquet")
+            )
+        with _prof("seeds_normalize"):
+            seed_frontier = seeds_to_frontier(
+                seeds_tbl, cfg.spider.entry_rule, cfg.keyins or None
+            )
         if cfg.inherit_from:
             seed_frontier = _inherit_history(cfg, seen, seed_frontier)
         state = {
@@ -278,14 +307,16 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
         r = state["round"]
 
         # ---- 1. candidate-size estimate (parquet metadata; no execution) ----
-        est = _estimate_candidates(cfg, state, rounds_dir)
+        with _prof("estimate"):
+            est = _estimate_candidates(cfg, state, rounds_dir)
         if est == 0:
             # drain: requeue accumulated failures exactly once, else stop
             if state["failure_rounds"] and not state["failures_requeued"]:
                 state["failures_requeued"] = True
-                state["requeue_table"] = _failure_rows(
-                    rounds_dir, state["failure_rounds"]
-                )
+                with _prof("failure_requeue"):
+                    state["requeue_table"] = _failure_rows(
+                        rounds_dir, state["failure_rounds"]
+                    )
                 state["failure_rounds"] = []
                 state.pop("seed_frontier", None)
                 continue
@@ -341,7 +372,8 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
         # items / crawl_log / failures are PROJECTIONS of result.parquet —
         # derived lazily (items_table / crawl_log_table / failure rows at
         # requeue) instead of three extra dataset executions per round.
-        n_ok, n_items = _count_ok_items(result_dir) if n_sched else (0, 0)
+        with _prof("count_ok_items"):
+            n_ok, n_items = _count_ok_items(result_dir) if n_sched else (0, 0)
         n_fail = n_sched - n_ok
         state["fetched_ok"] += n_ok
         state["fetched_fail"] += n_fail
@@ -357,7 +389,8 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
             )
 
         # ---- 6. checkpoint: seen delta + round meta ----
-        n_new_seen = seen.dump_deltas(os.path.join(rdir, "seen_delta"))
+        with _prof("seen_dump"):
+            n_new_seen = seen.dump_deltas(os.path.join(rdir, "seen_delta"))
         if jar is not None:
             with open(os.path.join(rdir, "cookies.json"), "w") as f:
                 json.dump(jar.to_state(), f)
@@ -389,7 +422,15 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
         if cfg.limit is not None and state["fetched_ok"] + state["fetched_fail"] >= cfg.limit:
             break
 
-    return _finalize(cfg, state, seen, rounds_dir)
+    with _prof("finalize"):
+        out = _finalize(cfg, state, seen, rounds_dir)
+    if _PROF is not None:
+        import sys
+
+        print(json.dumps({"pholcus_prof":
+                          {k: round(v, 3) for k, v in _PROF.items()}}),
+              file=sys.stderr)
+    return out
 
 
 def _estimate_candidates(cfg: CrawlConfig, state: dict, rounds_dir: str) -> int:
@@ -451,14 +492,20 @@ def _run_round_local(cfg, state, rounds_dir, rdir, seen, budget, policy,
     """Driver-local round: THE SAME three stage objects as the distributed
     path (stages/schedule.py), applied to one driver-held table instead of
     a Dataset — one control-plane implementation, two execution shapes."""
-    cand = _candidate_table(cfg, state, rounds_dir)
+    with _prof("candidates"):
+        cand = _candidate_table(cfg, state, rounds_dir)
     n_deferred = 0
     sched = FRONTIER_SCHEMA.empty_table()
     if cand.num_rows:
-        ClaimSeen(seen)(cand)
-        t = ResolveSeenRobotsCapClaim(seen, budget, policy, cfg.obey_robots)(cand)
+        with _prof("claim"):
+            ClaimSeen(seen)(cand)
+        with _prof("resolve"):
+            t = ResolveSeenRobotsCapClaim(
+                seen, budget, policy, cfg.obey_robots)(cand)
         if t.num_rows:
-            sched = ResolveCapSpill(budget, os.path.join(rdir, "deferred"))(t)
+            with _prof("cap_spill"):
+                sched = ResolveCapSpill(
+                    budget, os.path.join(rdir, "deferred"))(t)
             n_deferred = t.num_rows - sched.num_rows
     if remaining is not None and sched.num_rows > remaining:
         sched = _sort_limit_table(sched, remaining)
@@ -477,11 +524,12 @@ def _run_round_local(cfg, state, rounds_dir, rdir, seen, budget, policy,
         chunks = [
             sched.slice(i, chunk) for i in range(0, sched.num_rows, chunk)
         ]
-        n = _write(
-            _apply_fetch(rd.from_arrow(chunks), cfg, fp_kwargs),
-            result_dir,
-            RESULT_SCHEMA,
-        )
+        with _prof("fetch_distributed"):
+            n = _write(
+                _apply_fetch(rd.from_arrow(chunks), cfg, fp_kwargs),
+                result_dir,
+                RESULT_SCHEMA,
+            )
         return n, n_deferred
     fp = FetchParse(**fp_kwargs)
     result = fp(sched) if sched.num_rows else RESULT_SCHEMA.empty_table()
@@ -851,9 +899,11 @@ _RESUME_CRITICAL = (
     "keyins", "seeds_path", "spider", "inherit_from", "ua_pool",
 )
 
-# bump when RESULT_SCHEMA / round-dir layout changes; old workdirs are
-# restarted cold rather than read with a mismatched schema
-_RESULT_SCHEMA_VERSION = 2
+# bump when RESULT_SCHEMA / round-dir layout — or any persisted key space
+# (dedup_key_array) — changes; old workdirs are restarted cold rather than
+# read with a mismatched schema. v3: dedup keys now genuinely NUL-join
+# (url, method, rule); the pandas path had silently dropped the separator.
+_RESULT_SCHEMA_VERSION = 3
 
 
 def _restore(cfg: CrawlConfig, seen: ShardedSeen, rounds_dir: str,

@@ -11,9 +11,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import dedup_key_array
-from ..functions.urlnorm import canonicalize_array, host_array
-from ..model import FRONTIER_SCHEMA, child_seq, seed_seq
+from ..functions.hashing import dedup_key_array, dedup_key_arrow
+from ..functions.urlnorm import (
+    _FAST_CANON_RE,
+    canonicalize_array,
+    host_array,
+)
+from ..model import FRONTIER_SCHEMA, child_seq, seed_seq, seed_seq_array
 
 
 def seeds_to_frontier(seeds: pa.Table, entry_rule: str = "page",
@@ -29,20 +33,32 @@ def seeds_to_frontier(seeds: pa.Table, entry_rule: str = "page",
     keyins = keyins if keyins else [""]
     n = seeds.num_rows
     names = seeds.column_names
-    urls_in = seeds["url"].to_pylist()
-    rules = (
-        [r or entry_rule for r in seeds["rule"].to_pylist()]
-        if "rule" in names else [entry_rule] * n
-    )
     from ..spiderapi import normalize_method
 
-    methods = (
-        [normalize_method(m) for m in seeds["method"].to_pylist()]
-        if "method" in names else ["GET"] * n
-    )
-    post_data = (
-        [p or "" for p in seeds["post_data"].to_pylist()]
-        if "post_data" in names else [""] * n
+    u_arr = seeds["url"].combine_chunks()
+    if "rule" in names:
+        r_in = seeds["rule"].combine_chunks()
+        # python `r or entry_rule`: both None and "" fall back
+        rules_a = pc.if_else(
+            pc.or_kleene(pc.is_null(r_in), pc.equal(r_in, "")),
+            pa.scalar(entry_rule, pa.string()), r_in,
+        )
+    else:
+        rules_a = _const_str(n, entry_rule)
+    if "method" in names:
+        m_in = seeds["method"].combine_chunks()
+        # normalize once per DISTINCT method (a frontier has a handful),
+        # then a C-level dictionary take fans it back out
+        uniq = m_in.unique()
+        mapped = pa.array(
+            [normalize_method(x) for x in uniq.to_pylist()], pa.string()
+        )
+        methods_a = mapped.take(pc.index_in(m_in, value_set=uniq))
+    else:
+        methods_a = _const_str(n, "GET")
+    post_a = (
+        pc.fill_null(seeds["post_data"].combine_chunks(), "")
+        if "post_data" in names else _const_str(n, "")
     )
     if "priority" in names:
         prio = np.maximum(
@@ -51,43 +67,60 @@ def seeds_to_frontier(seeds: pa.Table, entry_rule: str = "page",
     else:
         prio = np.zeros(n, dtype=np.int32)
 
-    # canonicalize once per distinct seed row; invalid urls drop out
-    canon = canonicalize_array(urls_in)
-    keep = np.array([c is not None for c in canon], dtype=bool)
-    keep_idx = np.flatnonzero(keep)
-    canon_kept = [canon[k] for k in keep_idx]
-    rules_kept = [rules[k] for k in keep_idx]
-    methods_kept = [methods[k] for k in keep_idx]
-    post_kept = [post_data[k] for k in keep_idx]
-    prio_kept = prio[keep_idx]
-    hosts_kept = host_array(canon_kept)
-    keys_kept = dedup_key_array(canon_kept, methods_kept, rules_kept)
-    m = len(keep_idx)
+    # canonicalize once per distinct seed row; invalid urls drop out.
+    # Fast path: every url already canonical (the refresh-frontier common
+    # case) — zero python-object conversions end to end.
+    fast = pc.fill_null(
+        pc.match_substring_regex(u_arr, _FAST_CANON_RE), False
+    ).to_numpy(zero_copy_only=False)
+    if fast.all() and u_arr.null_count == 0:
+        m = n
+        keep_idx = np.arange(n, dtype=np.int64)
+        canon_a = u_arr
+        hosts_a = pc.extract_regex(u_arr, pattern=_FAST_CANON_RE).field("h")
+        rules_k, methods_k, post_k, prio_k = rules_a, methods_a, post_a, prio
+    else:
+        canon = canonicalize_array(u_arr.to_pylist())
+        keep_idx = np.flatnonzero(
+            np.array([c is not None for c in canon], dtype=bool)
+        )
+        m = len(keep_idx)
+        canon_kept = canon[keep_idx]
+        canon_a = pa.array(canon_kept, pa.string())
+        hosts_a = pa.array(host_array(list(canon_kept)), pa.string())
+        take = pa.array(keep_idx)
+        rules_k = rules_a.take(take)
+        methods_k = methods_a.take(take)
+        post_k = post_a.take(take)
+        prio_k = prio[keep_idx]
+    keys = dedup_key_arrow(canon_a, methods_k, rules_k)
 
+    empty_s = _const_str(m, "")
+    zeros_i = pa.array(np.zeros(m, dtype=np.int32))
+    falses = pa.array(np.zeros(m, dtype=bool))
     parts = []
     for ki, keyin in enumerate(keyins):
         # seq index = position in the full (keyin, seed) expansion
-        seq_base = ki * n
-        seqs = [seed_seq(int(seq_base + j)) for j in keep_idx]
+        seqs = seed_seq_array(np.uint64(ki * n) + keep_idx.astype(np.uint64))
         parts.append(
             pa.table(
                 {
-                    "url": pa.array(canon_kept, pa.string()),
-                    "host": pa.array(hosts_kept, pa.string()),
-                    "key": pa.array(keys_kept, pa.uint64()),
-                    "rule": pa.array(rules_kept, pa.string()),
-                    "method": pa.array(methods_kept, pa.string()),
-                    "post_data": pa.array(post_kept, pa.string()),
-                    "priority": pa.array(prio_kept),
-                    "depth": pa.array(np.zeros(m, dtype=np.int32)),
-                    "referer": pa.array(np.full(m, ""), pa.string()),
-                    "anchor": pa.array(np.full(m, ""), pa.string()),
-                    "seq": pa.array(seqs, pa.string()),
-                    "attempts_done": pa.array(np.zeros(m, dtype=np.int32)),
-                    "bypass_dedup": pa.array(np.zeros(m, dtype=bool)),
-                    "reloadable": pa.array(np.zeros(m, dtype=bool)),
-                    "keyin": pa.array(np.full(m, keyin), pa.string()),
-                    "temp": pa.array(np.full(m, ""), pa.string()),
+                    "url": canon_a,
+                    "host": hosts_a,
+                    "key": pa.array(keys, pa.uint64()),
+                    "rule": rules_k,
+                    "method": methods_k,
+                    "post_data": post_k,
+                    "priority": pa.array(prio_k),
+                    "depth": zeros_i,
+                    "referer": empty_s,
+                    "anchor": empty_s,
+                    "seq": seqs,
+                    "attempts_done": zeros_i,
+                    "bypass_dedup": falses,
+                    "reloadable": falses,
+                    "keyin": _const_str(m, keyin),
+                    "temp": empty_s,
                 },
                 schema=FRONTIER_SCHEMA,
             )
@@ -95,6 +128,19 @@ def seeds_to_frontier(seeds: pa.Table, entry_rule: str = "page",
     if len(parts) == 1:
         return parts[0]
     return pa.concat_tables(parts)
+
+
+def _const_str(m: int, s: str) -> pa.Array:
+    """Constant string column of length ``m`` built directly from an
+    offsets buffer — no per-row python objects."""
+    sb = s.encode("utf-8")
+    if sb:
+        offsets = np.arange(0, (m + 1) * len(sb), len(sb), dtype=np.int32)
+    else:
+        offsets = np.zeros(m + 1, dtype=np.int32)
+    return pa.StringArray.from_buffers(
+        m, pa.py_buffer(offsets.tobytes()), pa.py_buffer(sb * m)
+    )
 
 
 # ordinals are at most a few hundred per page; the hex suffixes come from a

@@ -46,6 +46,31 @@ def test_dedup_key_distinguishes_method_and_rule():
     assert len({int(k1[0]), int(k2[0]), int(k3[0])}) == 3
 
 
+def test_dedup_key_nul_separator_is_real():
+    # regression: the pandas object-series join coerced "\x00" to a numpy
+    # fixed-width unicode scalar, which TRUNCATES to "" — boundary-shifted
+    # triples collided. The arrow join must keep the separator.
+    k_a = dedup_key_array(["ab"], ["cGET"], ["page"])
+    k_b = dedup_key_array(["abc"], ["GET"], ["page"])
+    assert int(k_a[0]) != int(k_b[0])
+
+
+def test_dedup_key_arrow_matches_list_path_and_defaults():
+    import pyarrow as pa
+
+    from pholcus_ray.functions.hashing import dedup_key_arrow
+
+    urls = ["http://e.com/a", "http://e.com/b"]
+    got = dedup_key_arrow(
+        pa.array(urls), pa.array(["GET", "POST"]), pa.array(["page", "x"])
+    )
+    want = dedup_key_array(urls, ["GET", "POST"], ["page", "x"])
+    assert (got == want).all()
+    # scalar defaults: omitted method/rule == explicit "GET"/""
+    assert (dedup_key_array(urls)
+            == dedup_key_array(urls, ["GET"] * 2, [""] * 2)).all()
+
+
 def test_md5_unique_reference_compat():
     # md5(spider+rule+url+method), request.go:139-145
     got = md5_unique("sp", "page", "http://e.com/", "GET")

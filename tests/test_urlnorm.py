@@ -140,3 +140,62 @@ def test_canonicalize_array_fast_path_equivalence():
     assert list(got) == expected
     canon = [c for c in got if c]
     assert list(host_array(canon)) == [host_of(c) for c in canon]
+
+
+def test_seed_seq_array_matches_scalar():
+    import numpy as np
+
+    from pholcus_ray.model import seed_seq, seed_seq_array
+
+    idx = np.array([0, 1, 15, 255, 65535, 2**31, 2**32 - 1], np.uint64)
+    assert seed_seq_array(idx).to_pylist() == [seed_seq(int(i)) for i in idx]
+    # past 8 hex digits the f-string widens; the vectorized form must too
+    big = np.array([2**32, 2**40], np.uint64)
+    assert seed_seq_array(big).to_pylist() == [seed_seq(int(i)) for i in big]
+    assert seed_seq_array(np.array([], np.uint64)).to_pylist() == []
+
+
+def test_seeds_to_frontier_fast_and_slow_paths_agree():
+    """The all-canonical vectorized fast path and the mixed fallback must
+    normalize identically: appending one non-canonical seed flips the whole
+    table to the slow path, so the shared prefix rows pin the two paths to
+    each other."""
+    import pyarrow as pa
+
+    from pholcus_ray.stages.normalize import seeds_to_frontier
+
+    fast_seeds = pa.table({
+        "url": pa.array([f"http://host{i}.example/p/{i}" for i in range(5)]),
+        "rule": pa.array(["", None, "item", "r", ""]),
+        "method": pa.array(["get", None, "post", "bogus", "POST-M"]),
+        "priority": pa.array([-1, 0, 3, 2, 0], pa.int32()),
+    })
+    fast = seeds_to_frontier(fast_seeds, "page", ["k1", "k2"])
+    assert fast["rule"].to_pylist()[:5] == ["page", "page", "item", "r",
+                                            "page"]
+    assert fast["method"].to_pylist()[:5] == ["GET", "GET", "POST", "GET",
+                                              "POST-M"]
+    assert fast["priority"].to_pylist()[:5] == [0, 0, 3, 2, 0]
+    assert fast["keyin"].to_pylist() == ["k1"] * 5 + ["k2"] * 5
+    assert fast["seq"].to_pylist() == [f"{i:08x}" for i in range(5)] + [
+        f"{i + 5:08x}" for i in range(5)
+    ]
+
+    mixed_seeds = pa.table({
+        "url": pa.array(
+            [f"http://host{i}.example/p/{i}" for i in range(5)]
+            + ["HTTP://Host9.Example:80/Up", "ftp://dropped.example/x"]
+        ),
+        "rule": pa.array(["", None, "item", "r", "", "r9", "rx"]),
+        "method": pa.array(["get", None, "post", "bogus", "POST-M", "GET",
+                            "GET"]),
+        "priority": pa.array([-1, 0, 3, 2, 0, 1, 1], pa.int32()),
+    })
+    mixed = seeds_to_frontier(mixed_seeds, "page", ["k1", "k2"])
+    # 6 kept per keyin (ftp dropped), prefix rows identical to the fast path
+    assert mixed.num_rows == 12
+    assert mixed.slice(0, 5).equals(fast.slice(0, 5))
+    assert mixed["url"].to_pylist()[5] == "http://host9.example/Up"
+    # seq reflects the ORIGINAL seed position, dropped rows leave gaps
+    assert mixed["seq"].to_pylist()[5] == "00000005"
+    assert mixed["seq"].to_pylist()[6] == "00000007"  # keyin 2 starts at n=7
