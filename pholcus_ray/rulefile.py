@@ -34,14 +34,22 @@ code): shorthand string = one of ``url referer keyin title text doc status
 method download_time cookie user_agent depth``; object form adds
 ``regex``/``group`` (first match over the getter's string value, "" when
 unmatched), ``fn`` (whitelisted: ``len strip lower upper int``), or
-``const``. Enqueue verbs: ``follow_links`` (every page link, optionally
-filtered by ``url_match``/``anchor_match`` regex, child ``rule``,
-``priority``, ``max``) and ``add`` (explicit url template with ``{keyin}``
-and ``{url}`` placeholders, resolved relative to the page url).
+``const``, or ``expr`` — a COMPUTED field (the last parsejs.go use case:
+rule bodies that derive item values, e.g. ``{"expr": "len(text) - depth"}``
+or ``{"expr": "title + ' | ' + keyin"}``). Expressions compile through the
+python ``ast`` with a strict node whitelist (names = the getters above,
+calls = the fn whitelist, arithmetic/compare/bool/conditional operators
+only — no attribute access, no subscripts, no comprehensions), so a
+hostile rule file still cannot reach python objects or run code. Enqueue
+verbs: ``follow_links`` (every page link, optionally filtered by
+``url_match``/``anchor_match`` regex, child ``rule``, ``priority``,
+``max``) and ``add`` (explicit url template with ``{keyin}`` and ``{url}``
+placeholders, resolved relative to the page url).
 """
 
 from __future__ import annotations
 
+import ast
 import json
 import os
 import re
@@ -77,6 +85,63 @@ class RuleFileError(ValueError):
     """Malformed declarative spider file (bad getter/fn/verb/schema)."""
 
 
+# expression fields: the AST node whitelist. Everything needed for "derive
+# an item value from page fields" arithmetic/logic, and nothing that can
+# reach a python object graph (no Attribute, no Subscript, no lambdas, no
+# comprehensions, no starargs/keywords).
+_EXPR_NODES = (
+    ast.Expression, ast.Constant, ast.Name, ast.Load, ast.Call,
+    ast.BinOp, ast.Add, ast.Sub, ast.Mult, ast.Div, ast.FloorDiv, ast.Mod,
+    ast.UnaryOp, ast.USub, ast.UAdd, ast.Not,
+    ast.BoolOp, ast.And, ast.Or, ast.IfExp,
+    ast.Compare, ast.Eq, ast.NotEq, ast.Lt, ast.LtE, ast.Gt, ast.GtE,
+    ast.In, ast.NotIn,
+)
+
+_EXPR_FNS: dict[str, Callable] = dict(
+    _FNS, str=str, float=lambda v: float(v) if str(v).strip() else 0.0,
+    min=min, max=max, abs=abs,
+)
+
+
+def _compile_expr(src: str) -> Callable[[RuleContext], object]:
+    """Compile a whitelisted expression over getter names to a callable.
+
+    Covers the computed-item-field half of the reference's JS rule bodies
+    (app/spider/parsejs.go:60-198) without a code-execution surface: the
+    AST is validated node-by-node, calls may only target the fn whitelist
+    by bare name, and evaluation runs with empty builtins. Getters are
+    evaluated lazily — only the names the expression mentions."""
+    try:
+        tree = ast.parse(src, mode="eval")
+    except SyntaxError as e:
+        raise RuleFileError(f"bad expr {src!r}: {e}") from None
+    names: set[str] = set()
+    for node in ast.walk(tree):
+        if not isinstance(node, _EXPR_NODES):
+            raise RuleFileError(
+                f"expr {src!r}: {type(node).__name__} not allowed"
+            )
+        if isinstance(node, ast.Call):
+            if (not isinstance(node.func, ast.Name)
+                    or node.func.id not in _EXPR_FNS or node.keywords):
+                raise RuleFileError(f"expr {src!r}: calls limited to "
+                                    f"{sorted(_EXPR_FNS)}")
+        if isinstance(node, ast.Name) and node.id not in _EXPR_FNS:
+            if node.id not in _GETTERS:
+                raise RuleFileError(f"expr {src!r}: unknown name {node.id!r}")
+            names.add(node.id)
+    code = compile(tree, "<rule-expr>", "eval")
+
+    def _run(c, _code=code, _names=tuple(names)):
+        env = dict(_EXPR_FNS)
+        for g in _names:
+            env[g] = _GETTERS[g](c)
+        return eval(_code, {"__builtins__": {}}, env)
+
+    return _run
+
+
 def _compile_field(spec) -> Callable[[RuleContext], object]:
     """Field spec -> extractor callable. Regexes compile ONCE here (per
     spider load), not per page — the stateful-setup rule every actor-pool
@@ -90,6 +155,14 @@ def _compile_field(spec) -> Callable[[RuleContext], object]:
     if "const" in spec:
         v = spec["const"]
         return lambda _c: v
+    if "expr" in spec:
+        run = _compile_expr(str(spec["expr"]))
+        if "fn" in spec:
+            fn = _FNS.get(spec["fn"])
+            if fn is None:
+                raise RuleFileError(f"unknown fn {spec['fn']!r}")
+            return lambda c, _r=run, _f=fn: _f(_r(c))
+        return run
     get = _GETTERS.get(spec.get("get", ""))
     if get is None:
         raise RuleFileError(f"unknown getter {spec.get('get')!r}")

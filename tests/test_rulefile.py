@@ -158,3 +158,70 @@ def test_declarative_crawl_matches_coded_spider(ray_session, small_corpus,
     assert log_a.equals(log_b)
     assert items_a.equals(items_b)
     assert items_a.num_rows > 0
+
+
+def test_expr_computed_fields():
+    """`expr` fields: whitelisted-AST computed values over getters — the
+    computed-item-field half of parsejs.go's JS rule bodies."""
+    spec = {
+        "name": "decl_expr",
+        "rules": {
+            "page": {
+                "item_fields": ["n", "label", "deep", "ratio", "ln"],
+                "output": {
+                    "n": {"expr": "len(text) - depth"},
+                    "label": {"expr": "title + ' | ' + keyin"},
+                    "deep": {"expr": "'yes' if depth > 0 else 'no'"},
+                    "ratio": {"expr": "max(len(text), 1) / 2"},
+                    "ln": {"expr": "lower(title)", "fn": "len"},
+                },
+            }
+        },
+    }
+    sp = spider_from_dict(spec)
+    html = (b"<html><head><title>T One</title></head>"
+            b"<body>hello</body></html>")
+    ctx = RuleContext(url="http://h/x", referer="", rule="page", depth=0,
+                      html_bytes=html, keyin="k")
+    sp.run_rule(ctx)
+    it = ctx.items[0]
+    assert it["n"] == len(ctx.text)
+    assert it["label"] == "T One | k"
+    assert it["deep"] == "no"
+    assert it["ratio"] == max(len(ctx.text), 1) / 2
+    assert it["ln"] == len("t one")
+
+
+def test_expr_hostile_rejected():
+    """Attribute access, subscripts, imports, dunder escapes, unknown
+    names/calls and statement bodies must all be rejected at compile."""
+    hostile = [
+        "().__class__",                      # attribute escape
+        "text.__class__",
+        "text[0]",                           # subscript
+        "__import__('os')",                  # non-whitelisted call
+        "(lambda: 1)()",                     # lambda
+        "[x for x in text]",                 # comprehension
+        "unknown_name",                      # not a getter
+        "len(text, 1, key=len)",             # keyword args
+        "import os",                         # statement -> SyntaxError
+    ]
+    for src in hostile:
+        with pytest.raises(RuleFileError):
+            spider_from_dict({
+                "name": "h", "rules": {"page": {"output": {"f": {"expr": src}}}}
+            })
+
+
+def test_expr_cannot_reach_builtins():
+    """Even a whitelisted-shaped expr evaluates with empty builtins: the
+    only names in scope are getters + the fn whitelist."""
+    sp = spider_from_dict({
+        "name": "decl_expr_scope",
+        "rules": {"page": {"output": {"f": {"expr": "min(len(url), 99)"}},
+                           "item_fields": ["f"]}},
+    })
+    ctx = RuleContext(url="http://h/x", referer="", rule="page", depth=0,
+                      html_bytes=b"<html><body>x</body></html>")
+    sp.run_rule(ctx)
+    assert ctx.items[0]["f"] == len("http://h/x")
