@@ -114,6 +114,10 @@ class CrawlConfig:
     # virtual-clock start of this run (ST7: a recurring crawl's tick starts
     # at its timer fire time, so DownloadTime / cookie expiry advance)
     virtual_t0_sec: float = 0.0
+    # the surfer seam (stages/downloader.py): None = the deterministic
+    # corpus-backed simnet double; an HttpDownloader instance puts the SAME
+    # engine on a real wire (must be picklable — it ships to fetch workers)
+    downloader: object | None = None
 
 
 @dataclass
@@ -302,6 +306,8 @@ def run_crawl(cfg: CrawlConfig) -> CrawlSummary:
         bucket_refs=preload_corpus(cfg.corpus_dir, n_buckets),
         ua_pool=ua_pool,
     )
+    if cfg.downloader is not None:
+        fp_base["downloader"] = cfg.downloader
 
     while state["round"] < cfg.max_rounds:
         r = state["round"]

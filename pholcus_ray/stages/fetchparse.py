@@ -28,7 +28,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..functions.hashing import hash64_array
-from ..functions.simnet import sim_fetch_attempts, sim_set_cookie
 from ..functions.uapool import fixed_ua, ua_for
 from ..model import FILE_STRUCT, LINK_STRUCT, RESULT_SCHEMA
 from ..spiderapi import RuleContext, Spider
@@ -102,7 +101,8 @@ class FetchParse:
     def __init__(self, corpus_dir: str, spider: Spider, n_buckets: int,
                  try_times: int, download_time: str, bucket_refs: dict | None = None,
                  jar_state: dict | None = None, virtual_now: float = 0.0,
-                 ua_pool: tuple[str, ...] | None = None):
+                 ua_pool: tuple[str, ...] | None = None,
+                 downloader=None):
         self.corpus_dir = corpus_dir
         self.spider = spider
         self.n_buckets = n_buckets
@@ -117,6 +117,16 @@ class FetchParse:
             if bucket_refs is not None
             else preload_corpus(corpus_dir, n_buckets)
         )
+        # the surfer seam (stages/downloader.py): ONE engine per actor,
+        # built here (stateful-setup rule). Default = the deterministic
+        # corpus-backed simnet double; pass an HttpDownloader to go on-wire.
+        if downloader is None:
+            from .downloader import SimnetDownloader
+
+            downloader = SimnetDownloader(
+                corpus_dir, n_buckets, self.bucket_refs
+            )
+        self.downloader = downloader
         # ST1: the reference shares one jar across its download engines
         # (surfer/surfer.go:39-51), gated per spider by EnableCookie; with
         # cookies on, the UA is FIXED, else rotated per attempt
@@ -151,45 +161,26 @@ class FetchParse:
         keyins = batch["keyin"].to_pylist()
         temps = batch["temp"].to_pylist()
 
-        # corpus layout buckets by hash64(url), NOT by the dedup key
-        buckets = (hash64_array(urls) % np.uint64(self.n_buckets)).astype(np.int64)
-        # vectorized lookup: per touched bucket, index_in against the shared
-        # plasma table, then one take() for the html payloads
-        import pyarrow.compute as pc
+        # cookie headers for THIS fetch come from the round-start snapshot;
+        # each response's Set-Cookie is RECORDED (not applied) — the driver
+        # merges it at round end, on the virtual clock
+        cookies = (
+            [self.jar.header(u, now=self.virtual_now) for u in urls]
+            if self.jar is not None else None
+        )
+        statuses, attempts, bodies, set_cookies = self.downloader.fetch_batch(
+            urls, hosts or [""] * n, keys, methods, post_datas,
+            attempts_done, self.try_times, cookies, self.ua_pool,
+            use_fixed_ua=self.jar is not None,
+        )
 
-        htmls: list = [None] * n
-        url_arr = pa.array(urls, pa.string())
-        for b in np.unique(buckets):
-            sel = np.flatnonzero(buckets == b)
-            t = _load_bucket(self.corpus_dir, int(b), self.bucket_refs)
-            if t.num_rows == 0:
-                continue
-            pos = pc.fill_null(
-                pc.index_in(url_arr.take(pa.array(sel)), value_set=t["url"]), -1
-            ).to_numpy(zero_copy_only=False)
-            valid = np.flatnonzero(pos >= 0)
-            if len(valid) == 0:
-                continue
-            got = t["html"].take(pa.array(pos[valid])).to_pylist()
-            for j, v in zip(valid, got):
-                htmls[int(sel[j])] = v
-
-        statuses = np.zeros(n, dtype=np.int32)
-        attempts = np.zeros(n, dtype=np.int32)
         ok = np.zeros(n, dtype=bool)
         items_col: list[list[str]] = []
         links_col: list[list[dict]] = []
         files_col: list[list[dict]] = []
-        set_cookies: list[str] = [""] * n
 
         for i in range(n):
-            html = htmls[i]
-            status, att = sim_fetch_attempts(
-                int(keys[i]), html is not None, int(attempts_done[i]), self.try_times
-            )
-            statuses[i] = status
-            attempts[i] = att
-            row_ok = status < 400
+            row_ok = statuses[i] < 400
             ok[i] = row_ok
             if not row_ok:
                 items_col.append([])
@@ -198,15 +189,11 @@ class FetchParse:
                 continue
             # HEAD gets status/headers only (surfer/param.go:66-67): the
             # rule still runs, but over an empty body. POST/POST-M bodies
-            # reach the simulated server, which (like most fetch targets)
+            # reach the server; the simulated one (like most fetch targets)
             # keys its response on the URL alone.
-            body = b"" if methods[i] == "HEAD" else html
+            body = b"" if methods[i] == "HEAD" else bodies[i]
             if self.jar is not None:
-                # header sent with THIS fetch, from the round-start snapshot;
-                # the response's Set-Cookie is RECORDED (not applied) — the
-                # driver merges it at round end, on the virtual clock
-                cookie_hdr = self.jar.header(urls[i], now=self.virtual_now)
-                set_cookies[i] = sim_set_cookie(hosts[i])
+                cookie_hdr = cookies[i]
                 # EnableCookie pins the UA (param.go:88-90)
                 ua = fixed_ua(self.ua_pool)
             else:
@@ -217,7 +204,7 @@ class FetchParse:
                 depth=int(depths[i]), html_bytes=body, temp=temps[i],
                 keyin=keyins[i], download_time=self.download_time,
                 method=methods[i], post_data=post_datas[i],
-                cookie=cookie_hdr, user_agent=ua, status=int(status),
+                cookie=cookie_hdr, user_agent=ua, status=int(statuses[i]),
             )
             self.spider.run_rule(ctx)
             items_col.append([self.spider.finalize_item(ctx, it) for it in ctx.items])

@@ -237,21 +237,33 @@ def test_reloadable_bypasses_dedup(ray_session, small_corpus, tmp_path):
     """Reloadable requests opt out of the seen-set (request.go:37,
     matrix.go:81-86): a reloadable re-enqueue of an already-crawled url is
     fetched again."""
-    def _parse_reload(ctx: RuleContext) -> None:
+    # pick a root whose dedup key is in simnet's always-200 class: a url
+    # in a failure class (key % 29 in {3, 7}) fails its first enqueues and
+    # would not produce the >1 OK fetches this test counts
+    import pyarrow.dataset as pads
+
+    from pholcus_ray.functions.hashing import dedup_key_array
+
+    urls = pads.dataset(f"{small_corpus}/pages").to_table(
+        columns=["url"])["url"].to_pylist()
+    root = next(u for u in urls
+                if int(dedup_key_array([u], ["GET"], ["page"])[0]) % 29
+                not in (3, 7))
+
+    def _parse_reload(ctx: RuleContext, _root=root) -> None:
         ctx.output({"u": ctx.url})
-        # re-enqueue the entry page as reloadable from every child hop
+        # re-enqueue the root as reloadable from every child hop
         if ctx.depth < 2:
             for url, _a in ctx.links()[:2]:
                 ctx.add_queue(url, rule="page", priority=0)
-            ctx.add_queue("http://host0.example.com/p/0", rule="page",
-                          priority=0, reloadable=True)
+            ctx.add_queue(_root, rule="page", priority=0, reloadable=True)
 
     sp = Spider(name="reloader", rules={"page": Rule(parse=_parse_reload)})
     wd = str(tmp_path / "reload")
     run_crawl(CrawlConfig(corpus_dir=small_corpus, workdir=wd, spider=sp,
                           round_virtual_sec=RVS, num_shards=4, max_depth=3))
     log = crawl_log_table(wd).to_pandas()
-    root_fetches = log[(log["url"] == "http://host0.example.com/p/0") & log["ok"]]
+    root_fetches = log[(log["url"] == root) & log["ok"]]
     assert len(root_fetches) > 1  # refetched despite being seen
 
 

@@ -42,8 +42,13 @@ def test_run_recurring_chains_history(ray_session, small_corpus, tmp_path):
         # chain preserved: nothing that EVER succeeded is refetched
         assert not (set(logi["url"]) & ok0)
         assert s[i].fetched_ok + s[i].fetched_fail <= s[i - 1].fetched_fail * 2
-    # failures shrink or persist, never grow
-    assert s[2].fetched_fail <= s[1].fetched_fail <= s[0].fetched_fail
+    # the persistent failure SET shrinks or persists, never grows (a url
+    # leaves it only by succeeding; fetched_fail EVENT counts are not
+    # monotone — each retried permanent failure contributes 2 events per
+    # tick: first enqueue + one failure-map requeue)
+    assert s[2].failures_final <= s[1].failures_final <= s[0].failures_final
+    for i in (1, 2):
+        assert s[i].fetched_fail <= 2 * s[i - 1].failures_final
     # each tick's virtual clock starts at ITS timer fire time, so
     # DownloadTime advances across ticks (timer.go re-fire semantics)
     from pholcus_ray.pipelines.crawl import items_table
