@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": T.pack_sequences,
         "data_card": T.data_card,
         "lm_coverage": T.lm_coverage,
+        "dsir_importance": T.dsir_importance,
         # dedup / near-dup family
         "dedup_exact": T.dedup_exact,
         "dedup_minhash_lsh": T.dedup_minhash_lsh,
@@ -450,6 +451,12 @@ def _lm_coverage_sql() -> str:
     from pholcus_ray.pipelines.textdata import lm_coverage_oracle_sql
 
     return lm_coverage_oracle_sql()
+
+
+def _dsir_importance_sql() -> str:
+    from pholcus_ray.pipelines.textdata import dsir_importance_oracle_sql
+
+    return dsir_importance_oracle_sql()
 
 
 def _model_score_sql() -> str:
@@ -1075,6 +1082,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "triangle_count": _triangle_sql(),
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "lm_coverage": _lm_coverage_sql(),
+        "dsir_importance": _dsir_importance_sql(),
         "model_score": _model_score_sql(),
         "epoch_shuffle": _epoch_shuffle_sql(),
         "data_card": _data_card_sql(),

@@ -109,6 +109,9 @@ _BENCH_QUERIES = [
     "ngram_jaccard_exact",
     "dup_clusters",
     "dup_keep_best",
+    # round-4: DSIR hashed-ngram importance weights (fixed-size histogram
+    # exchanges + broadcast log-ratio vector)
+    "dsir_importance",
 ]
 
 

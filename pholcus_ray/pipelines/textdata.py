@@ -3502,6 +3502,187 @@ def lm_coverage_oracle_sql(min_tok: int = 2, min_big: int = 2) -> str:
     """
 
 
+def dsir_importance(sf_dir: str, target_lang: str = "en",
+                    n_buckets: int = 4096) -> rd.Dataset:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by how target-like its hashed-n-gram profile is. Features are word
+    unigrams + adjacent bigrams hashed into ``n_buckets`` buckets; the
+    target distribution p is fit on the ``lang == target_lang`` slice, the
+    raw distribution q on the whole corpus (both add-1 smoothed), and a
+    doc's weight is sum_g log(p[h(g)] / q[h(g)]) over its n-gram
+    instances — the log importance ratio DSIR resamples by.
+
+    Scale shape: pass 1 emits per-doc (bucket, multiplicity) rows
+    compressed by an in-doc Counter (md5-lower64 bucket hash, so the SQL
+    oracle replays it), materialized once in the object store. The two
+    histograms are FIXED-SIZE (n_buckets) vectors: per-block
+    ``np.bincount`` partials fold through a coarse bucket%32 exchange to
+    one table of <= n_buckets rows on the driver — constant cost at any
+    corpus size. The log-ratio vector broadcasts back via ``ray.put`` (32
+    KB), and the weight pass streams over the materialized rows with a
+    doc_id-bucketed C-level fold. Float discipline: each bucket's
+    log-ratio is quantized ONCE to integer nano-units (math.log — libm,
+    same as DuckDB ln), so per-doc sums are order-independent int64
+    arithmetic on both engines.
+    """
+    import math
+
+    docs = _read_documents(sf_dir, columns=["doc_id", "text", "lang"])
+    B = int(n_buckets)
+
+    def bucket_rows(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        d_ids: list[int] = []
+        buckets: list[int] = []
+        ks: list[int] = []
+        tgts: list[int] = []
+        for doc_id, text, lang in zip(t["doc_id"].to_pylist(),
+                                      t["text"].to_pylist(),
+                                      t["lang"].to_pylist()):
+            toks = _tokens(text)
+            tgt = 1 if lang == target_lang else 0
+            if not toks:
+                # presence row: tokenless docs still get a weight-0 row
+                d_ids.append(doc_id); buckets.append(0); ks.append(0)
+                tgts.append(tgt)
+                continue
+            cnt = Counter(toks)
+            # SPACE joiner (the repo's bigram key idiom — NUL keys break
+            # pandas groupby, and a space cannot occur inside a \S+ token)
+            cnt.update(a + " " + b for a, b in zip(toks, toks[1:]))
+            grams = list(cnt.keys())
+            bs = (md5_lower64_array(grams) % np.uint64(B)).astype(np.int32)
+            for g, b in zip(grams, bs):
+                d_ids.append(doc_id); buckets.append(int(b))
+                ks.append(cnt[g]); tgts.append(tgt)
+        return pa.table({
+            "doc_id": pa.array(d_ids, pa.int64()),
+            "bucket": pa.array(buckets, pa.int32()),
+            "k": pa.array(ks, pa.int64()),
+            "tgt": pa.array(tgts, pa.int8()),
+        })
+
+    rows = docs.map_batches(bucket_rows, batch_format="pyarrow").materialize()
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tgt = t["tgt"].to_numpy(zero_copy_only=False) == 1
+        c_all = np.bincount(b, weights=k, minlength=B).astype(np.int64)
+        c_tgt = np.bincount(b[tgt], weights=k[tgt], minlength=B).astype(np.int64)
+        nz = np.flatnonzero(c_all)
+        return pa.table({
+            "bpart": pa.array((nz % 32).astype(np.int32)),
+            "bucket": pa.array(nz.astype(np.int32)),
+            "c_all": pa.array(c_all[nz]),
+            "c_tgt": pa.array(c_tgt[nz]),
+        })
+
+    def hist_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.drop(columns=["bpart"])
+                .groupby("bucket", sort=False).sum().reset_index())
+
+    hist = (rows.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("bpart").map_groups(hist_fold, batch_format="pandas")
+            .take_all())
+    c_all = np.zeros(B, dtype=np.int64)
+    c_tgt = np.zeros(B, dtype=np.int64)
+    for r in hist:
+        c_all[int(r["bucket"])] = int(r["c_all"])
+        c_tgt[int(r["bucket"])] = int(r["c_tgt"])
+    R, T = int(c_all.sum()), int(c_tgt.sum())
+    # libm log (matches DuckDB ln on this box), quantized once per bucket
+    # to nano-units: per-doc sums below are exact int64, order-free
+    li = np.array(
+        [math.floor(math.log(((ct + 1.0) / (T + B))
+                             / ((ca + 1.0) / (R + B))) * 1e9 + 0.5)
+         for ca, ct in zip(c_all.tolist(), c_tgt.tolist())],
+        dtype=np.int64)
+    li_ref = ray.put(li)
+
+    def weight_partial(t: pa.Table) -> pa.Table:
+        lr = ray.get(li_ref)
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "n_grams": k,
+            "w": k * lr[b],
+        }).groupby("doc_id", sort=False).sum().reset_index()
+        df["dpart"] = (df["doc_id"] % 32).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def weight_fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.drop(columns=["dpart"])
+               .groupby("doc_id", sort=False).sum().reset_index())
+        # nano-int -> 1e-6 half-UP: FLOOR(w/1000 + 0.5)/1e6 on both engines
+        out["dsir_weight"] = np.floor(
+            out["w"].to_numpy() / 1000.0 + 0.5) / 1e6
+        return out[["doc_id", "n_grams", "dsir_weight"]]
+
+    return (rows.map_batches(weight_partial, batch_format="pyarrow")
+            .groupby("dpart").map_groups(weight_fold, batch_format="pandas")
+            .sort("doc_id"))
+
+
+def dsir_importance_oracle_sql(target_lang: str = "en",
+                               n_buckets: int = 4096) -> str:
+    """Exact DuckDB oracle for :func:`dsir_importance`: same md5-lower64
+    bucket hash (md5_number_lower), same add-1 smoothing arithmetic, same
+    nano-unit log quantization, so per-doc weights match bit-for-bit."""
+    return f"""
+      WITH tok AS (
+        SELECT doc_id, lang,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(text), '\\s+')
+                    END AS toks
+        FROM documents
+      ),
+      grams AS (
+        SELECT doc_id, lang, u.tok AS g FROM tok, unnest(toks) AS u(tok)
+        UNION ALL
+        SELECT doc_id, lang,
+               toks[CAST(i AS INTEGER)] || ' ' ||
+               toks[CAST(i AS INTEGER) + 1] AS g
+        FROM (SELECT doc_id, lang, toks,
+                     unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM tok)
+      ),
+      inst AS (
+        SELECT doc_id, lang,
+               CAST(md5_number_lower(g) % {n_buckets} AS INTEGER) AS b
+        FROM grams
+      ),
+      hist AS (
+        SELECT b, COUNT(*) AS c_all,
+               COUNT(*) FILTER (lang = '{target_lang}') AS c_tgt
+        FROM inst GROUP BY b
+      ),
+      tot AS (
+        SELECT SUM(c_all) AS r_tot, SUM(c_tgt) AS t_tot FROM hist
+      ),
+      li AS (
+        SELECT b,
+               CAST(FLOOR(ln(((c_tgt + 1.0) / (t_tot + {n_buckets}))
+                           / ((c_all + 1.0) / (r_tot + {n_buckets})))
+                          * 1000000000 + 0.5) AS BIGINT) AS l
+        FROM hist, tot
+      ),
+      docw AS (
+        SELECT i.doc_id, COUNT(*) AS n_grams, SUM(l.l) AS w
+        FROM inst i JOIN li l USING (b) GROUP BY i.doc_id
+      )
+      SELECT d.doc_id,
+             CAST(COALESCE(dw.n_grams, 0) AS BIGINT) AS n_grams,
+             COALESCE(FLOOR(dw.w / 1000.0 + 0.5) / 1000000.0,
+                      0.0) AS dsir_weight
+      FROM documents d LEFT JOIN docw dw USING (doc_id)
+      ORDER BY d.doc_id
+    """
+
+
 def dup_keep_best(sf_dir: str, threshold: float = 0.7, n: int = 3,
                   num_parts: int = 32) -> rd.Dataset:
     """Representative selection for near-dup clusters: per connected

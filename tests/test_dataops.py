@@ -60,7 +60,7 @@ def ducksf():
      "order_totals_join", "customers_without_orders",
      "minlabel_components", "model_score", "knn_graph",
      "bpe_encode_parity", "anchor_text_parity",
-     "epoch_shuffle", "data_card"],
+     "epoch_shuffle", "data_card", "dsir_importance"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -917,6 +917,40 @@ def test_multimodal_frame_sample_composes_with_decode(ray_session):
         assert (g["decoded_height"] == src.loc[vid, "height"]).all()
         assert (g["decoded_format"] == "raw").all()
     assert {"video_id", "frame_idx", "image_id"} <= set(df.columns)
+
+
+def test_dsir_importance_planted(ray_session, tmp_path_factory):
+    """DSIR weights on a planted fixture: en docs share one vocabulary,
+    de docs another — every en doc must outscore every de doc (its hashed
+    n-grams sit in buckets the target distribution overweights), and the
+    engine must match the DuckDB oracle bit-for-bit."""
+    import __ray_entry__ as E
+
+    d = tmp_path_factory.mktemp("dsirdocs")
+    en = "the model trains on clean english prose with common words"
+    de = "das modell trainiert auf sauberem deutschem text mit worten"
+    texts = [en, en + " and more english prose", en.replace("clean", "neat"),
+             de, de + " und noch mehr deutscher text", ""]
+    langs = ["en", "en", "en", "de", "de", "de"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(str(d), "documents.parquet"))
+
+    df = _to_df(E.queries()["dsir_importance"](str(d))).set_index("doc_id")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    odf = con.execute(E.oracle_sql()["dsir_importance"]).df().set_index("doc_id")
+    for c in ("n_grams", "dsir_weight"):
+        assert (df[c] == odf[c]).all(), c
+    w = df["dsir_weight"]
+    assert min(w[0], w[1], w[2]) > max(w[3], w[4])  # en > de
+    assert w[5] == 0.0  # tokenless doc
 
 
 def test_hll_distinct_users_accuracy(ray_session):
