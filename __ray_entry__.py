@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "data_card": T.data_card,
         "lm_coverage": T.lm_coverage,
         "dsir_importance": T.dsir_importance,
+        "gopher_repetition": T.gopher_repetition,
         # dedup / near-dup family
         "dedup_exact": T.dedup_exact,
         "dedup_minhash_lsh": T.dedup_minhash_lsh,
@@ -457,6 +458,12 @@ def _dsir_importance_sql() -> str:
     from pholcus_ray.pipelines.textdata import dsir_importance_oracle_sql
 
     return dsir_importance_oracle_sql()
+
+
+def _gopher_repetition_sql() -> str:
+    from pholcus_ray.pipelines.textdata import gopher_repetition_oracle_sql
+
+    return gopher_repetition_oracle_sql()
 
 
 def _model_score_sql() -> str:
@@ -1083,6 +1090,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "lm_coverage": _lm_coverage_sql(),
         "dsir_importance": _dsir_importance_sql(),
+        "gopher_repetition": _gopher_repetition_sql(),
         "model_score": _model_score_sql(),
         "epoch_shuffle": _epoch_shuffle_sql(),
         "data_card": _data_card_sql(),

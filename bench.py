@@ -112,6 +112,8 @@ _BENCH_QUERIES = [
     # round-4: DSIR hashed-ngram importance weights (fixed-size histogram
     # exchanges + broadcast log-ratio vector)
     "dsir_importance",
+    # round-4: Gopher repetition filters (shuffle-free per-doc scan)
+    "gopher_repetition",
 ]
 
 

@@ -60,7 +60,7 @@ def ducksf():
      "order_totals_join", "customers_without_orders",
      "minlabel_components", "model_score", "knn_graph",
      "bpe_encode_parity", "anchor_text_parity",
-     "epoch_shuffle", "data_card", "dsir_importance"],
+     "epoch_shuffle", "data_card", "dsir_importance", "gopher_repetition"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -951,6 +951,60 @@ def test_dsir_importance_planted(ray_session, tmp_path_factory):
     w = df["dsir_weight"]
     assert min(w[0], w[1], w[2]) > max(w[3], w[4])  # en > de
     assert w[5] == 0.0  # tokenless doc
+
+
+def test_ngram_dense_and_prefix_paths_agree(ray_session, monkeypatch):
+    """The G-adaptive plan split must be invisible in the result: the
+    dense indicator-matmul bucket-pair join (small realized vocabulary)
+    and the prefix-filter + verify chain (the large-G / word plan) return
+    bit-identical pair sets and jaccard values on the same corpus."""
+    import pholcus_ray.pipelines.textdata as T
+
+    sf = "/root/testdata/sf0.001"
+    dense = _to_df(T.ngram_jaccard_exact(sf)).reset_index(drop=True)
+    monkeypatch.setenv("PHOLCUS_NGRAM_DENSE_MAX", "0")
+    prefix = _to_df(T.ngram_jaccard_exact(sf)).reset_index(drop=True)
+    assert len(dense) > 0
+    assert len(dense) == len(prefix)
+    for c in ("a", "b", "jaccard"):
+        assert (dense[c].values == prefix[c].values).all(), c
+
+
+def test_gopher_repetition_planted(ray_session, tmp_path_factory):
+    """Planted fixture: a boilerplate doc (one line repeated 5x) must fail
+    the dup-line filters, a loop doc ('buy now' x 30) must fail the
+    top-2-gram filter, a clean doc must pass all five; every value matches
+    the DuckDB oracle bit-for-bit."""
+    import __ray_entry__ as E
+
+    d = tmp_path_factory.mktemp("gopherdocs")
+    clean = ("the quick brown fox jumps over a lazy dog\n"
+             "pack my box with five dozen liquor jugs\n"
+             "sphinx of black quartz judge my vow")
+    boiler = "click here to subscribe\n" * 5 + "one real line of text"
+    loop = "buy now " * 30
+    texts = [clean, boiler, loop.strip(), ""]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(str(d), "documents.parquet"))
+
+    df = _to_df(E.queries()["gopher_repetition"](str(d))).set_index("doc_id")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    odf = con.execute(E.oracle_sql()["gopher_repetition"]).df() \
+        .set_index("doc_id")
+    for c in df.columns:
+        assert (df[c] == odf[c]).all(), (c, df[c].tolist(), odf[c].tolist())
+    assert bool(df.loc[0, "keep"]) and bool(df.loc[3, "keep"])
+    assert not bool(df.loc[1, "keep"])  # repeated boilerplate line
+    assert not bool(df.loc[2, "keep"])  # 'buy now' loop
+    assert df.loc[2, "top_bigram"] in ("buy now", "now buy")
 
 
 def test_hll_distinct_users_accuracy(ray_session):
