@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_coverage": T.lm_coverage,
         "dsir_importance": T.dsir_importance,
         "gopher_repetition": T.gopher_repetition,
+        "gopher_quality": T.gopher_quality,
         # dedup / near-dup family
         "dedup_exact": T.dedup_exact,
         "dedup_minhash_lsh": T.dedup_minhash_lsh,
@@ -464,6 +465,12 @@ def _gopher_repetition_sql() -> str:
     from pholcus_ray.pipelines.textdata import gopher_repetition_oracle_sql
 
     return gopher_repetition_oracle_sql()
+
+
+def _gopher_quality_sql() -> str:
+    from pholcus_ray.pipelines.textdata import gopher_quality_oracle_sql
+
+    return gopher_quality_oracle_sql()
 
 
 def _model_score_sql() -> str:
@@ -1091,6 +1098,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "lm_coverage": _lm_coverage_sql(),
         "dsir_importance": _dsir_importance_sql(),
         "gopher_repetition": _gopher_repetition_sql(),
+        "gopher_quality": _gopher_quality_sql(),
         "model_score": _model_score_sql(),
         "epoch_shuffle": _epoch_shuffle_sql(),
         "data_card": _data_card_sql(),

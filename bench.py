@@ -112,8 +112,10 @@ _BENCH_QUERIES = [
     # round-4: DSIR hashed-ngram importance weights (fixed-size histogram
     # exchanges + broadcast log-ratio vector)
     "dsir_importance",
-    # round-4: Gopher repetition filters (shuffle-free per-doc scan)
+    # round-4: Gopher repetition + quality filters (shuffle-free per-doc
+    # scans)
     "gopher_repetition",
+    "gopher_quality",
 ]
 
 

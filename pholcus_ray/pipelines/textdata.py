@@ -2261,6 +2261,195 @@ def gopher_repetition_oracle_sql(max_dup_line_frac: float = 0.3,
     """
 
 
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_ALPHA = re.compile(r"[a-zA-Z]")
+_GOPHER_BULLETS = ("•", "-", "*")
+
+
+def gopher_quality(sf_dir: str,
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   max_symbol_word_ratio: float = 0.1,
+                   max_bullet_line_frac: float = 0.9,
+                   max_ellipsis_line_frac: float = 0.3,
+                   min_alpha_word_frac: float = 0.8,
+                   min_stop_words: int = 2) -> rd.Dataset:
+    """Gopher-style quality filters (Rae et al. 2021, table A1 — the
+    non-repetition half; :func:`gopher_repetition` is the other half):
+    per doc the word count, mean word length, symbol-to-word ratio
+    ('#' chars plus non-overlapping '...' occurrences), the fraction of
+    lines starting with a bullet glyph, the fraction ending in an
+    ellipsis ('...' or '…'), the fraction of words containing an ASCII
+    letter, and the number of DISTINCT Gopher stop words present
+    (the/be/to/of/and/that/have/with). Keep iff the word count is in
+    [min_words, max_words], mean word length in [3, 10], symbol ratio
+    <= 0.1, bullet lines <= 90%, ellipsis lines <= 30%, alpha words
+    >= 80% and >= 2 stop words.
+
+    Exact-parity discipline (the gopher_repetition contract): every
+    fraction is one IEEE-double division of two integers followed by the
+    half-UP 1e-6 quantization (_round6), thresholds compared on the
+    QUANTIZED value, '...' counted by leftmost non-overlapping scan on
+    both engines (str.count vs length-delta of replace), and the
+    alpha-word test is the explicit ASCII class [a-zA-Z] on both sides
+    (python str.isalpha would admit unicode letters RE2 does not).
+    Shuffle-free streaming filter — one pass over (doc_id, text), the
+    final sort is oracle-comparison only.
+    """
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+    stops = frozenset(_GOPHER_STOPS)
+
+    def f(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+            "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+            "n_stop_words", "keep")}
+        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _tokens(x)
+            n_words = len(toks)
+            dw = max(1, n_words)
+            mwl = _round6(sum(map(len, toks)) / dw)
+            n_sym = x.count("#") + x.count("...")
+            swr = _round6(n_sym / dw)
+            lines = x.split("\n")
+            n_lines = len(lines)
+            blf = _round6(sum(1 for ln in lines
+                              if ln[:1] in _GOPHER_BULLETS) / n_lines)
+            elf = _round6(sum(1 for ln in lines
+                              if ln.endswith(("...", "…"))) / n_lines)
+            awf = _round6(sum(1 for w in toks
+                              if _GOPHER_ALPHA.search(w)) / dw)
+            nsw = len(stops.intersection(toks))
+            keep = (min_words <= n_words <= max_words
+                    and min_mean_word_len <= mwl <= max_mean_word_len
+                    and swr <= max_symbol_word_ratio
+                    and blf <= max_bullet_line_frac
+                    and elf <= max_ellipsis_line_frac
+                    and awf >= min_alpha_word_frac
+                    and nsw >= min_stop_words)
+            out["doc_id"].append(did)
+            out["n_words"].append(n_words)
+            out["mean_word_len"].append(mwl)
+            out["symbol_word_ratio"].append(swr)
+            out["bullet_line_frac"].append(blf)
+            out["ellipsis_line_frac"].append(elf)
+            out["alpha_word_frac"].append(awf)
+            out["n_stop_words"].append(nsw)
+            out["keep"].append(keep)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "n_words": pa.array(out["n_words"], pa.int64()),
+            "mean_word_len": pa.array(out["mean_word_len"], pa.float64()),
+            "symbol_word_ratio": pa.array(out["symbol_word_ratio"],
+                                          pa.float64()),
+            "bullet_line_frac": pa.array(out["bullet_line_frac"],
+                                         pa.float64()),
+            "ellipsis_line_frac": pa.array(out["ellipsis_line_frac"],
+                                           pa.float64()),
+            "alpha_word_frac": pa.array(out["alpha_word_frac"],
+                                        pa.float64()),
+            "n_stop_words": pa.array(out["n_stop_words"], pa.int64()),
+            "keep": pa.array(out["keep"], pa.bool_()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+def gopher_quality_oracle_sql(min_words: int = 50,
+                              max_words: int = 100_000,
+                              min_mean_word_len: float = 3.0,
+                              max_mean_word_len: float = 10.0,
+                              max_symbol_word_ratio: float = 0.1,
+                              max_bullet_line_frac: float = 0.9,
+                              max_ellipsis_line_frac: float = 0.3,
+                              min_alpha_word_frac: float = 0.8,
+                              min_stop_words: int = 2) -> str:
+    """Bit-exact DuckDB oracle for :func:`gopher_quality`: the same
+    integer counts, one double division per fraction, the same
+    FLOOR(v*1e6+0.5)/1e6 quantization, thresholds on the quantized
+    value."""
+    r6 = "FLOOR({} * 1000000 + 0.5) / 1000000.0"
+    stops = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)
+    return f"""
+      WITH tok AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(text), '\\s+')
+                    END AS toks
+        FROM documents
+      ),
+      wstat AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(length(w)) AS BIGINT) AS sum_wl,
+               CAST(COUNT(*) FILTER (regexp_matches(w, '[a-zA-Z]'))
+                    AS BIGINT) AS alpha_words,
+               CAST(COUNT(DISTINCT w) FILTER (w IN ({stops}))
+                    AS BIGINT) AS n_stop_words
+        FROM (SELECT doc_id, unnest(toks) AS w FROM tok)
+        GROUP BY doc_id
+      ),
+      lstat AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(COUNT(*) FILTER (substr(line, 1, 1)
+                    IN ('•', '-', '*')) AS BIGINT) AS bullet_lines,
+               CAST(COUNT(*) FILTER (line LIKE '%...'
+                    OR line LIKE '%…') AS BIGINT) AS ell_lines
+        FROM (SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line
+              FROM documents)
+        GROUP BY doc_id
+      ),
+      sym AS (
+        SELECT doc_id,
+               CAST(length(text) - length(replace(text, '#', ''))
+                    AS BIGINT)
+               + (CAST(length(text) - length(replace(text, '...', ''))
+                       AS BIGINT) // 3) AS n_sym
+        FROM documents
+      ),
+      f AS (
+        SELECT d.doc_id,
+               COALESCE(w.n_words, 0) AS n_words,
+               GREATEST(1, COALESCE(w.n_words, 0)) AS dw,
+               {r6.format("CAST(COALESCE(w.sum_wl, 0) AS DOUBLE)"
+                          " / CAST(GREATEST(1, COALESCE(w.n_words, 0))"
+                          " AS DOUBLE)")} AS mean_word_len,
+               {r6.format("CAST(s.n_sym AS DOUBLE)"
+                          " / CAST(GREATEST(1, COALESCE(w.n_words, 0))"
+                          " AS DOUBLE)")} AS symbol_word_ratio,
+               {r6.format("CAST(l.bullet_lines AS DOUBLE)"
+                          " / CAST(l.n_lines AS DOUBLE)")}
+                 AS bullet_line_frac,
+               {r6.format("CAST(l.ell_lines AS DOUBLE)"
+                          " / CAST(l.n_lines AS DOUBLE)")}
+                 AS ellipsis_line_frac,
+               {r6.format("CAST(COALESCE(w.alpha_words, 0) AS DOUBLE)"
+                          " / CAST(GREATEST(1, COALESCE(w.n_words, 0))"
+                          " AS DOUBLE)")} AS alpha_word_frac,
+               COALESCE(w.n_stop_words, 0) AS n_stop_words
+        FROM documents d
+        LEFT JOIN wstat w USING (doc_id)
+        JOIN lstat l USING (doc_id)
+        JOIN sym s USING (doc_id)
+      )
+      SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+             bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+             n_stop_words,
+             (n_words BETWEEN {min_words} AND {max_words}
+              AND mean_word_len BETWEEN {min_mean_word_len}
+                  AND {max_mean_word_len}
+              AND symbol_word_ratio <= {max_symbol_word_ratio}
+              AND bullet_line_frac <= {max_bullet_line_frac}
+              AND ellipsis_line_frac <= {max_ellipsis_line_frac}
+              AND alpha_word_frac >= {min_alpha_word_frac}
+              AND n_stop_words >= {min_stop_words}) AS keep
+      FROM f ORDER BY doc_id
+    """
+
+
 def line_dedup(sf_dir: str, min_docs: int = 2,
                num_parts: int = 32) -> rd.Dataset:
     """Cross-document line-level deduplication (the CCNet / RefinedWeb

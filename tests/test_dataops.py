@@ -60,7 +60,8 @@ def ducksf():
      "order_totals_join", "customers_without_orders",
      "minlabel_components", "model_score", "knn_graph",
      "bpe_encode_parity", "anchor_text_parity",
-     "epoch_shuffle", "data_card", "dsir_importance", "gopher_repetition"],
+     "epoch_shuffle", "data_card", "dsir_importance", "gopher_repetition",
+     "gopher_quality"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -1005,6 +1006,50 @@ def test_gopher_repetition_planted(ray_session, tmp_path_factory):
     assert not bool(df.loc[1, "keep"])  # repeated boilerplate line
     assert not bool(df.loc[2, "keep"])  # 'buy now' loop
     assert df.loc[2, "top_bigram"] in ("buy now", "now buy")
+
+
+def test_gopher_quality_planted(ray_session, tmp_path_factory):
+    """Planted fixture: a long clean English doc passes; a bullet-list doc
+    fails the bullet-line filter; a symbol-heavy doc fails the
+    symbol-to-word ratio; a numeric doc fails the alpha-word fraction and
+    the stop-word floor; every value matches the DuckDB oracle
+    bit-for-bit."""
+    import __ray_entry__ as E
+
+    d = tmp_path_factory.mktemp("gopherqdocs")
+    clean = " ".join(
+        "the quick brown fox jumps over a lazy dog and that is fine to"
+        " have with all of it be said".split() * 4)
+    bullets = "\n".join("• item %d of the list" % i for i in range(20))
+    symbols = "the price is # one # two # three ... more ... and ..." \
+              " # # # # # # of that"
+    numeric = " ".join(str(i) for i in range(80))
+    texts = [clean, bullets, symbols, numeric]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(str(d), "documents.parquet"))
+
+    df = _to_df(E.queries()["gopher_quality"](str(d))).set_index("doc_id")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    odf = con.execute(E.oracle_sql()["gopher_quality"]).df() \
+        .set_index("doc_id")
+    for c in df.columns:
+        assert (df[c] == odf[c]).all(), (c, df[c].tolist(), odf[c].tolist())
+    assert bool(df.loc[0, "keep"])
+    assert not bool(df.loc[1, "keep"])  # 100% bullet lines
+    assert df.loc[1, "bullet_line_frac"] == 1.0
+    assert not bool(df.loc[2, "keep"])  # '#'/'...' symbol ratio
+    assert df.loc[2, "symbol_word_ratio"] > 0.1
+    assert not bool(df.loc[3, "keep"])  # no alpha words, no stop words
+    assert df.loc[3, "alpha_word_frac"] == 0.0
+    assert df.loc[3, "n_stop_words"] == 0
 
 
 def test_hll_distinct_users_accuracy(ray_session):
