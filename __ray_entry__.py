@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_train": S.kmeans_train,
         "pca_power": S.pca_power,
         "embedding_near_dups": S.embedding_near_dups,
+        "semdedup": S.semdedup,
         "embedding_centroids": S.embedding_centroids,
         # the crawl engine itself (non-SQL: rows-only checks)
         "crawl_log": _q_crawl_log,
@@ -1837,6 +1838,39 @@ def _oracle_sql_raw() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.emb, b.emb) >= 0.3
             ORDER BY a, b
+        """,
+        "semdedup": """
+            -- semantic dedup: components over the exact cosine>=0.4 pair
+            -- graph (recursive reach), keep = component-min vec_id;
+            -- singletons keep themselves. Integer/bool output only.
+            WITH RECURSIVE e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                        FROM embeddings),
+            p AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM e2 a, e2 b
+              WHERE a.vec_id < b.vec_id
+                AND list_cosine_similarity(a.emb, b.emb) >= 0.4
+            ),
+            edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach(node, r) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+            ),
+            clusters AS (
+              SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY 1
+            ),
+            sizes AS (
+              SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY 1
+            )
+            SELECT v.vec_id,
+                   COALESCE(c.cluster_id, v.vec_id) AS cluster_id,
+                   CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+                   (v.vec_id = COALESCE(c.cluster_id, v.vec_id)) AS keep
+            FROM embeddings v
+            LEFT JOIN clusters c USING (vec_id)
+            LEFT JOIN sizes s ON s.cluster_id = c.cluster_id
+            ORDER BY vec_id
         """,
         "embedding_centroids": """
             -- exact integer-scaled partial sums (floor(v*1e6+0.5) matches

@@ -116,6 +116,8 @@ _BENCH_QUERIES = [
     # scans)
     "gopher_repetition",
     "gopher_quality",
+    # round-4: SemDeDup (embedding-cosine components, keep min-id rep)
+    "semdedup",
 ]
 
 

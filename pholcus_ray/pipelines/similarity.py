@@ -478,6 +478,86 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.3,
     )
 
 
+def semdedup(sf_dir: str, threshold: float = 0.4,
+             n_clusters: int = 8, num_parts: int = 16) -> rd.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): group
+    embeddings whose cosine similarity reaches `threshold` into
+    components and keep ONE representative per component (the minimum
+    vec_id — an integer-exact keep rule, no float tie-break). Emits one
+    verdict row per vector: (vec_id, cluster_id, cluster_size, keep);
+    singletons keep themselves with cluster_size 1.
+
+    Composition of two already-scale-shaped stages, nothing new touches
+    the driver: the EXACT pair set comes from
+    :func:`embedding_near_dups` (centroid-routed, triangle-pruned — the
+    SemDeDup paper's within-cluster approximation is unnecessary here
+    because the pruning keeps the exact join corpus-scale), components
+    from :func:`pholcus_ray.pipelines.textdata.components_from_pairs`
+    (alternating star contraction), and the join back to the full
+    vector set is a vec_id-bucketed partitioned hash join (the
+    dup_keep_best shape — no broadcast, no driver dict). Output columns
+    are all integers/bools, so the DuckDB oracle (pair join + recursive
+    reach CTE) compares bit-exactly.
+    """
+    import pandas as pd
+
+    from .textdata import components_from_pairs
+
+    pairs = embedding_near_dups(sf_dir, threshold=threshold,
+                                n_clusters=n_clusters) \
+        .select_columns(["a", "b"])
+    comp = components_from_pairs(pairs, num_parts=num_parts,
+                                 id_col="vec_id")
+    ids = _read_embeddings(sf_dir, columns=["vec_id"])
+    nb = np.int64(num_parts)
+
+    def tag_comp(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array((vid % nb).astype(np.int32)),
+            "kind": pa.array(np.zeros(len(vid), np.int8)),
+            "vec_id": t["vec_id"],
+            "cluster_id": t["cluster_id"],
+            "cluster_size": t["cluster_size"],
+        })
+
+    def tag_all(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        neg = np.full(len(vid), -1, np.int64)
+        return pa.table({
+            "part": pa.array((vid % nb).astype(np.int32)),
+            "kind": pa.array(np.ones(len(vid), np.int8)),
+            "vec_id": t["vec_id"],
+            "cluster_id": pa.array(neg),
+            "cluster_size": pa.array(neg),
+        })
+
+    def verdicts(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["kind"] == 0][["vec_id", "cluster_id", "cluster_size"]]
+        allv = g[g["kind"] == 1][["vec_id"]]
+        m = allv.merge(c, on="vec_id", how="left")
+        vid = m["vec_id"].to_numpy()
+        cid = m["cluster_id"].to_numpy()
+        csz = m["cluster_size"].to_numpy()
+        single = np.isnan(cid) if cid.dtype.kind == "f" else (cid < 0)
+        cid = np.where(single, vid, cid).astype("int64")
+        csz = np.where(single, 1, csz).astype("int64")
+        return pd.DataFrame({
+            "vec_id": vid.astype("int64"),
+            "cluster_id": cid,
+            "cluster_size": csz,
+            "keep": vid == cid,
+        })
+
+    return (
+        comp.map_batches(tag_comp, batch_format="pyarrow")
+        .union(ids.map_batches(tag_all, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(verdicts, batch_format="pandas")
+        .sort("vec_id")
+    )
+
+
 def embedding_centroids(sf_dir: str) -> rd.Dataset:
     """Per-label mean embedding (class centroids — the seeding step for
     IVF/k-means and the building block of centroid-based dedup).

@@ -2969,6 +2969,23 @@ def dup_clusters(sf_dir: str, threshold: float = 0.7,
         return cached
     pairs = _ngram_pairs_cached(sf_dir, threshold, n) \
         .select_columns(["a", "b"])
+    out = components_from_pairs(pairs, num_parts=num_parts,
+                                max_rounds=max_rounds)
+    _DUP_CLUSTERS_MEMO[memo_key] = out
+    return out
+
+
+def components_from_pairs(pairs: rd.Dataset, num_parts: int = 32,
+                          max_rounds: int = 50,
+                          id_col: str = "doc_id") -> rd.Dataset:
+    """Connected components over an (a, b) edge Dataset — the shared
+    engine behind :func:`dup_clusters` (n-gram near-dup graph) and
+    :func:`pholcus_ray.pipelines.similarity.semdedup` (embedding-cosine
+    graph). Returns (id_col, cluster_id = component-min node,
+    cluster_size) for every node that appears in an edge, sorted by
+    id_col and materialized. Same scale shape as documented on
+    dup_clusters: per-block union-find bound, then alternating
+    large-star/small-star contraction to a fixed point."""
     edges = pairs.map_batches(_forest_block, batch_format="pyarrow") \
                  .materialize()
     sig = _edge_sig(edges)
@@ -2979,7 +2996,7 @@ def dup_clusters(sf_dir: str, threshold: float = 0.7,
         if nsig == prev:
             break
     else:
-        raise RuntimeError("dup_clusters star-contraction did not converge")
+        raise RuntimeError("star-contraction did not converge")
 
     # converged star form: every edge is (node, root), node != root, one
     # root per node (copies possible across partitions — dedup by node)
@@ -2993,7 +3010,7 @@ def dup_clusters(sf_dir: str, threshold: float = 0.7,
     def dedup_nodes(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(subset=["a"])
         return pd.DataFrame({
-            "doc_id": g["a"].astype("int64").values,
+            id_col: g["a"].astype("int64").values,
             "cluster_id": g["b"].astype("int64").values,
             "cpart": (g["b"].values.astype(np.uint64)
                       % np.uint64(num_parts)).astype(np.int32),
@@ -3001,27 +3018,25 @@ def dup_clusters(sf_dir: str, threshold: float = 0.7,
 
     def finalize(g: pd.DataFrame) -> pd.DataFrame:
         # per cluster: members + the root itself (roots have no star row)
-        sizes = g.groupby("cluster_id")["doc_id"].transform("size").values + 1
+        sizes = g.groupby("cluster_id")[id_col].transform("size").values + 1
         roots = g["cluster_id"].drop_duplicates()
         rsz = g.groupby("cluster_id").size()
         return pd.DataFrame({
-            "doc_id": np.concatenate([g["doc_id"].values, roots.values]),
+            id_col: np.concatenate([g[id_col].values, roots.values]),
             "cluster_id": np.concatenate([g["cluster_id"].values, roots.values]),
             "cluster_size": np.concatenate(
                 [sizes, rsz.loc[roots].values + 1]).astype("int64"),
         })
 
-    out = (
+    return (
         edges.map_batches(by_node, batch_format="pyarrow")
         .groupby("part")
         .map_groups(dedup_nodes, batch_format="pandas")
         .groupby("cpart")
         .map_groups(finalize, batch_format="pandas")
-        .sort("doc_id")
+        .sort(id_col)
         .materialize()
     )
-    _DUP_CLUSTERS_MEMO[memo_key] = out
-    return out
 
 
 def contamination_check(sf_dir: str, n: int = 5,

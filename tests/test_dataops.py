@@ -61,7 +61,7 @@ def ducksf():
      "minlabel_components", "model_score", "knn_graph",
      "bpe_encode_parity", "anchor_text_parity",
      "epoch_shuffle", "data_card", "dsir_importance", "gopher_repetition",
-     "gopher_quality"],
+     "gopher_quality", "semdedup"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -1091,6 +1091,45 @@ def test_embedding_near_dups_partitioned_exact(ray_session):
     got = embedding_near_dups(SF, threshold=0.3, n_clusters=4).to_pandas()
     assert set(zip(got["a"], got["b"])) == expected
     assert len(got) == len(expected)  # no duplicate emission across groups
+
+
+def test_semdedup_planted(ray_session, tmp_path_factory):
+    """Planted fixture: vectors 0/3/7 are one semantic group (exact copies
+    and a tiny perturbation), 1/5 another, 2/4/6 singletons — keep rows
+    are the component minima, sizes are exact, and the brute-force
+    verdict table matches the DuckDB oracle bit-for-bit."""
+    import __ray_entry__ as E
+
+    d = tmp_path_factory.mktemp("semdocs")
+    base = np.eye(4, 8)  # orthogonal groups: cross-group cosine is 0
+    eps = np.zeros(8)
+    eps[7] = 0.001
+    vecs = np.stack([
+        base[0], base[1], base[2], base[0] + eps, base[3],
+        base[1] * 2.0, -base[2], base[0] * 0.5,
+    ])
+    t = pa.table({
+        "vec_id": pa.array(range(8), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float64())),
+        "label": pa.array([0] * 8, pa.int64()),
+    })
+    pq.write_table(t, os.path.join(str(d), "embeddings.parquet"))
+
+    df = _to_df(E.queries()["semdedup"](str(d))).set_index("vec_id")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{d}/embeddings.parquet')")
+    odf = con.execute(E.oracle_sql()["semdedup"]).df().set_index("vec_id")
+    for c in df.columns:
+        assert (df[c] == odf[c]).all(), (c, df[c].tolist(), odf[c].tolist())
+    assert df.loc[0, "cluster_id"] == 0 and df.loc[0, "cluster_size"] == 3
+    assert df.loc[3, "cluster_id"] == 0 and not bool(df.loc[3, "keep"])
+    assert df.loc[7, "cluster_id"] == 0 and not bool(df.loc[7, "keep"])
+    assert df.loc[1, "cluster_id"] == 1 and df.loc[5, "cluster_id"] == 1
+    assert bool(df.loc[1, "keep"]) and not bool(df.loc[5, "keep"])
+    for v in (2, 4, 6):  # -base[2] is anti-parallel: NOT a dup of 2
+        assert df.loc[v, "cluster_size"] == 1 and bool(df.loc[v, "keep"])
 
 
 def test_write_sharded_parquet_resume(ray_session, tmp_path):
