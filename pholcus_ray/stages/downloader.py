@@ -120,10 +120,43 @@ class HttpDownloader:
     """
 
     def __init__(self, timeout: float = 10.0, retry_pause: float = 0.1,
-                 url_rewrite: Callable[[str], str] | None = None):
+                 url_rewrite: Callable[[str], str] | None = None,
+                 dns_cache=None):
         self.timeout = timeout
         self.retry_pause = retry_pause
         self.url_rewrite = url_rewrite
+        # per-actor success-driven host:port -> ip:port map (ST2's real
+        # half, surfer/surf.go:80-137); None disables the Dial-hook path
+        self.dns_cache = dns_cache
+
+    def _via_dns(self, url: str) -> tuple[str, str | None, str | None,
+                                          bool, str | None]:
+        """Returns (effective_url, host_header, cache_key, was_cached,
+        fresh_ip_port).
+
+        Cache hits dial the stored ip:port with the original host carried
+        in the Host header (the urllib analogue of the reference's Dial
+        hook, which swaps the address under an unchanged http.Request).
+        http-only: a TLS handshake needs the hostname, and the reference
+        hook likewise rewrites only the TCP dial address.
+        """
+        from urllib.parse import urlsplit
+
+        if self.dns_cache is None:
+            return url, None, None, False, None
+        p = urlsplit(url)
+        if p.scheme != "http" or not p.hostname:
+            return url, None, None, False, None
+        port = p.port or 80
+        key = f"{p.hostname}:{port}"
+        hit = self.dns_cache.query(key)
+        if hit is not None:
+            return url.replace(p.netloc, hit, 1), p.netloc, key, True, None
+        ip_port = self.dns_cache.resolve(p.hostname, port)
+        if ip_port is None:
+            return url, None, key, False, None
+        return (url.replace(p.netloc, ip_port, 1), p.netloc, key, False,
+                ip_port)
 
     def _fetch_once(self, url: str, method: str, post_data: str,
                     headers: dict) -> tuple[int, bytes | None, str]:
@@ -170,9 +203,23 @@ class HttpDownloader:
                 }
                 if cookies is not None and cookies[i]:
                     headers["Cookie"] = cookies[i]
+                eff_url, host_hdr, dns_key, was_cached, fresh = \
+                    self._via_dns(url)
+                if host_hdr is not None:
+                    headers["Host"] = host_hdr
                 status, data, sc = self._fetch_once(
-                    url, methods[i], post_datas[i], headers
+                    eff_url, methods[i], post_datas[i], headers
                 )
+                if self.dns_cache is not None and dns_key is not None:
+                    if status == 599:
+                        # dial failure: drop the stale entry so the next
+                        # attempt re-resolves (surfer/surf.go:122-126)
+                        if was_cached:
+                            self.dns_cache.delete(dns_key)
+                    elif fresh is not None:
+                        # connection reached the server: register
+                        # (surfer/surf.go:127-132)
+                        self.dns_cache.reg(dns_key, fresh)
                 if status < 400:
                     break
                 if t + 1 < try_times and self.retry_pause > 0:

@@ -136,6 +136,63 @@ def test_http_downloader_sends_cookie_and_ua(http_corpus):
     assert hdr.get("User-Agent") == fixed_ua(None)
 
 
+def test_dns_cache_semantics():
+    """Success-driven map parity (surfer/surf.go:82-100): reg/query/del,
+    injectable resolver counted per uncached resolve."""
+    from pholcus_ray.state.dnscache import DnsCache
+
+    calls = []
+    dc = DnsCache(resolver=lambda h, p: (calls.append((h, p)),
+                                         f"10.0.0.9:{p}")[1])
+    assert dc.query("a.example:80") is None
+    assert dc.resolve("a.example", 80) == "10.0.0.9:80"
+    assert calls == [("a.example", 80)] and dc.resolve_calls == 1
+    dc.reg("a.example:80", "10.0.0.9:80")
+    assert dc.query("a.example:80") == "10.0.0.9:80" and len(dc) == 1
+    dc.delete("a.example:80")
+    assert dc.query("a.example:80") is None and len(dc) == 0
+    dc.delete("a.example:80")  # idempotent
+
+
+def test_http_downloader_dns_cache_hits_and_eviction(http_corpus):
+    """Wire behavior of the Dial-hook analogue: the first fetch resolves
+    once and registers host:port -> ip:port; the second fetch is a cache
+    hit (no new resolution) dialing the ip with the original netloc in
+    the Host header; a poisoned entry (dead port) is evicted on the
+    connection failure and the NEXT attempt re-resolves and succeeds —
+    the surfer delete-on-dial-error semantics."""
+    from pholcus_ray.state.dnscache import DnsCache
+
+    _corpus, base = http_corpus
+    port = int(base.rsplit(":", 1)[1])
+    _CorpusHandler.flaky_hits = 10  # /flaky answers 200 immediately
+    dc = DnsCache()  # real getaddrinfo on the loopback name
+    dl = HttpDownloader(retry_pause=0.0, dns_cache=dc)
+    url = f"http://localhost:{port}/flaky"
+    key = f"localhost:{port}"
+    keys = dedup_key_array([url], ["GET"], ["page"])
+
+    _CorpusHandler.seen_headers = []
+    st, att, _, _ = dl.fetch_batch([url], [""], keys, ["GET"], [""],
+                                   np.zeros(1, np.int32), 3, None, None,
+                                   False)
+    assert st[0] == 200 and dc.resolve_calls == 1
+    assert dc.query(key) == f"127.0.0.1:{port}"
+    assert _CorpusHandler.seen_headers[-1].get("Host") == key
+
+    st, att, _, _ = dl.fetch_batch([url], [""], keys, ["GET"], [""],
+                                   np.zeros(1, np.int32), 3, None, None,
+                                   False)
+    assert st[0] == 200 and dc.resolve_calls == 1  # pure cache hit
+
+    dc.reg(key, "127.0.0.1:9")  # poison: discard-port, connection refused
+    st, att, _, _ = dl.fetch_batch([url], [""], keys, ["GET"], [""],
+                                   np.zeros(1, np.int32), 3, None, None,
+                                   False)
+    assert st[0] == 200 and att[0] == 2  # 599 evicted, retry re-resolved
+    assert dc.resolve_calls == 2 and dc.query(key) == f"127.0.0.1:{port}"
+
+
 def test_fetchparse_identical_over_wire_and_simnet(http_corpus):
     """FetchParse + HttpDownloader against the loopback server produces
     the SAME parse output (items, links, n_items) as FetchParse + simnet
