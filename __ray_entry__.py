@@ -302,6 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_banding_complete": T.simhash_banding_complete,
         "ann_ivf_recall": S.ann_ivf_recall,
         "kmeans_parity": S.kmeans_parity,
+        "logreg_train": T.logreg_train,
+        "logreg_parity": T.logreg_parity,
         "pca_parity": S.pca_parity,
         "bpe_parity": T.bpe_parity,
         "bpe_encode_parity": T.bpe_encode_parity,
@@ -466,6 +468,12 @@ def _gopher_repetition_sql() -> str:
     from pholcus_ray.pipelines.textdata import gopher_repetition_oracle_sql
 
     return gopher_repetition_oracle_sql()
+
+
+def _logreg_parity_sql() -> str:
+    from pholcus_ray.pipelines.textdata import logreg_parity_oracle_sql
+
+    return logreg_parity_oracle_sql()
 
 
 def _gopher_quality_sql() -> str:
@@ -1100,6 +1108,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "dsir_importance": _dsir_importance_sql(),
         "gopher_repetition": _gopher_repetition_sql(),
         "gopher_quality": _gopher_quality_sql(),
+        "logreg_parity": _logreg_parity_sql(),
         "model_score": _model_score_sql(),
         "epoch_shuffle": _epoch_shuffle_sql(),
         "data_card": _data_card_sql(),

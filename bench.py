@@ -118,6 +118,8 @@ _BENCH_QUERIES = [
     "gopher_quality",
     # round-4: SemDeDup (embedding-cosine components, keep min-id rep)
     "semdedup",
+    # round-4: distributed logreg classifier training (parity-gated)
+    "logreg_parity",
 ]
 
 

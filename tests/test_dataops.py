@@ -61,7 +61,7 @@ def ducksf():
      "minlabel_components", "model_score", "knn_graph",
      "bpe_encode_parity", "anchor_text_parity",
      "epoch_shuffle", "data_card", "dsir_importance", "gopher_repetition",
-     "gopher_quality", "semdedup"],
+     "gopher_quality", "semdedup", "logreg_parity"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -1091,6 +1091,22 @@ def test_embedding_near_dups_partitioned_exact(ray_session):
     got = embedding_near_dups(SF, threshold=0.3, n_clusters=4).to_pandas()
     assert set(zip(got["a"], got["b"])) == expected
     assert len(got) == len(expected)  # no duplicate emission across groups
+
+
+def test_logreg_learns(ray_session):
+    """The distributed trainer must actually LEARN, not just agree with
+    its twin: train accuracy beats the majority-class baseline by a wide
+    margin (the planted contains-token signal is recoverable through the
+    hashed presence features), and the parity verdict holds."""
+    from pholcus_ray.pipelines.textdata import logreg_parity, logreg_train
+
+    eng = logreg_train(SF).to_pydict()
+    n, pos, correct = (eng["n_docs"][0], eng["n_pos"][0],
+                       eng["n_correct"][0])
+    majority = max(pos, n - pos)
+    assert correct >= majority + (n - majority) * 3 // 4, (correct, majority, n)
+    par = logreg_parity(SF).to_pydict()
+    assert par["parity_ok"] == [1]
 
 
 def test_semdedup_planted(ray_session, tmp_path_factory):
