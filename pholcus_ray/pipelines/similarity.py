@@ -478,6 +478,9 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.3,
     )
 
 
+_SEMDEDUP_MEMO: dict[tuple, "rd.Dataset"] = {}
+
+
 def semdedup(sf_dir: str, threshold: float = 0.4,
              n_clusters: int = 8, num_parts: int = 16) -> rd.Dataset:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): group
@@ -502,6 +505,15 @@ def semdedup(sf_dir: str, threshold: float = 0.4,
     import pandas as pd
 
     from .textdata import components_from_pairs
+
+    # the dup-chain memo pattern (_DUP_CLUSTERS_MEMO / _SYM_MEMO): the
+    # pair + component chain is deterministic per (corpus, threshold),
+    # so repeat consumers reuse the materialized verdict table
+    memo_key = (os.path.abspath(sf_dir), round(float(threshold), 6),
+                int(n_clusters), int(num_parts))
+    cached = _SEMDEDUP_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
 
     pairs = embedding_near_dups(sf_dir, threshold=threshold,
                                 n_clusters=n_clusters) \
@@ -549,13 +561,16 @@ def semdedup(sf_dir: str, threshold: float = 0.4,
             "keep": vid == cid,
         })
 
-    return (
+    out = (
         comp.map_batches(tag_comp, batch_format="pyarrow")
         .union(ids.map_batches(tag_all, batch_format="pyarrow"))
         .groupby("part")
         .map_groups(verdicts, batch_format="pandas")
         .sort("vec_id")
+        .materialize()
     )
+    _SEMDEDUP_MEMO[memo_key] = out
+    return out
 
 
 def embedding_centroids(sf_dir: str) -> rd.Dataset:
