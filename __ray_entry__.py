@@ -248,6 +248,18 @@ def _q_training_corpus(sf_dir: str):
     return training_corpus_summary(sf_dir)
 
 
+def _q_tokenized_shards(sf_dir: str):
+    from pholcus_ray.pipelines.corpus import tokenized_shards
+
+    return tokenized_shards(sf_dir)
+
+
+def _tokenized_shards_sql() -> str:
+    from pholcus_ray.pipelines.corpus import tokenized_shards_oracle_sql
+
+    return tokenized_shards_oracle_sql()
+
+
 def _q_corpus_v2(sf_dir: str):
     from pholcus_ray.pipelines.corpus import corpus_v2_summary
 
@@ -336,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # removal -> split, one SQL oracle over the whole chain
         "training_corpus_summary": _q_training_corpus,
         "corpus_v2_summary": _q_corpus_v2,
+        "tokenized_shards": _q_tokenized_shards,
         # similarity search
         "ann_topk": S.ann_topk,
         "ann_filtered": S.ann_filtered,
@@ -1109,6 +1122,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "gopher_repetition": _gopher_repetition_sql(),
         "gopher_quality": _gopher_quality_sql(),
         "logreg_parity": _logreg_parity_sql(),
+        "tokenized_shards": _tokenized_shards_sql(),
         "model_score": _model_score_sql(),
         "epoch_shuffle": _epoch_shuffle_sql(),
         "data_card": _data_card_sql(),

@@ -120,6 +120,9 @@ _BENCH_QUERIES = [
     "semdedup",
     # round-4: distributed logreg classifier training (parity-gated)
     "logreg_parity",
+    # round-4: the tokenizer-product capstone (encode -> epoch shards ->
+    # write -> read-back verify -> sequential-twin parity)
+    "tokenized_shards",
 ]
 
 

@@ -272,3 +272,222 @@ def corpus_v2_summary(sf_dir: str, max_oov: float = 0.3,
         .map_groups(fold, batch_format="pandas")
         .sort("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenized_shards — the "corpus -> training shards" product capstone
+# ---------------------------------------------------------------------------
+
+_TS_P61 = (1 << 61) - 1
+_TS_R2 = 1_000_033  # epoch-checksum base (distinct from BpeEncoder._R)
+
+
+def _ts_sym_checksum(syms: list) -> int:
+    """Order-sensitive rolling checksum of one doc's BPE symbol stream —
+    the same polynomial fold BpeEncoder emits (textdata.BpeEncoder), so
+    the written shards verify against the tokenizer's own fingerprints."""
+    from ..functions.hashing import hash64_array
+    from .textdata import BpeEncoder, _mulmod_p61, _pow_range_p61
+
+    if not syms:
+        return 0
+    h = hash64_array(syms) % np.uint64(_TS_P61)
+    return int(_mulmod_p61(h, _pow_range_p61(BpeEncoder._R, len(h)))
+               .astype(object).sum() % _TS_P61)
+
+
+def _ts_epoch_order(doc_ids: list[int], seed: int) -> dict[int, int]:
+    """Sequential replay of epoch_shuffle's global order: sort by
+    (bucket, hx, doc_id) with hx = md5(seed:doc_id) and bucket =
+    int(hx[:2], 16) % 64 — the exact key textdata.epoch_shuffle ranks
+    by (its SQL oracle pins the distributed version to this order)."""
+    hx = md5_hex_array([f"{seed}:{int(i)}" for i in doc_ids])
+    keyed = sorted((int(h[:2], 16) % 64, h, int(i))
+                   for h, i in zip(hx, doc_ids))
+    return {i: pos for pos, (_, _, i) in enumerate(keyed)}
+
+
+def tokenized_shards(sf_dir: str, out_dir: str | None = None,
+                     rounds: int = 6, seed: int = 0, n_shards: int = 8,
+                     num_parts: int = 16) -> pa.Table:
+    """The full tokenizer-product path a pretraining run consumes: learn
+    BPE merges on the corpus (:func:`textdata.bpe_merges`), encode every
+    document (per-actor merge list + word memo), place each doc at its
+    seeded epoch position (:func:`textdata.epoch_shuffle`), and WRITE the
+    round-robin training shards as JSONL (one file per shard, docs in
+    shard-offset order) — then read the shards back and prove the
+    artifact correct. Returns one verdict row
+    (n_docs, n_shards, roundtrip_ok, parity_ok):
+
+    - roundtrip_ok: the files on disk contain every doc exactly once and
+      every shard's offsets are dense 0..k-1 (count/sum/max folds over
+      the read-back Dataset — a lost or duplicated line fails here);
+    - parity_ok: the global epoch checksum sum_i chk_i * R2^pos_i mod
+      p61, recomputed FROM THE WRITTEN FILES (chk_i re-derived from each
+      line's symbol stream, pos_i = offset*n_shards + shard), equals a
+      fully sequential twin (twin merges + twin encode + twin order
+      replay) — one wrong symbol, order swap, or misplaced doc anywhere
+      in the distributed chain flips it.
+
+    Scale shape: encode is the stateful actor-pool stage; the enc ⋈
+    order join is a doc_id-bucketed union-tag partitioned hash join (no
+    broadcast); each shard is written by the partition that owns it
+    (groupby(shard) — shard count scales with the corpus, so partitions
+    stay bounded) and the verify pass streams the files back through
+    integer partials. Nothing corpus-sized touches the driver.
+    """
+    import json
+    import shutil
+    import tempfile
+
+    from .textdata import BpeEncoder, bpe_merges, bpe_reference, \
+        epoch_shuffle
+
+    cleanup = out_dir is None
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="pholcus_tokshards_")
+    os.makedirs(out_dir, exist_ok=True)
+
+    mt = bpe_merges(sf_dir, rounds)
+    merges = list(zip(mt["left"].to_pylist(), mt["right"].to_pylist()))
+    mref = ray.put(merges)
+    nb = np.int64(num_parts)
+
+    class EncRows(BpeEncoder):
+        """Per-actor encode emitting the symbol stream itself (the shard
+        payload) — the one stage where tokens legitimately leave the
+        worker, because the tokens ARE the product."""
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            sj = []
+            for text in t["text"].to_pylist():
+                toks = _tokens(text.lower())
+                syms = [s for w in toks for s in self.encode_word(w)]
+                sj.append(json.dumps(syms, separators=(",", ":")))
+            return pa.table({
+                "part": pa.array((ids % nb).astype(np.int32)),
+                "kind": pa.array(np.zeros(len(ids), np.int8)),
+                "doc_id": pa.array(ids, pa.int64()),
+                "syms_json": pa.array(sj, pa.string()),
+                "shard": pa.array(np.full(len(ids), -1, np.int64)),
+                "shard_offset": pa.array(np.full(len(ids), -1, np.int64)),
+            })
+
+    enc = _read_documents(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(EncRows, fn_constructor_kwargs={"merges_ref": mref},
+                     batch_format="pyarrow", concurrency=2)
+
+    def tag_order(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array((ids % nb).astype(np.int32)),
+            "kind": pa.array(np.ones(len(ids), np.int8)),
+            "doc_id": t["doc_id"],
+            "syms_json": pa.array([""] * len(ids), pa.string()),
+            "shard": t["shard"],
+            "shard_offset": t["shard_offset"],
+        })
+
+    order = epoch_shuffle(sf_dir, seed, n_shards) \
+        .map_batches(tag_order, batch_format="pyarrow")
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["kind"] == 0][["doc_id", "syms_json"]]
+        o = g[g["kind"] == 1][["doc_id", "shard", "shard_offset"]]
+        return o.merge(e, on="doc_id", how="inner")
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("shard_offset", kind="mergesort")
+        s = int(g["shard"].iloc[0])
+        path = os.path.join(out_dir, f"shard_{s:05d}.jsonl")
+        with open(path, "w", encoding="utf-8") as fh:
+            for d, o, sj in zip(g["doc_id"], g["shard_offset"],
+                                g["syms_json"]):
+                fh.write('{"doc_id":%d,"s":%d,"o":%d,"syms":%s}\n'
+                         % (int(d), s, int(o), sj))
+        return pd.DataFrame({"shard": [s], "n_docs": [len(g)]})
+
+    manifest = (enc.union(order)
+                .groupby("part").map_groups(join, batch_format="pandas")
+                .groupby("shard").map_groups(write_shard,
+                                             batch_format="pandas")
+                .take_all())
+    n_written = sum(int(r["n_docs"]) for r in manifest)
+
+    # ---- read back + verify from the artifact alone ----
+    back = rd.read_json(out_dir)
+
+    def verify_partial(t: pa.Table) -> pa.Table:
+        sh = t["s"].to_numpy(zero_copy_only=False)
+        off = t["o"].to_numpy(zero_copy_only=False)
+        gsum = 0
+        for s, o, syms in zip(sh, off, t["syms"].to_pylist()):
+            pos = int(o) * n_shards + int(s)
+            gsum = (gsum + _ts_sym_checksum(list(syms))
+                    * pow(_TS_R2, pos, _TS_P61)) % _TS_P61
+        rows = {"shard": [], "n": [], "sum_o": [], "max_o": [],
+                "gsum": []}
+        for s in np.unique(sh):
+            m = sh == s
+            rows["shard"].append(int(s))
+            rows["n"].append(int(m.sum()))
+            rows["sum_o"].append(int(off[m].sum()))
+            rows["max_o"].append(int(off[m].max()))
+            rows["gsum"].append(0)
+        if rows["shard"]:
+            rows["gsum"][0] = gsum
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in rows.items()})
+
+    per_shard: dict[int, list[int]] = {}
+    gsum_eng = 0
+    for r in back.map_batches(verify_partial,
+                              batch_format="pyarrow").take_all():
+        s = int(r["shard"])
+        acc = per_shard.setdefault(s, [0, 0, -1])
+        acc[0] += int(r["n"])
+        acc[1] += int(r["sum_o"])
+        acc[2] = max(acc[2], int(r["max_o"]))
+        gsum_eng = (gsum_eng + int(r["gsum"])) % _TS_P61
+    n_back = sum(a[0] for a in per_shard.values())
+    dense = all(a[2] == a[0] - 1 and a[1] == a[0] * (a[0] - 1) // 2
+                for a in per_shard.values())
+    roundtrip_ok = int(n_back == n_written and dense
+                       and len(per_shard) == len(manifest))
+
+    # ---- fully sequential twin: merges + encode + order, no Ray ----
+    import pyarrow.parquet as pq
+
+    rt = bpe_reference(sf_dir, rounds)
+    ref_merges = list(zip(rt["left"].to_pylist(), rt["right"].to_pylist()))
+    tdoc = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    ref_enc = BpeEncoder(ref_merges)
+    ids = tdoc["doc_id"].to_pylist()
+    pos_of = _ts_epoch_order(ids, seed)
+    gsum_ref = 0
+    for i, text in zip(ids, tdoc["text"].to_pylist()):
+        syms = [s for w in _tokens(text.lower())
+                for s in ref_enc.encode_word(w)]
+        gsum_ref = (gsum_ref + _ts_sym_checksum(syms)
+                    * pow(_TS_R2, pos_of[int(i)], _TS_P61)) % _TS_P61
+    parity_ok = int(gsum_ref == gsum_eng and n_back == len(ids))
+
+    if cleanup:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return pa.table({
+        "n_docs": pa.array([n_back], pa.int64()),
+        "n_shards": pa.array([len(per_shard)], pa.int64()),
+        "roundtrip_ok": pa.array([roundtrip_ok], pa.int64()),
+        "parity_ok": pa.array([parity_ok], pa.int64()),
+    })
+
+
+def tokenized_shards_oracle_sql(n_shards: int = 8) -> str:
+    return f"""
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             CAST({n_shards} AS BIGINT) AS n_shards,
+             CAST(1 AS BIGINT) AS roundtrip_ok,
+             CAST(1 AS BIGINT) AS parity_ok
+    """
