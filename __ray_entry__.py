@@ -313,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_recall": T.minhash_lsh_recall,
         "simhash_banding_complete": T.simhash_banding_complete,
         "ann_ivf_recall": S.ann_ivf_recall,
+        "pq_recall": S.pq_recall,
+        "pq_topk": S.pq_topk,
         "kmeans_parity": S.kmeans_parity,
         "logreg_train": T.logreg_train,
         "logreg_parity": T.logreg_parity,
@@ -850,6 +852,14 @@ def _oracle_sql_raw() -> dict[str, str]:
             -- assertion oracle: the engine emits recall_ok=1 only when IVF
             -- nprobe=4/8 recall vs brute force is >= 0.5 (k and result size
             -- are pinned too, so a degenerate everything-result also fails)
+            SELECT CAST(10 AS BIGINT) AS k,
+                   CAST(10 AS BIGINT) AS n_results,
+                   CAST(1 AS BIGINT) AS recall_ok
+        """,
+        "pq_recall": """
+            -- assertion oracle: PQ/ADC (m=32 x ksub=16 codebooks) top-10
+            -- recall vs brute force must stay >= 0.4 (measured 0.6 at both
+            -- test SFs); a silent quantization regression fails here
             SELECT CAST(10 AS BIGINT) AS k,
                    CAST(10 AS BIGINT) AS n_results,
                    CAST(1 AS BIGINT) AS recall_ok

@@ -123,6 +123,8 @@ _BENCH_QUERIES = [
     # round-4: the tokenizer-product capstone (encode -> epoch shards ->
     # write -> read-back verify -> sequential-twin parity)
     "tokenized_shards",
+    # round-4: product-quantization ANN (ADC scan + recall gate)
+    "pq_recall",
 ]
 
 

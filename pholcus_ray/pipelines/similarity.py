@@ -321,6 +321,98 @@ def ann_ivf_recall(sf_dir: str, k: int = 10, n_clusters: int = 8,
     )
 
 
+def _pq_train(sf_dir: str, m: int = 32, ksub: int = 16) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    normalized vector into ``m`` subspaces and fit ``ksub`` centroids per
+    subspace on the SAME bounded hash-sample the IVF path uses. Returns
+    (m, ksub, dim/m); only this small tensor ever broadcasts — at scale
+    the codes (m bytes/vector vs 8·dim) are what an index stores."""
+    S = _sample_vectors(sf_dir)
+    dim = S.shape[1]
+    assert dim % m == 0, (dim, m)
+    dsub = dim // m
+    return np.stack([
+        _kmeans_fit(S[:, j * dsub:(j + 1) * dsub], ksub, seed=11 + j)
+        for j in range(m)
+    ])
+
+
+def pq_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0,
+            m: int = 32, ksub: int = 16) -> rd.Dataset:
+    """PQ/ADC cosine top-k — the memory-scale ANN path (ann_ivf prunes
+    COMPUTE via routing; PQ compresses STORAGE: m bytes per vector, so a
+    10^9-vector index fits one node's RAM where raw float64 can't).
+
+    Per batch: encode each vector to its (m,) code (argmin subspace
+    distance — one matmul per subspace), then score by asymmetric
+    distance: a (m × ksub) lookup table of query-subvector · centroid
+    dots is built ONCE per batch and the approximate cosine is the sum
+    of m LUT gathers — no decompression, no full-dim math per vector.
+    Local top-k per batch then the global sort+limit (the ann_ivf
+    pattern); ties and rounding follow the family's contract (unrounded
+    through the sort, round_even(…, 6) at the end). Approximate by
+    construction; :func:`pq_recall` pins recall vs brute force into the
+    gate."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    books = _pq_train(sf_dir, m, ksub)
+    qv = _query_vector(sf_dir, query_vec_id)
+    dsub = books.shape[2]
+    lut = np.stack([books[j] @ qv[j * dsub:(j + 1) * dsub]
+                    for j in range(m)])  # (m, ksub)
+    bc = ray.put((books, lut))
+
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+
+    def local(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cos_pq": pa.array([], pa.float64())})
+        B, L = ray.get(bc)
+        X = _normalize(_to_matrix(tb["embedding"]))
+        ids = tb["vec_id"].to_numpy(zero_copy_only=False)
+        score = np.zeros(len(ids))
+        for j in range(B.shape[0]):
+            sub = X[:, j * dsub:(j + 1) * dsub]
+            # encode: nearest centroid by ||x||^2 - 2 x·c + ||c||^2
+            d = (-2.0 * (sub @ B[j].T)
+                 + (B[j] * B[j]).sum(axis=1)[None, :])
+            codes = d.argmin(axis=1)
+            score += L[j][codes]
+        order = np.lexsort((ids, -score))[:k]
+        return pa.table({
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "cos_pq": pa.array(score[order], pa.float64()),
+        })
+
+    def round_cos(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("cos_pq"), "cos_pq",
+            pa.array(np.round(t["cos_pq"].to_numpy(zero_copy_only=False),
+                              6)),
+        )
+
+    return (ds.map_batches(local, batch_format="pyarrow")
+            .sort([("cos_pq"), ("vec_id")], descending=[True, False])
+            .limit(k)
+            .map_batches(round_cos, batch_format="pyarrow"))
+
+
+def pq_recall(sf_dir: str, k: int = 10, m: int = 32, ksub: int = 16,
+              min_recall: float = 0.4) -> pa.Table:
+    """Gate-visible recall assertion for the PQ path (the ann_ivf_recall
+    shape): |PQ top-k ∩ brute-force top-k| / k at the standard operating
+    point, emitted as a constant-schema verdict row the SQL oracle pins —
+    a silent quantization-quality regression fails CORRECTNESS."""
+    brute = {r["vec_id"] for r in ann_topk(sf_dir, k=k).take_all()}
+    pqr = pq_topk(sf_dir, k=k, m=m, ksub=ksub).take_all()
+    recall = len(brute & {r["vec_id"] for r in pqr}) / k
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "n_results": pa.array([len(pqr)], pa.int64()),
+        "recall_ok": pa.array([int(recall >= min_recall)], pa.int64()),
+    })
+
+
 def embedding_near_dups(sf_dir: str, threshold: float = 0.3,
                         n_clusters: int = 8) -> rd.Dataset:
     """EXACT embedding-cosine near-duplicate pairs, cluster-partitioned.
