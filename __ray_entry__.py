@@ -385,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": T.normalize_text,
         "bigram_pmi": T.bigram_pmi,
         "heavy_hitters": T.heavy_hitters,
+        "countmin_check": T.countmin_check,
         "temperature_mix": T.temperature_mix,
         "inverted_index": T.inverted_index,
         "quantile_buckets": T.quantile_buckets,
@@ -489,6 +490,12 @@ def _logreg_parity_sql() -> str:
     from pholcus_ray.pipelines.textdata import logreg_parity_oracle_sql
 
     return logreg_parity_oracle_sql()
+
+
+def _countmin_check_sql() -> str:
+    from pholcus_ray.pipelines.textdata import countmin_check_oracle_sql
+
+    return countmin_check_oracle_sql()
 
 
 def _gopher_quality_sql() -> str:
@@ -1133,6 +1140,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "gopher_quality": _gopher_quality_sql(),
         "logreg_parity": _logreg_parity_sql(),
         "tokenized_shards": _tokenized_shards_sql(),
+        "countmin_check": _countmin_check_sql(),
         "model_score": _model_score_sql(),
         "epoch_shuffle": _epoch_shuffle_sql(),
         "data_card": _data_card_sql(),

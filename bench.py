@@ -125,6 +125,8 @@ _BENCH_QUERIES = [
     "tokenized_shards",
     # round-4: product-quantization ANN (ADC scan + recall gate)
     "pq_recall",
+    # round-4: CountMin sketch + accuracy gate vs exact heavy hitters
+    "countmin_check",
 ]
 
 

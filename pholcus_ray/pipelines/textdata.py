@@ -3504,6 +3504,90 @@ def _bpe_word_total(sf_dir: str) -> int:
     return int(got["n"] or 0)
 
 
+def countmin_check(sf_dir: str, width: int = 2048, depth: int = 4,
+                   probe_k: int = 20) -> pa.Table:
+    """CountMin sketch over corpus token instances (Cormode & Muthu 2005)
+    with a gate-visible accuracy verdict — the mergeable point-estimate
+    companion to the Misra-Gries top-k (:func:`heavy_hitters`) and the
+    HLL cardinality sketch: a stream system answers "how often did THIS
+    token occur" from depth x width int64 counters, never the vocabulary.
+
+    Scale shape: each block folds its token Counter into one fixed-size
+    (depth x width) partial sketch — row hash d is
+    md5-lower64(f"{d}:{token}") % width, the repo's oracle-replayable
+    hash — and emits it as ONE flat row (~64 KB); the driver sums
+    #blocks matrices (tree-reduce is the drop-in at scale). Verification
+    probes the exact top-``probe_k`` tokens (:func:`heavy_hitters`, an
+    already-gated exact operator): CountMin can never underestimate
+    (lower_ok — structural, any violation means a broken merge) and the
+    overestimate must stay within 3·N/width on every probe (bound_ok —
+    expected error per row is N/width; depth rows take the min). The SQL
+    oracle recomputes the exact corpus token total and pins both
+    verdicts, so a silent sketch regression fails CORRECTNESS."""
+    from collections import Counter
+
+    ds = _read_documents(sf_dir, columns=["text"])
+    W, D = int(width), int(depth)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t["text"].to_pylist():
+            c.update(_tokens(x))
+        sk = np.zeros((D, W), np.int64)
+        if c:
+            terms = list(c.keys())
+            cnts = np.array(list(c.values()), np.int64)
+            for d in range(D):
+                idx = (md5_lower64_array([f"{d}:{w}" for w in terms])
+                       % np.uint64(W)).astype(np.int64)
+                np.add.at(sk[d], idx, cnts)
+        return pa.table({
+            "sk": pa.FixedSizeListArray.from_arrays(
+                pa.array(sk.reshape(-1), pa.int64()), D * W),
+            "n": pa.array([int(cnts.sum()) if c else 0], pa.int64()),
+        })
+
+    sketch = np.zeros(D * W, np.int64)
+    n_total = 0
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        sketch += np.asarray(row["sk"], np.int64)
+        n_total += int(row["n"])
+    sketch = sketch.reshape(D, W)
+
+    truth = heavy_hitters(sf_dir, k=probe_k)
+    terms = truth["term"].to_pylist()
+    true_cnt = np.array(truth["cnt"].to_pylist(), np.int64)
+    est = np.array([
+        min(int(sketch[d][int(md5_lower64_array([f"{d}:{w}"])[0]
+                              % np.uint64(W))]) for d in range(D))
+        for w in terms
+    ], np.int64)
+    lower_ok = int(bool((est >= true_cnt).all()))
+    bound_ok = int(bool(((est - true_cnt) <= 3 * n_total // W).all()))
+    return pa.table({
+        "n_tokens_total": pa.array([n_total], pa.int64()),
+        "probe_k": pa.array([len(terms)], pa.int64()),
+        "lower_ok": pa.array([lower_ok], pa.int64()),
+        "bound_ok": pa.array([bound_ok], pa.int64()),
+    })
+
+
+def countmin_check_oracle_sql(probe_k: int = 20) -> str:
+    return f"""
+      WITH tok AS (
+        SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(text), '\\s+')
+                    END AS toks
+        FROM documents
+      )
+      SELECT CAST(COALESCE(SUM(len(toks)), 0) AS BIGINT) AS n_tokens_total,
+             CAST({probe_k} AS BIGINT) AS probe_k,
+             CAST(1 AS BIGINT) AS lower_ok,
+             CAST(1 AS BIGINT) AS bound_ok
+      FROM tok
+    """
+
+
 def heavy_hitters(sf_dir: str, k: int = 50,
                   n_counters: int = 4096) -> pa.Table:
     """Corpus-wide top-k tokens WITHOUT a full-vocabulary shuffle — the
