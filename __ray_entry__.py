@@ -254,6 +254,18 @@ def _q_tokenized_shards(sf_dir: str):
     return tokenized_shards(sf_dir)
 
 
+def _q_packed_token_shards(sf_dir: str):
+    from pholcus_ray.pipelines.corpus import packed_token_shards
+
+    return packed_token_shards(sf_dir)
+
+
+def _packed_token_shards_sql() -> str:
+    from pholcus_ray.pipelines.corpus import packed_token_shards_oracle_sql
+
+    return packed_token_shards_oracle_sql()
+
+
 def _tokenized_shards_sql() -> str:
     from pholcus_ray.pipelines.corpus import tokenized_shards_oracle_sql
 
@@ -351,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_corpus_summary": _q_training_corpus,
         "corpus_v2_summary": _q_corpus_v2,
         "tokenized_shards": _q_tokenized_shards,
+        "packed_token_shards": _q_packed_token_shards,
         # similarity search
         "ann_topk": S.ann_topk,
         "ann_filtered": S.ann_filtered,
@@ -1141,6 +1154,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "logreg_parity": _logreg_parity_sql(),
         "tokenized_shards": _tokenized_shards_sql(),
         "countmin_check": _countmin_check_sql(),
+        "packed_token_shards": _packed_token_shards_sql(),
         "model_score": _model_score_sql(),
         "epoch_shuffle": _epoch_shuffle_sql(),
         "data_card": _data_card_sql(),

@@ -127,6 +127,8 @@ _BENCH_QUERIES = [
     "pq_recall",
     # round-4: CountMin sketch + accuracy gate vs exact heavy hitters
     "countmin_check",
+    # round-4: cross-doc fixed-length sequence packing with real payloads
+    "packed_token_shards",
 ]
 
 

@@ -491,3 +491,221 @@ def tokenized_shards_oracle_sql(n_shards: int = 8) -> str:
              CAST(1 AS BIGINT) AS roundtrip_ok,
              CAST(1 AS BIGINT) AS parity_ok
     """
+
+
+def packed_token_shards(sf_dir: str, out_dir: str | None = None,
+                        seq_len: int = 256, rounds: int = 6, seed: int = 0,
+                        num_parts: int = 16) -> pa.Table:
+    """The final pretraining artifact: fixed-length token sequences packed
+    ACROSS document boundaries (GPT-style concat-and-chunk over the real
+    BPE symbol stream — :func:`textdata.pack_sequences` proves the
+    distributed prefix-sum geometry on counts; this op moves the actual
+    payloads). Documents are concatenated in the seeded epoch order
+    (:func:`textdata.epoch_shuffle`), the stream is cut every ``seq_len``
+    symbols, and each sequence is written to a JSONL shard. Returns one
+    verdict row (n_docs, seq_len, count_ok, parity_ok):
+
+    - count_ok: sequence count == ceil(total_symbols / seq_len), every
+      sequence except the last is exactly seq_len long, and the written
+      files contain exactly that set of seq_ids (read-back fold);
+    - parity_ok: the global checksum sum_s chk(seq_s) * R^s mod p61 over
+      the WRITTEN sequences equals a fully sequential twin (twin merges +
+      twin encode + order replay + in-memory concat-and-chunk) — any
+      fragment landing in the wrong sequence, offset, or order flips it.
+
+    Scale shape: enc ⋈ order is the doc_id-bucketed partitioned join;
+    the token prefix sum is the pack_sequences histogram-CDF route on
+    pos-range buckets (driver state = num_parts ints); each doc
+    flat-maps to at most (n_syms // seq_len + 2) sequence fragments, and
+    fragments meet their sequence in ONE seq_id-bucketed exchange whose
+    partitions each assemble a contiguous seq range. Nothing
+    corpus-sized touches the driver.
+    """
+    import json
+    import math
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pqt
+
+    from .textdata import BpeEncoder, bpe_merges, bpe_reference, \
+        epoch_shuffle
+
+    cleanup = out_dir is None
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="pholcus_packshards_")
+    os.makedirs(out_dir, exist_ok=True)
+
+    n_docs = pqt.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    rng = max(1, math.ceil(n_docs / num_parts))  # docs per pos-range bucket
+
+    mt = bpe_merges(sf_dir, rounds)
+    merges = list(zip(mt["left"].to_pylist(), mt["right"].to_pylist()))
+    mref = ray.put(merges)
+    nb = np.int64(num_parts)
+
+    class EncRows(BpeEncoder):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            sj, ns = [], []
+            for text in t["text"].to_pylist():
+                toks = _tokens(text.lower())
+                syms = [s for w in toks for s in self.encode_word(w)]
+                sj.append(json.dumps(syms, separators=(",", ":")))
+                ns.append(len(syms))
+            return pa.table({
+                "part": pa.array((ids % nb).astype(np.int32)),
+                "kind": pa.array(np.zeros(len(ids), np.int8)),
+                "doc_id": pa.array(ids, pa.int64()),
+                "syms_json": pa.array(sj, pa.string()),
+                "n_syms": pa.array(ns, pa.int64()),
+                "pos": pa.array(np.full(len(ids), -1, np.int64)),
+            })
+
+    enc = _read_documents(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(EncRows, fn_constructor_kwargs={"merges_ref": mref},
+                     batch_format="pyarrow", concurrency=2)
+
+    def tag_order(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array((ids % nb).astype(np.int32)),
+            "kind": pa.array(np.ones(len(ids), np.int8)),
+            "doc_id": t["doc_id"],
+            "syms_json": pa.array([""] * len(ids), pa.string()),
+            "n_syms": pa.array(np.full(len(ids), -1, np.int64)),
+            "pos": t["pos"],
+        })
+
+    order = epoch_shuffle(sf_dir, seed) \
+        .map_batches(tag_order, batch_format="pyarrow")
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["kind"] == 0][["doc_id", "syms_json", "n_syms"]]
+        o = g[g["kind"] == 1][["doc_id", "pos"]]
+        m = o.merge(e, on="doc_id", how="inner")
+        m["pbucket"] = (m["pos"].values // rng).astype(np.int32)
+        return m
+
+    rows = (enc.union(order)
+            .groupby("part").map_groups(join, batch_format="pandas")
+            .materialize())
+
+    # histogram-CDF prefix sum over ORDERED pos-range buckets
+    def bucket_totals(t: pa.Table) -> pa.Table:
+        b = t["pbucket"].to_numpy(zero_copy_only=False)
+        n = t["n_syms"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ub = np.unique(b)
+        tot = np.array([n[b == x].sum() for x in ub], np.int64)
+        return pa.table({"pbucket": pa.array(ub.astype(np.int32)),
+                         "total": pa.array(tot, pa.int64())})
+
+    totals = {int(r["pbucket"]): int(r["total"]) for r in
+              rows.map_batches(bucket_totals, batch_format="pyarrow")
+              .groupby("pbucket").aggregate(Sum("total", alias_name="total"))
+              .take_all()}
+    base, acc = {}, 0
+    for b in sorted(totals):
+        base[b] = acc
+        acc += totals[b]
+    total_syms = acc
+    n_seqs = (total_syms + seq_len - 1) // seq_len
+    base_ref = ray.put(base)
+
+    def frags(g: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(base_ref)[int(g["pbucket"].iloc[0])]
+        g = g.sort_values("pos", kind="mergesort")
+        n = g["n_syms"].astype("int64").values
+        starts = b + np.concatenate([[0], np.cumsum(n)[:-1]])
+        out = {"seq_id": [], "off": [], "frag": []}
+        for st, sj in zip(starts, g["syms_json"]):
+            syms = json.loads(sj)
+            if not syms:
+                continue
+            end = st + len(syms)
+            for s in range(int(st) // seq_len, int(end - 1) // seq_len + 1):
+                lo = max(int(st), s * seq_len)
+                hi = min(int(end), (s + 1) * seq_len)
+                out["seq_id"].append(s)
+                out["off"].append(lo - s * seq_len)
+                out["frag"].append(json.dumps(
+                    syms[lo - int(st):hi - int(st)],
+                    separators=(",", ":")))
+        df = pd.DataFrame(out, columns=["seq_id", "off", "frag"])
+        df["seq_id"] = df["seq_id"].astype("int64")
+        df["off"] = df["off"].astype("int64")
+        df["spart"] = (df["seq_id"].values % num_parts).astype(np.int32)
+        return df
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        p = int(g["spart"].iloc[0])
+        path = os.path.join(out_dir, f"pack_{p:05d}.jsonl")
+        g = g.sort_values(["seq_id", "off"], kind="mergesort")
+        sids, lens, chks = [], [], []
+        with open(path, "w", encoding="utf-8") as fh:
+            for sid, grp in g.groupby("seq_id", sort=True):
+                syms = [s for f in grp["frag"] for s in json.loads(f)]
+                fh.write('{"seq_id":%d,"syms":%s}\n'
+                         % (int(sid), json.dumps(syms,
+                                                 separators=(",", ":"))))
+                sids.append(int(sid))
+                lens.append(len(syms))
+                chks.append(_ts_sym_checksum(syms))
+        return pd.DataFrame({"seq_id": sids, "n": lens, "chk": chks})
+
+    manifest = (rows.groupby("pbucket")
+                .map_groups(frags, batch_format="pandas")
+                .groupby("spart")
+                .map_groups(assemble, batch_format="pandas")
+                .take_all())
+    seen_ids = sorted(int(r["seq_id"]) for r in manifest)
+    lens = {int(r["seq_id"]): int(r["n"]) for r in manifest}
+    count_ok = int(
+        len(seen_ids) == n_seqs and seen_ids == list(range(n_seqs))
+        and all(lens[s] == seq_len for s in range(n_seqs - 1))
+        and (n_seqs == 0 or lens[n_seqs - 1]
+             == total_syms - (n_seqs - 1) * seq_len))
+    gsum_eng = 0
+    for r in manifest:
+        gsum_eng = (gsum_eng + int(r["chk"])
+                    * pow(_TS_R2, int(r["seq_id"]), _TS_P61)) % _TS_P61
+
+    # ---- fully sequential twin ----
+    rt = bpe_reference(sf_dir, rounds)
+    ref_enc = BpeEncoder(list(zip(rt["left"].to_pylist(),
+                                  rt["right"].to_pylist())))
+    tdoc = pqt.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+    ids = tdoc["doc_id"].to_pylist()
+    pos_of = _ts_epoch_order(ids, seed)
+    by_pos = sorted(zip((pos_of[int(i)] for i in ids),
+                        tdoc["text"].to_pylist()))
+    stream: list = []
+    for _, text in by_pos:
+        stream.extend(s for w in _tokens(text.lower())
+                      for s in ref_enc.encode_word(w))
+    gsum_ref = 0
+    for s in range((len(stream) + seq_len - 1) // seq_len):
+        chunk = stream[s * seq_len:(s + 1) * seq_len]
+        gsum_ref = (gsum_ref + _ts_sym_checksum(chunk)
+                    * pow(_TS_R2, s, _TS_P61)) % _TS_P61
+    parity_ok = int(gsum_ref == gsum_eng and len(stream) == total_syms)
+
+    if cleanup:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "seq_len": pa.array([seq_len], pa.int64()),
+        "count_ok": pa.array([count_ok], pa.int64()),
+        "parity_ok": pa.array([parity_ok], pa.int64()),
+    })
+
+
+def packed_token_shards_oracle_sql(seq_len: int = 256) -> str:
+    return f"""
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             CAST({seq_len} AS BIGINT) AS seq_len,
+             CAST(1 AS BIGINT) AS count_ok,
+             CAST(1 AS BIGINT) AS parity_ok
+    """

@@ -62,7 +62,7 @@ def ducksf():
      "bpe_encode_parity", "anchor_text_parity",
      "epoch_shuffle", "data_card", "dsir_importance", "gopher_repetition",
      "gopher_quality", "semdedup", "logreg_parity", "tokenized_shards",
-     "pq_recall", "countmin_check"],
+     "pq_recall", "countmin_check", "packed_token_shards"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
