@@ -189,6 +189,16 @@ def _q_multimodal_wav(sf_dir: str):
     ).sort("audio_id")
 
 
+def _q_multimodal_au(sf_dir: str):
+    """REAL Sun/NeXT .au decode — big-endian header + G.711 mu-law."""
+    from pholcus_ray.stages.multimodal import DecodeAu, synth_au_table
+
+    n = 200 if _sf_name(sf_dir) != "sf0.1" else 1000
+    return _blocks(synth_au_table(n)).map_batches(
+        DecodeAu, batch_format="pyarrow", batch_size=32, concurrency=2
+    ).sort("audio_id")
+
+
 def _q_multimodal_bmp(sf_dir: str):
     """REAL Windows-BMP decode (uncompressed 24-bit) — struct + numpy."""
     from pholcus_ray.stages.multimodal import DecodeBmp, synth_bmp_table
@@ -418,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # REAL container decodes (stdlib wave / netpbm parse — see
         # stages/multimodal.py; compressed codecs stay library-gated)
         "multimodal_wav": _q_multimodal_wav,
+        "multimodal_au": _q_multimodal_au,
         "multimodal_ppm": _q_multimodal_ppm,
         "multimodal_bmp": _q_multimodal_bmp,
         # relational operator breadth (SQL-oracled, stable since round 1)

@@ -1613,6 +1613,41 @@ def test_decode_ppm_real_netpbm_exact():
     assert dec["decoded_height"].to_pylist() == st["height"].to_pylist()
 
 
+def test_decode_au_real_container_exact():
+    """DecodeAu parses GENUINE big-endian .snd headers and the mu-law
+    expansion matches hand-computed G.711 values; the synthetic table's
+    metadata round-trips through the real parser for both encodings."""
+    import struct
+
+    import pyarrow as pa
+
+    from pholcus_ray.stages.multimodal import (DecodeAu, _mulaw_decode,
+                                               _mulaw_encode,
+                                               synth_au_table)
+
+    # µ-law lattice fixed point: decode∘encode is identity on decodables
+    lat = _mulaw_decode(np.arange(256, dtype=np.uint8))
+    assert (_mulaw_decode(_mulaw_encode(lat)) == lat).all()
+    assert _mulaw_decode(np.array([0xFF], np.uint8))[0] == 0  # +0 code
+
+    body = np.array([100, -100, 200, -200], dtype=np.int16)
+    hdr = struct.pack(">4sIIIII", b".snd", 24, 8, 3, 8000, 1)
+    t = pa.table({"audio_id": pa.array([7], pa.int64()),
+                  "payload": pa.array([hdr + body.astype(">i2").tobytes()],
+                                      pa.binary())})
+    out = DecodeAu()(t)
+    assert out["duration_sec"][0].as_py() == 0.0005
+    assert out["rms"][0].as_py() == round(float(np.sqrt(25000.0)), 4)
+    assert out["zero_crossings"][0].as_py() == 3
+
+    st = synth_au_table(6)
+    dec = DecodeAu()(st)
+    for i in range(6):
+        sr = st["sample_rate"][i].as_py()
+        ns = st["n_samples"][i].as_py()
+        assert dec["duration_sec"][i].as_py() == round(ns / sr, 6)
+
+
 def test_wav_synth_roundtrips_through_real_decoder():
     from pholcus_ray.stages.multimodal import DecodeWav, synth_wav_table
 
