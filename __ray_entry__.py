@@ -161,6 +161,12 @@ def _q_jsonl_roundtrip(sf_dir: str):
     return jsonl_roundtrip(sf_dir)
 
 
+def _q_warc_roundtrip(sf_dir: str):
+    from pholcus_ray.sources.warc import warc_roundtrip
+
+    return warc_roundtrip(sf_dir)
+
+
 def _q_multimodal(sf_dir: str):
     from pholcus_ray.stages.multimodal import DecodeImage, synth_image_table
 
@@ -421,6 +427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_check": T.contamination_check,
         # multimodal plumbing (deterministic fake decode backends)
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "warc_roundtrip": _q_warc_roundtrip,
         "multimodal_decode": _q_multimodal,
         "multimodal_audio": _q_multimodal_audio,
         "multimodal_frame_sample": _q_multimodal_frames,
@@ -905,6 +912,20 @@ def _oracle_sql_raw() -> dict[str, str]:
                         % 2305843009213693951 AS BIGINT) AS id_sum_mod,
                    CAST(SUM(CAST(md5_number_lower(text) AS HUGEINT))
                         % 2305843009213693951 AS BIGINT) AS text_hash_mod
+            FROM documents
+        """,
+        "warc_roundtrip": """
+            -- the engine computes these AFTER writing the documents as
+            -- genuine WARC/1.0 response shards (.warc.gz, one gzip member
+            -- per record, sha1 payload digests) and streaming them back;
+            -- digests_ok = n_docs states that EVERY record's recomputed
+            -- payload sha1 matched the header it was written with
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(doc_id AS HUGEINT))
+                        % 2305843009213693951 AS BIGINT) AS id_sum_mod,
+                   CAST(SUM(CAST(md5_number_lower(text) AS HUGEINT))
+                        % 2305843009213693951 AS BIGINT) AS text_hash_mod,
+                   COUNT(*) AS digests_ok
             FROM documents
         """,
         "hll_error_check": """
