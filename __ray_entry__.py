@@ -225,6 +225,28 @@ def _q_multimodal_ppm(sf_dir: str):
     ).sort("image_id")
 
 
+def _q_multimodal_png(sf_dir: str):
+    """REAL PNG decode — chunk walk + CRC verify + zlib inflate + the five
+    spec filter reversals (DEFLATE is stdlib, so PNG needs no image lib)."""
+    from pholcus_ray.stages.multimodal import DecodePng, synth_png_table
+
+    n = 200 if _sf_name(sf_dir) != "sf0.1" else 1000
+    return _blocks(synth_png_table(n)).map_batches(
+        DecodePng, batch_format="pyarrow", batch_size=32, concurrency=2
+    ).sort("image_id")
+
+
+def _q_multimodal_gif(sf_dir: str):
+    """REAL GIF decode — from-scratch variable-width LZW + palette +
+    interlace; the decoder also reads CPython's own shipped GIFs."""
+    from pholcus_ray.stages.multimodal import DecodeGif, synth_gif_table
+
+    n = 200 if _sf_name(sf_dir) != "sf0.1" else 1000
+    return _blocks(synth_gif_table(n)).map_batches(
+        DecodeGif, batch_format="pyarrow", batch_size=32, concurrency=2
+    ).sort("image_id")
+
+
 def _q_multimodal_resize(sf_dir: str):
     """Composed pipeline: images -> ResizeImage -> DecodeImage (resize
     preserves the payload header contract, so decode sees the new dims)."""
@@ -438,6 +460,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_au": _q_multimodal_au,
         "multimodal_ppm": _q_multimodal_ppm,
         "multimodal_bmp": _q_multimodal_bmp,
+        "multimodal_png": _q_multimodal_png,
+        "multimodal_gif": _q_multimodal_gif,
         # relational operator breadth (SQL-oracled, stable since round 1)
         "q1_pricing": R.q1_pricing,
         "top_orders": R.top_orders,

@@ -1925,3 +1925,129 @@ def test_data_card_matches_naive_pandas(ray_session):
         _round6(d / total) for d in m["n_docs"]]
     assert got["mean_tokens"].tolist() == [
         _round6(tk / d) for tk, d in zip(m["sum_tokens"], m["n_docs"])]
+
+
+def test_png_filter_roundtrip_every_filter_type():
+    import numpy as np
+
+    from pholcus_ray.stages.multimodal import png_decode, png_encode
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 3, 4):
+        px = rng.integers(0, 256, size=(11, 9, ch), dtype=np.uint8)
+        for f in range(5):  # force each spec filter on every row
+            back = png_decode(png_encode(px, filters=[f]))
+            assert back.shape == (11, 9, ch)
+            assert (back == px).all(), f"filter {f} ch {ch}"
+        # mixed per-row filters (the synth default)
+        assert (png_decode(png_encode(px)) == px).all()
+
+
+def test_png_decoder_hand_computed_and_guards():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from pholcus_ray.stages.multimodal import (_PNG_SIG, _png_chunk,
+                                               png_decode, png_encode)
+
+    # hand-built 2x2 grayscale, filter 0 rows, known bytes
+    raw = bytes([0, 10, 20]) + bytes([0, 30, 40])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    p = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+         + _png_chunk(b"IDAT", zlib.compress(raw))
+         + _png_chunk(b"IEND", b""))
+    px = png_decode(p)
+    assert px[:, :, 0].tolist() == [[10, 20], [30, 40]]
+
+    # corrupting one IDAT byte must trip the CRC check
+    bad = bytearray(p)
+    bad[p.index(b"IDAT") + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        png_decode(bytes(bad))
+
+    # 16-bit / palette / interlaced variants are honestly gated
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    p16 = (_PNG_SIG + _png_chunk(b"IHDR", ihdr16)
+           + _png_chunk(b"IDAT", zlib.compress(b"\0" * 10))
+           + _png_chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        png_decode(p16)
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        png_decode(b"JUNK" * 4)
+
+    # synth table flows through the actor-pool stage with exact dims
+    from pholcus_ray.stages.multimodal import DecodePng, synth_png_table
+
+    st = synth_png_table(9)
+    dec = DecodePng()(st)
+    assert dec["decoded_width"].to_pylist() == st["width"].to_pylist()
+    assert dec["decoded_height"].to_pylist() == st["height"].to_pylist()
+    assert dec["decoded_channels"].to_pylist() == [1, 3, 4] * 3
+    # mean_intensity matches an independent decode of the same payloads
+    means = [round(float(png_decode(p).mean()), 4)
+             for p in st["payload"].to_pylist()]
+    assert dec["mean_intensity"].to_pylist() == means
+
+
+def test_gif_encode_decode_roundtrip_and_interlace():
+    import numpy as np
+
+    from pholcus_ray.stages.multimodal import gif_decode, gif_encode
+
+    rng = np.random.default_rng(11)
+    for ncol in (4, 16, 250):
+        pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        idx = rng.integers(0, ncol, size=(17, 23), dtype=np.uint8)
+        for il in (False, True):
+            px, got_ncol, got_il = gif_decode(gif_encode(idx, pal, il))
+            assert got_il == il
+            assert (px == pal[idx]).all(), (ncol, il)
+    # KwKwK / repetitive content exercises first-use codes + table growth
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = np.tile(np.array([[1, 1, 1, 2], [2, 1, 1, 1]], np.uint8), (40, 60))
+    px, _, _ = gif_decode(gif_encode(idx, pal))
+    assert (px == pal[idx]).all()
+
+
+def test_gif_decoder_reads_third_party_files():
+    """The decoder must read GIFs written by OTHER encoders — CPython ships
+    real icons (idlelib), including interlaced ones."""
+    import glob
+    import os
+
+    import pytest
+
+    from pholcus_ray.stages.multimodal import gif_decode
+
+    icons = os.path.join(os.path.dirname(os.__file__), "idlelib", "Icons")
+    files = sorted(glob.glob(os.path.join(icons, "*.gif")))
+    if not files:
+        pytest.skip("no idlelib icons in this python")
+    seen_interlaced = False
+    for f in files:
+        px, ncol, il = gif_decode(open(f, "rb").read())
+        h, w, ch = px.shape
+        assert ch == 3 and w > 0 and h > 0 and 2 <= ncol <= 256
+        seen_interlaced |= il
+        base = os.path.basename(f)
+        for mark in ("16", "32", "48"):
+            if mark in base:
+                assert (w, h) == (int(mark), int(mark)), base
+    assert seen_interlaced  # folder.gif/openfolder.gif are interlaced
+
+
+def test_gif_stage_and_synth_table():
+    from pholcus_ray.stages.multimodal import (DecodeGif, gif_decode,
+                                               synth_gif_table)
+
+    st = synth_gif_table(9)
+    dec = DecodeGif()(st)
+    assert dec["decoded_width"].to_pylist() == st["width"].to_pylist()
+    assert dec["decoded_height"].to_pylist() == st["height"].to_pylist()
+    means = [round(float(gif_decode(p)[0].mean()), 4)
+             for p in st["payload"].to_pylist()]
+    assert dec["mean_intensity"].to_pylist() == means
