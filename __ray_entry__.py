@@ -380,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "data_card": T.data_card,
         "lm_coverage": T.lm_coverage,
         "dsir_importance": T.dsir_importance,
+        "lm_perplexity": T.lm_perplexity,
         "gopher_repetition": T.gopher_repetition,
         "gopher_quality": T.gopher_quality,
         # dedup / near-dup family
@@ -551,6 +552,12 @@ def _countmin_check_sql() -> str:
     from pholcus_ray.pipelines.textdata import countmin_check_oracle_sql
 
     return countmin_check_oracle_sql()
+
+
+def _lm_perplexity_sql() -> str:
+    from pholcus_ray.pipelines.textdata import lm_perplexity_oracle_sql
+
+    return lm_perplexity_oracle_sql()
 
 
 def _gopher_quality_sql() -> str:
@@ -1205,6 +1212,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "lm_coverage": _lm_coverage_sql(),
         "dsir_importance": _dsir_importance_sql(),
+        "lm_perplexity": _lm_perplexity_sql(),
         "gopher_repetition": _gopher_repetition_sql(),
         "gopher_quality": _gopher_quality_sql(),
         "logreg_parity": _logreg_parity_sql(),

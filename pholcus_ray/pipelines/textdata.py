@@ -4334,6 +4334,210 @@ def dsir_importance_oracle_sql(target_lang: str = "en",
     """
 
 
+def lm_perplexity(sf_dir: str, target_lang: str = "en",
+                  b_pair: int = 16384, b_ctx: int = 4096,
+                  ppl_threshold: float = 350.0) -> rd.Dataset:
+    """CCNet-style LM-perplexity filtering (Wenzek et al. 2020): train a
+    hashed bigram language model on the clean slice (``lang ==
+    target_lang``), score EVERY document's transitions under it, and keep
+    documents whose perplexity is below ``ppl_threshold`` — the classic
+    "does a clean-language LM find this text surprising?" quality gate.
+    Differs from :func:`dsir_importance` (a target/raw log-RATIO over
+    unordered n-gram profiles): this is a CONDITIONAL model, p(w_i |
+    w_{i-1}) = (c_pair + 1) / (c_ctx + V), over ordered transitions.
+
+    Scale shape (mirrors dsir): pass 1 emits per-doc Counter-compressed
+    (pair_bucket, ctx_bucket, multiplicity) transition rows, materialized
+    once. The model is TWO fixed-size histograms (``b_pair``/``b_ctx``
+    int64 vectors) folded from per-block ``np.bincount`` partials over the
+    target slice — constant exchange cost at any corpus size. Float
+    discipline: nll(bp, bc) = ln(c_ctx[bc]+V) − ln(c_pair[bp]+1) is kept
+    SEPARABLE — each log is quantized once per bucket to integer
+    nano-units, so a doc's nll is an order-free int64 sum of (lc − lp)
+    terms and the keep rule is the integer comparison nll < n·τ (τ =
+    the once-quantized ln of the threshold); no float accumulates in
+    either engine. Broadcast cost: (b_pair + b_ctx) × 8 bytes ≈ 160 KB
+    via ``ray.put``.
+    """
+    import math
+
+    docs = _read_documents(sf_dir, columns=["doc_id", "text", "lang"])
+    BP, BC = int(b_pair), int(b_ctx)
+    V = BC  # declared smoothing vocabulary (the hashed context space)
+    tau = int(math.floor(math.log(float(ppl_threshold)) * 1e9 + 0.5))
+
+    def transition_rows(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        d_ids: list[int] = []
+        bps: list[int] = []
+        bcs: list[int] = []
+        ks: list[int] = []
+        tgts: list[int] = []
+        for doc_id, text, lang in zip(t["doc_id"].to_pylist(),
+                                      t["text"].to_pylist(),
+                                      t["lang"].to_pylist()):
+            toks = _tokens(text)
+            tgt = 1 if lang == target_lang else 0
+            if len(toks) < 2:
+                # presence row: docs without transitions still get a row
+                d_ids.append(doc_id); bps.append(0); bcs.append(0)
+                ks.append(0); tgts.append(tgt)
+                continue
+            cnt = Counter(zip(toks, toks[1:]))
+            pairs = list(cnt.keys())
+            hp = md5_lower64_array(
+                [a + " " + b for a, b in pairs]) % np.uint64(BP)
+            hc = md5_lower64_array([a for a, _ in pairs]) % np.uint64(BC)
+            for (pair, bp_, bc_) in zip(pairs, hp, hc):
+                d_ids.append(doc_id); bps.append(int(bp_))
+                bcs.append(int(bc_)); ks.append(cnt[pair]); tgts.append(tgt)
+        return pa.table({
+            "doc_id": pa.array(d_ids, pa.int64()),
+            "bp": pa.array(bps, pa.int32()),
+            "bc": pa.array(bcs, pa.int32()),
+            "k": pa.array(ks, pa.int64()),
+            "tgt": pa.array(tgts, pa.int8()),
+        })
+
+    rows = docs.map_batches(transition_rows,
+                            batch_format="pyarrow").materialize()
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        tgt = t["tgt"].to_numpy(zero_copy_only=False) == 1
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.int64)[tgt]
+        bp_ = t["bp"].to_numpy(zero_copy_only=False)[tgt]
+        bc_ = t["bc"].to_numpy(zero_copy_only=False)[tgt]
+        cp = np.bincount(bp_, weights=k, minlength=BP).astype(np.int64)
+        cc = np.bincount(bc_, weights=k, minlength=BC).astype(np.int64)
+        # one fixed-size sparse partial per block; bucket ids for the two
+        # histograms share the exchange with a kind tag
+        nzp, nzc = np.flatnonzero(cp), np.flatnonzero(cc)
+        return pa.table({
+            "bpart": pa.array(
+                (np.concatenate([nzp, nzc]) % 32).astype(np.int32)),
+            "kind": pa.array(np.concatenate(
+                [np.zeros(len(nzp), np.int8), np.ones(len(nzc), np.int8)])),
+            "bucket": pa.array(
+                np.concatenate([nzp, nzc]).astype(np.int32)),
+            "c": pa.array(np.concatenate([cp[nzp], cc[nzc]])),
+        })
+
+    def hist_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.drop(columns=["bpart"])
+                .groupby(["kind", "bucket"], sort=False).sum().reset_index())
+
+    hist = (rows.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("bpart").map_groups(hist_fold, batch_format="pandas")
+            .take_all())
+    c_pair = np.zeros(BP, dtype=np.int64)
+    c_ctx = np.zeros(BC, dtype=np.int64)
+    for r in hist:
+        if int(r["kind"]) == 0:
+            c_pair[int(r["bucket"])] += int(r["c"])
+        else:
+            c_ctx[int(r["bucket"])] += int(r["c"])
+    # libm log == DuckDB ln; quantized ONCE per bucket to nano-units
+    lp = np.array([math.floor(math.log(c + 1.0) * 1e9 + 0.5)
+                   for c in c_pair.tolist()], dtype=np.int64)
+    lc = np.array([math.floor(math.log(c + float(V)) * 1e9 + 0.5)
+                   for c in c_ctx.tolist()], dtype=np.int64)
+    model_ref = ray.put((lp, lc))
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        lp_, lc_ = ray.get(model_ref)
+        bp_ = t["bp"].to_numpy(zero_copy_only=False)
+        bc_ = t["bc"].to_numpy(zero_copy_only=False)
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "n_transitions": k,
+            "nll_nano": k * (lc_[bc_] - lp_[bp_]),
+        }).groupby("doc_id", sort=False).sum().reset_index()
+        df["dpart"] = (df["doc_id"] % 32).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def score_fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.drop(columns=["dpart"])
+               .groupby("doc_id", sort=False).sum().reset_index())
+        n = out["n_transitions"].to_numpy()
+        w = out["nll_nano"].to_numpy()
+        # mean nll in 1e-6 units, half-UP, replayed identically in SQL
+        out["mean_nll"] = np.where(
+            n > 0, np.floor(w / np.maximum(n, 1) / 1000.0 + 0.5) / 1e6, 0.0)
+        # keep iff perplexity < threshold  ⇔  nll < n·ln(threshold),
+        # stated as the exact integer comparison; 0-transition docs get
+        # 0 < 0 = False on both engines (a 1-token doc fails the gate)
+        out["keep"] = w < n * tau
+        return out[["doc_id", "n_transitions", "nll_nano", "mean_nll",
+                    "keep"]]
+
+    return (rows.map_batches(score_partial, batch_format="pyarrow")
+            .groupby("dpart").map_groups(score_fold, batch_format="pandas")
+            .sort("doc_id"))
+
+
+def lm_perplexity_oracle_sql(target_lang: str = "en", b_pair: int = 16384,
+                             b_ctx: int = 4096,
+                             ppl_threshold: float = 350.0) -> str:
+    """Exact DuckDB oracle for :func:`lm_perplexity`: same md5-lower64
+    bucket hashes, same add-1/add-V smoothing, same separable nano-unit
+    log quantization, same integer keep rule — bit-for-bit."""
+    return f"""
+      WITH tok AS (
+        SELECT doc_id, lang,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(text), '\\s+')
+                    END AS toks
+        FROM documents
+      ),
+      trans AS (
+        SELECT doc_id, lang,
+               toks[CAST(i AS INTEGER)] AS prev,
+               toks[CAST(i AS INTEGER) + 1] AS cur
+        FROM (SELECT doc_id, lang, toks,
+                     unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM tok)
+      ),
+      inst AS (
+        SELECT doc_id, lang,
+               CAST(md5_number_lower(prev || ' ' || cur)
+                    % {b_pair} AS INTEGER) AS bp,
+               CAST(md5_number_lower(prev) % {b_ctx} AS INTEGER) AS bc
+        FROM trans
+      ),
+      hp AS (
+        SELECT bp, COUNT(*) FILTER (lang = '{target_lang}') AS c
+        FROM inst GROUP BY bp
+      ),
+      hc AS (
+        SELECT bc, COUNT(*) FILTER (lang = '{target_lang}') AS c
+        FROM inst GROUP BY bc
+      ),
+      docw AS (
+        SELECT i.doc_id, COUNT(*) AS n_transitions,
+               SUM(CAST(FLOOR(ln(COALESCE(hc.c, 0) + {b_ctx}.0)
+                              * 1000000000 + 0.5) AS BIGINT)
+                   - CAST(FLOOR(ln(COALESCE(hp.c, 0) + 1.0)
+                                * 1000000000 + 0.5) AS BIGINT)) AS w
+        FROM inst i
+        LEFT JOIN hp ON i.bp = hp.bp
+        LEFT JOIN hc ON i.bc = hc.bc
+        GROUP BY i.doc_id
+      )
+      SELECT d.doc_id,
+             CAST(COALESCE(dw.n_transitions, 0) AS BIGINT) AS n_transitions,
+             CAST(COALESCE(dw.w, 0) AS BIGINT) AS nll_nano,
+             COALESCE(FLOOR(dw.w / greatest(dw.n_transitions, 1) / 1000.0
+                            + 0.5) / 1000000.0, 0.0) AS mean_nll,
+             COALESCE(dw.w, 0) < COALESCE(dw.n_transitions, 0)
+                 * CAST(FLOOR(ln({float(ppl_threshold)})
+                              * 1000000000 + 0.5) AS BIGINT) AS keep
+      FROM documents d LEFT JOIN docw dw USING (doc_id)
+      ORDER BY d.doc_id
+    """
+
+
 def dup_keep_best(sf_dir: str, threshold: float = 0.7, n: int = 3,
                   num_parts: int = 32) -> rd.Dataset:
     """Representative selection for near-dup clusters: per connected

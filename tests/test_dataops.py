@@ -2051,3 +2051,44 @@ def test_gif_stage_and_synth_table():
     means = [round(float(gif_decode(p)[0].mean()), 4)
              for p in st["payload"].to_pylist()]
     assert dec["mean_intensity"].to_pylist() == means
+
+
+def test_lm_perplexity_planted(ray_session, tmp_path_factory):
+    """Planted fixture: the bigram LM trains on repeated clean English
+    (lang=en); an in-distribution doc scores low perplexity, a
+    shuffled-gibberish doc scores high, a 1-token doc drops (no
+    transitions), and a non-en doc is scored but never trained on.
+    Engine vs oracle bit-for-bit on every column."""
+    import __ray_entry__ as E
+
+    d = tmp_path_factory.mktemp("lmppl")
+    clean_sents = ["the cat sat on the mat and the dog ran to the park",
+                   "the dog sat on the mat and the cat ran to the house",
+                   "a cat and a dog sat on the mat in the house"]
+    gibberish = "mat the park to ran house dog on cat sat a and the in"
+    texts = clean_sents + [clean_sents[0], gibberish, "word",
+                           "el gato y el perro"]
+    langs = ["en"] * 4 + ["en", "en", "es"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(str(d), "documents.parquet"))
+
+    df = _to_df(E.queries()["lm_perplexity"](str(d))).set_index("doc_id")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    odf = con.execute(E.oracle_sql()["lm_perplexity"]).df() \
+        .set_index("doc_id")
+    for c in df.columns:
+        assert (df[c] == odf[c]).all(), (c, df[c].tolist(), odf[c].tolist())
+    # in-distribution repeat scores better than shuffled gibberish
+    assert df.loc[3, "mean_nll"] < df.loc[4, "mean_nll"]
+    # 1-token doc: no transitions, keep=False on both engines
+    assert df.loc[5, "n_transitions"] == 0 and not bool(df.loc[5, "keep"])
+    # the es doc is scored (has transitions) though never trained on
+    assert df.loc[6, "n_transitions"] == 4
