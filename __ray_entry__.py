@@ -247,6 +247,14 @@ def _q_multimodal_gif(sf_dir: str):
     ).sort("image_id")
 
 
+def _q_image_phash_dups(sf_dir: str):
+    """Image near-dup detection: real PNG decode -> dHash -> Hamming
+    banding, with gate-visible completeness + planted-recovery verdicts."""
+    from pholcus_ray.stages.multimodal import image_phash_dups
+
+    return image_phash_dups(sf_dir)
+
+
 def _q_multimodal_resize(sf_dir: str):
     """Composed pipeline: images -> ResizeImage -> DecodeImage (resize
     preserves the payload header contract, so decode sees the new dims)."""
@@ -463,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_bmp": _q_multimodal_bmp,
         "multimodal_png": _q_multimodal_png,
         "multimodal_gif": _q_multimodal_gif,
+        "image_phash_dups": _q_image_phash_dups,
         # relational operator breadth (SQL-oracled, stable since round 1)
         "q1_pricing": R.q1_pricing,
         "top_orders": R.top_orders,
@@ -1073,6 +1082,15 @@ def _oracle_sql_raw() -> dict[str, str]:
             JOIN counts ca ON ca.doc_id = inter.a
             JOIN counts cb ON cb.doc_id = inter.b
             WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.7
+        """,
+        "image_phash_dups": """
+            -- assertion oracle: the dHash banding over real PNG decodes
+            -- must equal brute-force hamming<=3 (complete) AND recover
+            -- every planted near-copy pair (planted_ok); image decode is
+            -- not SQL-expressible so the verdict row is pinned
+            SELECT CAST(240 AS BIGINT) AS n_images,
+                   CAST(1 AS BIGINT) AS complete,
+                   CAST(1 AS BIGINT) AS planted_ok
         """,
         "simhash_banding_complete": """
             -- assertion oracle: banded pairs restricted to the doc_id%10

@@ -2092,3 +2092,49 @@ def test_lm_perplexity_planted(ray_session, tmp_path_factory):
     assert df.loc[5, "n_transitions"] == 0 and not bool(df.loc[5, "keep"])
     # the es doc is scored (has transitions) though never trained on
     assert df.loc[6, "n_transitions"] == 4
+
+
+def test_dhash_invariances_and_phash_dups(ray_session):
+    import numpy as np
+
+    from pholcus_ray.stages.multimodal import (dhash64, image_phash_dups,
+                                               synth_phash_corpus,
+                                               png_decode)
+
+    # gray vs RGB-replicated image hash identically (BT.601 of r=g=b is r)
+    from pholcus_ray.stages.multimodal import _phash_base_small
+
+    rng = np.random.default_rng(2)
+    g = _phash_base_small(rng)
+    assert (np.abs(np.diff(g, axis=1)) >= 8).all()
+    big = np.kron(g, np.ones((4, 4), dtype=np.int64)).astype(np.uint8)
+    assert dhash64(big) == dhash64(np.repeat(big[:, :, None], 3, axis=2))
+    # small noise does not move the hash (block means absorb +-2)
+    noisy = np.clip(big.astype(np.int64)
+                    + rng.integers(-2, 3, size=big.shape), 0, 255)
+    assert dhash64(big) == dhash64(noisy.astype(np.uint8))
+    # a strong local edit to block (0,0) flips exactly bit 0: that block
+    # participates only in the g[0,1] > g[0,0] comparison
+    edited = big.copy()
+    if g[0, 1] > g[0, 0]:      # bit was 1: raise the left block above it
+        edited[0:4, 0:4] = 255
+    else:                      # bit was 0: drop the left block below it
+        assert g[0, 1] >= 8
+        edited[0:4, 0:4] = g[0, 1] - 8
+    assert (dhash64(big) ^ dhash64(edited.astype(np.uint8))) == 1
+
+    # planted ground truth holds: every copy is within hamming<=3 of base
+    t = synth_phash_corpus(60)
+    hs = {i: dhash64(png_decode(p)) for i, p in
+          zip(t["image_id"].to_pylist(), t["payload"].to_pylist())}
+    n_planted = 0
+    for i, d in zip(t["image_id"].to_pylist(), t["dup_of"].to_pylist()):
+        if d >= 0:
+            n_planted += 1
+            assert bin(hs[i] ^ hs[d]).count("1") <= 3, (i, d)
+    assert n_planted > 5
+
+    # the full verdict query: banding complete, planted pairs recovered
+    v = image_phash_dups("unused", n_images=120)
+    assert v.to_pylist() == [
+        {"n_images": 120, "complete": 1, "planted_ok": 1}]
