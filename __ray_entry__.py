@@ -378,6 +378,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logreg_parity": T.logreg_parity,
         "pca_parity": S.pca_parity,
         "bpe_parity": T.bpe_parity,
+        "unigram_parity": T.unigram_parity,
+        "unigram_lm": T.unigram_lm,
         "bpe_encode_parity": T.bpe_encode_parity,
         # inference / tokenizer / training-order operators
         "model_score": T.model_score,
@@ -976,6 +978,20 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
                    CAST(1 AS BIGINT) AS within_err
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "unigram_parity": """
+            -- assertion oracle: the distributed unigram-LM tokenizer vocab
+            -- (pieces, counts, nano log-probs) must be bit-identical to
+            -- its sequential twin (parity_ok), cover every corpus
+            -- character (chars_ok), and have trained on EVERY token
+            -- instance (n_words recomputed from documents)
+            SELECT CAST(SUM(CASE WHEN trim(lower(text)) = '' THEN 0
+                            ELSE len(regexp_split_to_array(
+                                     trim(lower(text)), '\\s+')) END)
+                        AS BIGINT) AS n_words,
+                   CAST(1 AS BIGINT) AS chars_ok,
+                   CAST(1 AS BIGINT) AS parity_ok
+            FROM documents
         """,
         "bpe_parity": """
             -- assertion oracle: the distributed BPE merge sequence must be

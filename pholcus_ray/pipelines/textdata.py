@@ -4334,6 +4334,217 @@ def dsir_importance_oracle_sql(target_lang: str = "en",
     """
 
 
+# ---------------------------------------------------------------------------
+# Unigram LM tokenizer (SentencePiece-style hard-EM)
+# ---------------------------------------------------------------------------
+#
+# The OTHER tokenizer-training algorithm next to BPE (Kudo 2018): start
+# from a substring seed vocabulary, iterate (Viterbi-segment every word
+# under current piece scores) -> (re-count piece usage) -> (re-score),
+# pruning multi-char pieces that fall out of use. This hard-EM variant
+# keeps every quantity exact-integer or once-quantized:
+#   - seed/usage counts are int64 Counter folds (vocab-bounded exchange)
+#   - piece scores are ln(count/total) quantized ONCE per piece to nano
+#     ints on the driver, so Viterbi runs in int64 and is deterministic
+#     under any block layout
+#   - ties in the DP break to the SHORTEST last piece (L ascending,
+#     strict >), stated here and shared verbatim by the sequential twin
+# Single-character pieces are always kept (count-floored at 1) so every
+# word stays segmentable — the SentencePiece coverage rule.
+
+_UNI_MAX_PIECE = 4
+
+
+def _uni_seed_counter(words: list[str], freqs: list[int]) -> "Counter":
+    from collections import Counter
+
+    c: Counter = Counter()
+    for w, f in zip(words, freqs):
+        for L in range(1, _UNI_MAX_PIECE + 1):
+            for j in range(len(w) - L + 1):
+                c[w[j:j + L]] += f
+    return c
+
+
+def _uni_scores(counts: dict[str, int]) -> dict[str, int]:
+    """piece -> nano-quantized ln(max(count,1)/total); driver-side, once
+    per piece per iteration — no float ever crosses a task boundary."""
+    import math
+
+    total = sum(max(v, 1) for v in counts.values())
+    return {p: int(math.floor(math.log(max(v, 1) / total) * 1e9 + 0.5))
+            for p, v in counts.items()}
+
+
+def _uni_viterbi(word: str, scores: dict[str, int]) -> list[str]:
+    """Max-score segmentation of ``word`` into vocab pieces; int64 DP,
+    ties to the shortest last piece (first L wins under strict >)."""
+    n = len(word)
+    NEG = -(1 << 62)
+    dp = [NEG] * (n + 1)
+    back = [0] * (n + 1)
+    dp[0] = 0
+    for i in range(1, n + 1):
+        best, bj = NEG, -1
+        for L in range(1, min(_UNI_MAX_PIECE, i) + 1):
+            j = i - L
+            if dp[j] == NEG:
+                continue
+            s = scores.get(word[j:i])
+            if s is None:
+                continue
+            if dp[j] + s > best:
+                best, bj = dp[j] + s, j
+        dp[i], back[i] = best, bj
+    if dp[n] == NEG:  # unreachable only if a char is missing from vocab
+        return list(word)
+    out, i = [], n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    return out[::-1]
+
+
+def _uni_em(word_freq: "list[tuple[str, int]]", vocab_size: int,
+            iters: int, usage_counter) -> tuple[dict[str, int], int]:
+    """Shared driver loop: seed -> (usage_counter is a callable that
+    returns the corpus piece-usage Counter under given scores — the
+    distributed and sequential variants differ ONLY there). Returns the
+    final counts dict and the number of EM iterations run."""
+    from collections import Counter
+
+    seed: Counter = Counter()
+    for w, f in word_freq:
+        seed.update(_uni_seed_counter([w], [f]))
+    chars = {p: c for p, c in seed.items() if len(p) == 1}
+    multi = sorted(((p, c) for p, c in seed.items() if len(p) > 1),
+                   key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    counts: dict[str, int] = dict(chars)
+    counts.update(dict(multi))
+    for _ in range(iters):
+        used = usage_counter(_uni_scores(counts))
+        counts = {p: int(used.get(p, 0)) for p in counts
+                  if len(p) == 1 or used.get(p, 0) > 0}
+    return counts, iters
+
+
+def unigram_lm(sf_dir: str, vocab_size: int = 512,
+               iters: int = 3) -> pa.Table:
+    """Distributed unigram-LM tokenizer training. The static word-frequency
+    table (one corpus pass, reused from the BPE family) is materialized
+    once; each EM iteration is a map_batches Viterbi pass whose per-batch
+    piece-usage Counters fold through a vocab-bounded groupby — the only
+    per-iteration driver state is the vocab dict itself (scores broadcast
+    by closure capture, same as the BPE merge broadcast). Bit-identical to
+    :func:`unigram_reference` at any block layout (`unigram_parity`)."""
+    wc = _bpe_word_counts(sf_dir).materialize()
+
+    # the seed pass is its own vocab-bounded exchange, not a driver fold
+    def seed_partial(t: pa.Table) -> pa.Table:
+        c = _uni_seed_counter(t["word"].to_pylist(),
+                              [int(f) for f in t["freq"].to_pylist()])
+        return pa.table({
+            "piece": pa.array(list(c.keys()), pa.string()),
+            "cnt": pa.array([int(v) for v in c.values()], pa.int64()),
+        })
+
+    seed_rows = (wc.map_batches(seed_partial, batch_format="pyarrow")
+                 .groupby("piece").aggregate(Sum("cnt", alias_name="cnt"))
+                 .take_all())  # bounded: substring vocab of the word table
+    chars = {r["piece"]: int(r["cnt"]) for r in seed_rows
+             if len(r["piece"]) == 1}
+    multi = sorted(((r["piece"], int(r["cnt"])) for r in seed_rows
+                    if len(r["piece"]) > 1),
+                   key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    counts: dict[str, int] = dict(chars)
+    counts.update(dict(multi))
+
+    for _ in range(iters):
+        scores = _uni_scores(counts)
+
+        def usage_partial(t: pa.Table, scores=scores) -> pa.Table:
+            from collections import Counter
+
+            c: Counter = Counter()
+            for w, f in zip(t["word"].to_pylist(),
+                            [int(x) for x in t["freq"].to_pylist()]):
+                for piece in _uni_viterbi(w, scores):
+                    c[piece] += f
+            return pa.table({
+                "piece": pa.array(list(c.keys()), pa.string()),
+                "cnt": pa.array([int(v) for v in c.values()], pa.int64()),
+            })
+
+        used = {r["piece"]: int(r["cnt"])
+                for r in wc.map_batches(usage_partial,
+                                        batch_format="pyarrow")
+                .groupby("piece").aggregate(Sum("cnt", alias_name="cnt"))
+                .take_all()}
+        counts = {p: int(used.get(p, 0)) for p in counts
+                  if len(p) == 1 or used.get(p, 0) > 0}
+
+    scores = _uni_scores(counts)
+    pieces = sorted(counts)
+    return pa.table({
+        "piece": pa.array(pieces, pa.string()),
+        "count": pa.array([counts[p] for p in pieces], pa.int64()),
+        "logp_nano": pa.array([scores[p] for p in pieces], pa.int64()),
+    })
+
+
+def unigram_reference(sf_dir: str, vocab_size: int = 512,
+                      iters: int = 3) -> pa.Table:
+    """Sequential single-process twin of :func:`unigram_lm` (same pure
+    _uni_* helpers, whole corpus in one Counter) — the bpe_reference
+    contract."""
+    from collections import Counter
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["text"])
+    wc: Counter = Counter()
+    for text in t["text"].to_pylist():
+        wc.update(_tokens(text.lower()))
+    word_freq = list(wc.items())
+
+    def usage(scores: dict[str, int]) -> Counter:
+        c: Counter = Counter()
+        for w, f in word_freq:
+            for piece in _uni_viterbi(w, scores):
+                c[piece] += f
+        return c
+
+    counts, _ = _uni_em(word_freq, vocab_size, iters, usage)
+    scores = _uni_scores(counts)
+    pieces = sorted(counts)
+    return pa.table({
+        "piece": pa.array(pieces, pa.string()),
+        "count": pa.array([counts[p] for p in pieces], pa.int64()),
+        "logp_nano": pa.array([scores[p] for p in pieces], pa.int64()),
+    })
+
+
+def unigram_parity(sf_dir: str, vocab_size: int = 512,
+                   iters: int = 3) -> pa.Table:
+    """Gate-visible verdict: the distributed unigram-LM vocabulary (every
+    piece, count and nano log-prob) must be bit-identical to the
+    sequential twin, and the corpus word total it trained on is recomputed
+    by the SQL oracle from documents — a divergent segmentation, a lost
+    piece or a dropped word fails CORRECTNESS."""
+    eng = unigram_lm(sf_dir, vocab_size, iters).to_pydict()
+    ref = unigram_reference(sf_dir, vocab_size, iters).to_pydict()
+    # coverage rule: every character of every corpus word must be a piece
+    # (else some word is unsegmentable and the vocab silently lost mass)
+    corpus_chars = {ch for r in _bpe_word_counts(sf_dir).take_all()
+                    for ch in r["word"]}
+    vocab = set(eng["piece"])
+    return pa.table({
+        "n_words": pa.array([_bpe_word_total(sf_dir)], pa.int64()),
+        "chars_ok": pa.array([int(corpus_chars <= vocab)], pa.int64()),
+        "parity_ok": pa.array([int(eng == ref)], pa.int64()),
+    })
+
+
 def lm_perplexity(sf_dir: str, target_lang: str = "en",
                   b_pair: int = 16384, b_ctx: int = 4096,
                   ppl_threshold: float = 350.0) -> rd.Dataset:

@@ -2138,3 +2138,39 @@ def test_dhash_invariances_and_phash_dups(ray_session):
     v = image_phash_dups("unused", n_images=120)
     assert v.to_pylist() == [
         {"n_images": 120, "complete": 1, "planted_ok": 1}]
+
+
+def test_uni_viterbi_dp_and_tiebreak():
+    from pholcus_ray.pipelines.textdata import _uni_viterbi
+
+    # 'abc' with strong 'ab': split ab|c beats a|b|c and a|bc
+    scores = {"a": -5_000_000_000, "b": -5_000_000_000,
+              "c": -5_000_000_000, "ab": -3_000_000_000,
+              "bc": -9_000_000_000}
+    assert _uni_viterbi("abc", scores) == ["ab", "c"]
+    # exact tie between a|b and ab: the DP takes the SHORTEST last
+    # piece first under strict >, so a|b (last piece 'b') wins
+    scores = {"a": -1_000_000_000, "b": -1_000_000_000,
+              "ab": -2_000_000_000}
+    assert _uni_viterbi("ab", scores) == ["a", "b"]
+    # missing char: degrades to char split (coverage fallback)
+    assert _uni_viterbi("xy", {"x": -1}) == ["x", "y"]
+
+
+def test_unigram_lm_learns_and_matches_twin(ray_session):
+    from pholcus_ray.pipelines.textdata import (_uni_scores, _uni_viterbi,
+                                                unigram_lm,
+                                                unigram_reference)
+
+    sf = "/root/testdata/sf0.001"
+    eng = unigram_lm(sf)
+    ref = unigram_reference(sf)
+    assert eng.to_pydict() == ref.to_pydict()
+    counts = dict(zip(eng["piece"].to_pylist(), eng["count"].to_pylist()))
+    multi = {p for p in counts if len(p) > 1}
+    assert len(multi) > 10  # real multi-char pieces survive EM
+    # the trained model compresses: a frequent corpus word segments into
+    # fewer pieces than characters
+    scores = _uni_scores(counts)
+    seg = _uni_viterbi("column", scores)
+    assert "".join(seg) == "column" and len(seg) < len("column")
