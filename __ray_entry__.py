@@ -379,7 +379,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_parity": S.pca_parity,
         "bpe_parity": T.bpe_parity,
         "unigram_parity": T.unigram_parity,
+        "unigram_encode_parity": T.unigram_encode_parity,
         "unigram_lm": T.unigram_lm,
+        "unigram_encode": T.unigram_encode,
         "bpe_encode_parity": T.bpe_encode_parity,
         # inference / tokenizer / training-order operators
         "model_score": T.model_score,
@@ -1004,6 +1006,14 @@ def _oracle_sql_raw() -> dict[str, str]:
                             ELSE len(regexp_split_to_array(
                                      trim(lower(text)), '\\s+')) END)
                         AS BIGINT) AS n_words,
+                   CAST(1 AS BIGINT) AS parity_ok
+            FROM documents
+        """,
+        "unigram_encode_parity": """
+            -- assertion oracle: the distributed unigram-tokenizer APPLY
+            -- pass must be bit-identical to the sequential twin encode
+            -- (counts AND order-sensitive per-doc checksums), every doc
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(1 AS BIGINT) AS parity_ok
             FROM documents
         """,

@@ -4545,6 +4545,95 @@ def unigram_parity(sf_dir: str, vocab_size: int = 512,
     })
 
 
+class UnigramEncoder:
+    """Actor-pool tokenizer-apply stage for the unigram LM — the
+    :class:`BpeEncoder` contract with Viterbi segmentation instead of a
+    merge loop: piece scores arrive once per actor via a ``ray.put``
+    handle, a word→segmentation memo makes the DP run once per DISTINCT
+    word per actor, and each doc folds to (word count, piece count,
+    order-sensitive rolling checksum) so nothing token-sized leaves the
+    stage."""
+
+    _R = 1_000_003
+
+    def __init__(self, scores_ref):
+        self.scores = (ray.get(scores_ref)
+                       if not isinstance(scores_ref, dict) else scores_ref)
+        self.cache: dict = {}
+
+    def encode_word(self, w: str) -> list:
+        enc = self.cache.get(w)
+        if enc is None:
+            enc = self.cache[w] = _uni_viterbi(w, self.scores)
+        return enc
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n_words, n_pieces, checks = [], [], []
+        for text in t["text"].to_pylist():
+            toks = _tokens(text.lower())
+            syms = [s for w in toks for s in self.encode_word(w)]
+            n_words.append(len(toks))
+            n_pieces.append(len(syms))
+            if syms:
+                h = hash64_array(syms) % _P61
+                c = int(_mulmod_p61(h, _pow_range_p61(self._R, len(h)))
+                        .astype(object).sum() % int(_P61))
+            else:
+                c = 0
+            checks.append(c)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_pieces": pa.array(n_pieces, pa.int64()),
+            "enc_hash": pa.array(checks, pa.int64()),
+        })
+
+
+def unigram_encode(sf_dir: str, vocab_size: int = 512,
+                   iters: int = 3) -> rd.Dataset:
+    """Distributed unigram-LM encode of the whole corpus under the vocab
+    :func:`unigram_lm` trains (see :class:`UnigramEncoder`)."""
+    vt = unigram_lm(sf_dir, vocab_size, iters)
+    scores = dict(zip(vt["piece"].to_pylist(),
+                      [int(x) for x in vt["logp_nano"].to_pylist()]))
+    ref = ray.put(scores)
+    return (_read_documents(sf_dir, columns=["doc_id", "text"])
+            .map_batches(UnigramEncoder,
+                         fn_constructor_kwargs={"scores_ref": ref},
+                         batch_format="pyarrow", concurrency=2)
+            .sort("doc_id"))
+
+
+def unigram_encode_reference(sf_dir: str, vocab_size: int = 512,
+                             iters: int = 3) -> pa.Table:
+    """Sequential twin: the SAME UnigramEncoder class over the whole
+    corpus as one batch, under the sequential twin's vocabulary."""
+    import pyarrow.compute as pc
+
+    vt = unigram_reference(sf_dir, vocab_size, iters)
+    scores = dict(zip(vt["piece"].to_pylist(),
+                      [int(x) for x in vt["logp_nano"].to_pylist()]))
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    out = UnigramEncoder(scores)(t)
+    return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))
+
+
+def unigram_encode_parity(sf_dir: str, vocab_size: int = 512,
+                          iters: int = 3) -> pa.Table:
+    """Gate-visible verdict: distributed unigram encode ≡ sequential twin
+    encode (counts AND order-sensitive per-doc checksums); the SQL oracle
+    pins parity_ok=1 and recomputes n_docs."""
+    eng = unigram_encode(sf_dir, vocab_size,
+                         iters).to_pandas().reset_index(drop=True)
+    ref = unigram_encode_reference(sf_dir, vocab_size, iters).to_pandas()
+    return pa.table({
+        "n_docs": pa.array([len(eng)], pa.int64()),
+        "parity_ok": pa.array([int(eng.equals(ref))], pa.int64()),
+    })
+
+
 def lm_perplexity(sf_dir: str, target_lang: str = "en",
                   b_pair: int = 16384, b_ctx: int = 4096,
                   ppl_threshold: float = 350.0) -> rd.Dataset:

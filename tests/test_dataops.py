@@ -2174,3 +2174,21 @@ def test_unigram_lm_learns_and_matches_twin(ray_session):
     scores = _uni_scores(counts)
     seg = _uni_viterbi("column", scores)
     assert "".join(seg) == "column" and len(seg) < len("column")
+
+
+def test_unigram_encode_compresses_and_matches_twin(ray_session):
+    from pholcus_ray.pipelines.textdata import (unigram_encode,
+                                                unigram_encode_reference)
+
+    sf = "/root/testdata/sf0.001"
+    eng = _to_df(unigram_encode(sf)).reset_index(drop=True)
+    ref = unigram_encode_reference(sf).to_pandas()
+    assert eng.equals(ref)
+    # the learned vocab compresses: fewer pieces than characters overall,
+    # but at least one piece per word
+    assert (eng["n_pieces"] >= eng["n_words"]).all()
+    docs = pq.read_table(os.path.join(sf, "documents.parquet"),
+                         columns=["text"])
+    n_chars_nospace = sum(len(t.replace(" ", ""))
+                          for t in docs["text"].to_pylist())
+    assert eng["n_pieces"].sum() < n_chars_nospace * 0.6
