@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": T.bigram_pmi,
         "heavy_hitters": T.heavy_hitters,
         "countmin_check": T.countmin_check,
+        "kll_quantiles_check": T.kll_quantiles_check,
         "temperature_mix": T.temperature_mix,
         "inverted_index": T.inverted_index,
         "quantile_buckets": T.quantile_buckets,
@@ -1008,6 +1009,17 @@ def _oracle_sql_raw() -> dict[str, str]:
                         AS BIGINT) AS n_words,
                    CAST(1 AS BIGINT) AS parity_ok
             FROM documents
+        """,
+        "kll_quantiles_check": """
+            -- assertion oracle: the mergeable quantile sketch must conserve
+            -- total weight exactly (weight_ok) and every probe quantile's
+            -- estimate must sit within the sketch's own accumulated
+            -- compaction-error certificate of the exact CDF (bound_ok)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_values,
+                   CAST(7 AS BIGINT) AS n_probes,
+                   CAST(1 AS BIGINT) AS weight_ok,
+                   CAST(1 AS BIGINT) AS bound_ok
+            FROM events
         """,
         "unigram_encode_parity": """
             -- assertion oracle: the distributed unigram-tokenizer APPLY

@@ -129,6 +129,8 @@ _BENCH_QUERIES = [
     "countmin_check",
     # round-4: cross-doc fixed-length sequence packing with real payloads
     "packed_token_shards",
+    # round-4: mergeable KLL quantile sketch + self-certified bound gate
+    "kll_quantiles_check",
 ]
 
 

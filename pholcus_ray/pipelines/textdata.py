@@ -3588,6 +3588,149 @@ def countmin_check_oracle_sql(probe_k: int = 20) -> str:
     """
 
 
+def _kll_insert(levels: dict, k: int, vals: np.ndarray) -> int:
+    """Feed ``vals`` into a deterministic KLL-style sketch (Karnin-Lang-
+    Liberty shape, Munro-Paterson deterministic compaction: sort, set
+    aside the max if the buffer is odd, promote even indices at doubled
+    weight). Returns the CERTIFIED rank-error mass added: one compaction
+    of a level-L buffer shifts any rank by at most 2^L (proof in
+    kll_quantiles_check docstring), so the sketch carries its own exact
+    error bound instead of assuming an analytic one."""
+    err = 0
+    levels.setdefault(0, []).extend(vals.tolist())
+    lvl = 0
+    while len(levels.get(lvl, ())) > k:
+        buf = np.sort(np.asarray(levels[lvl], dtype=np.int64))
+        carry = []
+        if len(buf) % 2:
+            carry = [int(buf[-1])]
+            buf = buf[:-1]
+        levels[lvl] = carry
+        levels.setdefault(lvl + 1, []).extend(buf[0::2].tolist())
+        err += 1 << lvl
+        lvl += 1
+    return err
+
+
+def _kll_rank(levels: dict, v: int) -> int:
+    """Sketch rank estimate of ``v``: weighted count of kept items <= v."""
+    r = 0
+    for lvl, buf in levels.items():
+        if buf:
+            b = np.asarray(buf, dtype=np.int64)
+            r += (1 << lvl) * int((b <= v).sum())
+    return r
+
+
+def kll_quantiles_check(sf_dir: str, k: int = 256,
+                        qs: tuple = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9,
+                                     0.99)) -> pa.Table:
+    """Mergeable rank/quantile sketch over events.value with a
+    SELF-CERTIFIED error bound — the quantile member of the sketch family
+    (CountMin = point frequency, HLL = cardinality, Misra-Gries = top-k).
+    Unlike :func:`value_quantiles` (exact, but bounded by the distinct-
+    value domain) this works on any domain: kept items never exceed
+    k·log(n/k) per partial regardless of distinct values.
+
+    Error certificate: deterministic even-index halving of a sorted
+    even-length weight-w buffer changes any query's rank contribution
+    from w·c to 2w·ceil(c/2) ∈ {w·c, w·c + w}, so each compaction adds
+    at most its level weight 2^L to the worst-case rank error, and the
+    sketch ACCUMULATES that mass as it runs. Weight is conserved exactly
+    (weight_ok), and every probe quantile's estimated value must have its
+    exact-rank interval within the accumulated bound of the target rank
+    (bound_ok) — checked against the exact mergeable-histogram CDF the
+    repo's exact quantile operators use. The partial-sketch exchange is
+    one slim (level, value) table + error scalar per block; the driver
+    merges level-wise and re-compacts (tree-reduce is the drop-in at
+    scale)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from .relational import _cents
+
+        cents = _cents(t["value"].to_numpy(zero_copy_only=False))
+        levels: dict = {}
+        err = _kll_insert(levels, k, cents)
+        lvls, vals = [], []
+        for lvl, buf in levels.items():
+            lvls.extend([lvl] * len(buf))
+            vals.extend(buf)
+        return pa.table({
+            "kind": pa.array([0] * len(lvls) + [1], pa.int8()),
+            "level": pa.array(lvls + [0], pa.int32()),
+            "value_cents": pa.array(vals + [err], pa.int64()),
+        })
+
+    # exact CDF for verification — same mergeable histogram as
+    # value_quantiles (domain-bounded); the sketch is the unbounded path
+    def hist_partial(t: pa.Table) -> pa.Table:
+        from .relational import _cents
+
+        u, c = np.unique(_cents(t["value"].to_numpy(zero_copy_only=False)),
+                         return_counts=True)
+        return pa.table({"value_cents": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    levels: dict = {}
+    err = 0
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        if int(r["kind"]) == 1:
+            err += int(r["value_cents"])
+        else:
+            levels.setdefault(int(r["level"]), []).append(
+                int(r["value_cents"]))
+    # re-compact any level the merge overfilled (same deterministic rule)
+    for lvl in sorted(list(levels)):
+        while len(levels.get(lvl, ())) > k:
+            buf = np.sort(np.asarray(levels[lvl], dtype=np.int64))
+            carry = []
+            if len(buf) % 2:
+                carry = [int(buf[-1])]
+                buf = buf[:-1]
+            levels[lvl] = carry
+            levels.setdefault(lvl + 1, []).extend(buf[0::2].tolist())
+            err += 1 << lvl
+
+    hist = (ds.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("value_cents").aggregate(Sum("cnt", alias_name="cnt"))
+            .sort("value_cents").take_all())
+    hvals = np.array([r["value_cents"] for r in hist], dtype=np.int64)
+    hcum = np.cumsum(np.array([r["cnt"] for r in hist], dtype=np.int64))
+    n = int(hcum[-1]) if len(hcum) else 0
+
+    total_weight = sum((1 << lvl) * len(buf) for lvl, buf in levels.items())
+    flat = np.sort(np.concatenate(
+        [np.asarray(buf, dtype=np.int64) for buf in levels.values()
+         if buf]))
+    # sketch rank of every kept value, vectorized level-wise
+    ranks = np.zeros(len(flat), dtype=np.int64)
+    for lvl, buf in levels.items():
+        if buf:
+            b = np.sort(np.asarray(buf, dtype=np.int64))
+            ranks += (1 << lvl) * np.searchsorted(b, flat, side="right")
+    bound_ok = 1
+    for q in qs:
+        target = int(np.ceil(q * n))
+        # estimate: smallest kept value whose sketch rank >= target
+        j = int(np.searchsorted(ranks, target))
+        est = int(flat[min(j, len(flat) - 1)]) if len(flat) else 0
+        # exact rank interval of est: [#(x < est), #(x <= est)]
+        lo = int(hcum[np.searchsorted(hvals, est) - 1]) \
+            if np.searchsorted(hvals, est) > 0 else 0
+        i = np.searchsorted(hvals, est, side="right")
+        hi = int(hcum[i - 1]) if i > 0 else 0
+        if not (lo - err <= target <= hi + err):
+            bound_ok = 0
+    return pa.table({
+        "n_values": pa.array([n], pa.int64()),
+        "n_probes": pa.array([len(qs)], pa.int64()),
+        "weight_ok": pa.array([int(total_weight == n)], pa.int64()),
+        "bound_ok": pa.array([bound_ok], pa.int64()),
+    })
+
+
 def heavy_hitters(sf_dir: str, k: int = 50,
                   n_counters: int = 4096) -> pa.Table:
     """Corpus-wide top-k tokens WITHOUT a full-vocabulary shuffle — the

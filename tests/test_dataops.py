@@ -62,7 +62,8 @@ def ducksf():
      "bpe_encode_parity", "anchor_text_parity",
      "epoch_shuffle", "data_card", "dsir_importance", "gopher_repetition",
      "gopher_quality", "semdedup", "logreg_parity", "tokenized_shards",
-     "pq_recall", "countmin_check", "packed_token_shards"],
+     "pq_recall", "countmin_check", "packed_token_shards",
+     "kll_quantiles_check"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -2192,3 +2193,41 @@ def test_unigram_encode_compresses_and_matches_twin(ray_session):
     n_chars_nospace = sum(len(t.replace(" ", ""))
                           for t in docs["text"].to_pylist())
     assert eng["n_pieces"].sum() < n_chars_nospace * 0.6
+
+
+def test_kll_sketch_certificate_exact_on_adversarial_orders():
+    """The KLL sketch's self-certified rank bound must hold EXACTLY (not
+    probabilistically — the compaction rule is deterministic) on sorted,
+    reverse-sorted and all-equal streams, with tiny k forcing many
+    compactions; weight conservation is exact at every step."""
+    from pholcus_ray.pipelines.textdata import _kll_insert, _kll_rank
+
+    rng = np.random.default_rng(7)
+    streams = {
+        "sorted": np.arange(10_000, dtype=np.int64),
+        "reversed": np.arange(10_000, dtype=np.int64)[::-1],
+        "const": np.zeros(10_000, dtype=np.int64),
+        "shuffled": rng.permutation(10_000).astype(np.int64),
+    }
+    for name, xs in streams.items():
+        levels: dict = {}
+        err = 0
+        for chunk in np.array_split(xs, 13):   # uneven partials, like blocks
+            err += _kll_insert(levels, 32, chunk)
+        w = sum((1 << lvl) * len(buf) for lvl, buf in levels.items())
+        assert w == len(xs), name
+        assert err > 0 or name == "const" or len(xs) <= 32
+        exact_sorted = np.sort(xs)
+        for v in (0, 123, 5000, 9999):
+            est = _kll_rank(levels, v)
+            exact = int(np.searchsorted(exact_sorted, v, side="right"))
+            assert abs(est - exact) <= err, (name, v, est, exact, err)
+
+
+def test_kll_query_bound_ok_at_sf0001(ray_session):
+    from pholcus_ray.pipelines.textdata import kll_quantiles_check
+
+    out = kll_quantiles_check(SF, k=64).to_pandas()
+    assert int(out["weight_ok"].iloc[0]) == 1
+    assert int(out["bound_ok"].iloc[0]) == 1
+    assert int(out["n_values"].iloc[0]) > 0
