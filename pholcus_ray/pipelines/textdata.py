@@ -1970,6 +1970,331 @@ def substring_dups(sf_dir: str, win: int = 16,
         "window_md5")
 
 
+_ESD_M1, _ESD_B1 = 2147483629, 1000003   # 31-bit primes / Horner bases
+_ESD_M2, _ESD_B2 = 2147483587, 999983
+
+
+def _esd_window_hashes(texts: list[str], L: int):
+    """Rolling double-hash of every L-codepoint window of every doc in
+    the block, ONE vectorized Horner recurrence over the concatenated
+    codepoint stream (no per-window hashing, no window matrix): L
+    slice-mult-add-mod passes over the block's chars, h < 2^62.
+
+    Docs are joined with unique separator values above the Unicode
+    ceiling (0x110000 + offset), so a window crossing a doc boundary can
+    never equal a real window's content — boundary junk can at worst
+    add a false CANDIDATE hash, which the content-verified mark stage
+    discards; it can never hide a true duplicate (identical content ⇒
+    identical hash by construction).
+
+    Returns (hash64, doc_ordinal, pos) aligned arrays for the VALID
+    windows only (fully inside one doc of length >= L).
+    """
+    arrs, starts, lens = [], [], []
+    off = 0
+    for x in texts:
+        a = np.frombuffer(x.encode("utf-32-le"), dtype=np.uint32)
+        starts.append(off)
+        lens.append(len(a))
+        arrs.append(a)
+        arrs.append(np.array([0x110000 + (off % 0xEEFFFF)], dtype=np.uint32))
+        off += len(a) + 1
+    if not arrs:
+        z = np.empty(0, np.int64)
+        return z, z.copy(), z.copy()
+    cat = np.concatenate(arrs).astype(np.int64)
+    W = len(cat) - L + 1
+    if W <= 0:
+        z = np.empty(0, np.int64)
+        return z, z.copy(), z.copy()
+    h1 = np.zeros(W, np.int64)
+    h2 = np.zeros(W, np.int64)
+    for i in range(L):
+        seg = cat[i:i + W]
+        h1 = (h1 * _ESD_B1 + seg) % _ESD_M1
+        h2 = (h2 * _ESD_B2 + seg) % _ESD_M2
+    h = (h1 << np.int64(31)) | h2
+    widx, docs, poss = [], [], []
+    for d, (s, n) in enumerate(zip(starts, lens)):
+        if n >= L:
+            m = n - L + 1
+            widx.append(np.arange(s, s + m, dtype=np.int64))
+            docs.append(np.full(m, d, dtype=np.int64))
+            poss.append(np.arange(m, dtype=np.int64))
+    if not widx:
+        z = np.empty(0, np.int64)
+        return z, z.copy(), z.copy()
+    wi = np.concatenate(widx)
+    return h[wi], np.concatenate(docs), np.concatenate(poss)
+
+
+def _esd_bloom_hits(bm: np.ndarray, h: np.ndarray, mbits: int) -> np.ndarray:
+    """Vectorized 2-probe Bloom membership test of int64 hashes."""
+    if len(h) == 0:
+        return np.zeros(0, dtype=bool)
+    u = h.astype(np.uint64)
+    mb = np.uint64(mbits - 1)          # mbits is a power of two
+    s1 = u & mb
+    s2 = ((u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(7)) & mb
+    one = np.uint64(1)
+    hit1 = (bm[(s1 >> np.uint64(6)).astype(np.int64)]
+            >> (s1 & np.uint64(63))) & one
+    hit2 = (bm[(s2 >> np.uint64(6)).astype(np.int64)]
+            >> (s2 & np.uint64(63))) & one
+    return (hit1 & hit2).astype(bool)
+
+
+def exact_substring_dedup(sf_dir: str, L: int = 40, mbits: int = 1 << 23,
+                          num_parts: int = 32) -> rd.Dataset:
+    """EXACT cross-corpus substring deduplication with removal — the full
+    ExactSubstr operator of Lee et al. 2022 ('Deduplicating Training Data
+    Makes Language Models Better') that :func:`substring_dups` only
+    samples a signal for: every L-codepoint window whose exact content
+    occurs elsewhere in the corpus at a smaller (doc_id, pos) is a
+    duplicate occurrence; per doc, the union of duplicate windows [p,p+L)
+    is CUT OUT of the text, so exactly one copy of every long repeated
+    passage survives (the globally first, in corpus order — Lee et al.
+    §4.1 keeps one occurrence; the deterministic first-occurrence rule
+    makes the engine reproducible and SQL-checkable). Emits per doc
+    (n_chars, n_removed, dedup_md5) where dedup_md5 is the md5 of the
+    SURVIVING text — the oracle re-derives the cut text character by
+    character, so WHAT was removed is value-verified, not just how much.
+
+    Exactness without a suffix array, filter-verify in three exchanges:
+      1. COUNT: every window's rolling double-hash (one vectorized
+         Horner pass per block, `_esd_window_hashes`) pre-reduces
+         per-block via np.unique, then one hash-keyed groupby counts
+         globally; hashes with count >= 2 are candidates. The exchange
+         is ~16B per DISTINCT window per block — the same O(n) order a
+         distributed suffix array ships, hash-partitioned, no skew
+         (hashes are uniform).
+      2. BLOOM: candidate hashes fold into per-block fixed-size bitmaps
+         (mbits bits); the driver ORs #blocks bitmaps and ray.put-
+         broadcasts ONE filter — build-once-read-everywhere. A false
+         positive only promotes a singleton window into stage 3, where
+         the content check drops it; mbits sizes to the corpus's true
+         dup volume, and a saturated filter degrades to shipping more
+         verify rows, never to a wrong answer.
+      3. VERIFY+MARK: only Bloom-positive windows ship (window CONTENT,
+         doc_id, pos), partitioned by content-hash so every occurrence
+         of one window lands together; a coarse per-partition C-level
+         sort marks every non-first occurrence of each content group
+         (group size 1 = rolling-hash/Bloom noise, dropped). Marks
+         shuffle back by doc-hash with the doc rows (the line_dedup
+         join-back shape) and one numpy interval-union per doc cuts the
+         spans.
+    Window content never crosses a stage boundary except for the
+    Bloom-positive sliver, which is sized by the corpus's duplicated
+    volume — the quantity any exact algorithm must touch.
+    """
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+    nP = np.uint64(num_parts)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        h, _, _ = _esd_window_hashes(t["text"].to_pylist(), L)
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(u, pa.int64()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    cand = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("h").aggregate(Sum("c", alias_name="n"))
+    )
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        hs = t.filter(pc.greater_equal(t["n"], 2))["h"].to_numpy(
+            zero_copy_only=False)
+        bm = np.zeros(mbits // 64, np.uint64)
+        if len(hs):
+            u = hs.astype(np.uint64)
+            mb = np.uint64(mbits - 1)
+            s1 = u & mb
+            s2 = ((u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(7)) & mb
+            for s in (s1, s2):
+                np.bitwise_or.at(bm, (s >> np.uint64(6)).astype(np.int64),
+                                 np.uint64(1) << (s & np.uint64(63)))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    bm = np.zeros(mbits // 64, np.uint64)
+    for r in cand.map_batches(bloom_partial,
+                              batch_format="pyarrow").take_all():
+        bm = bm | np.frombuffer(r["bm"], np.uint64)
+    bm_ref = ray.put(bm)
+
+    def emit_candidates(t: pa.Table) -> pa.Table:
+        bmv = ray.get(bm_ref)
+        texts = t["text"].to_pylist()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h, d, p = _esd_window_hashes(texts, L)
+        hit = _esd_bloom_hits(bmv, h, mbits)
+        d, p = d[hit], p[hit]
+        wins = [texts[di][pi:pi + L] for di, pi in zip(d, p)]
+        part = ((hash64_array(wins) % nP).astype(np.int32) if wins
+                else np.empty(0, np.int32))
+        return pa.table({
+            "part": pa.array(part),
+            "win": pa.array(wins, pa.string()),
+            "doc_id": pa.array(ids[d] if len(d) else
+                               np.empty(0, np.int64), pa.int64()),
+            "p": pa.array(p, pa.int64()),
+        })
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["win", "doc_id", "p"], kind="mergesort")
+        wins = g["win"].values
+        first = np.r_[True, wins[1:] != wins[:-1]] if len(g) else \
+            np.zeros(0, bool)
+        dup = ~first                       # singleton groups keep their row
+        out = g.loc[dup, ["doc_id", "p"]]
+        return pa.table({
+            "dpart": pa.array((out["doc_id"].values.astype(np.uint64) % nP)
+                              .astype(np.int32)),
+            "kind": pa.array(np.ones(len(out), np.int8)),
+            "doc_id": pa.array(out["doc_id"].astype("int64").values),
+            "p": pa.array(out["p"].astype("int64").values),
+            "text": pa.array([""] * len(out), pa.string()),
+        })
+
+    marks = (
+        ds.map_batches(emit_candidates, batch_format="pyarrow")
+        .groupby("part").map_groups(mark, batch_format="pandas")
+    )
+
+    def doc_side(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "dpart": pa.array((ids.astype(np.uint64) % nP).astype(np.int32)),
+            "kind": pa.array(np.zeros(len(ids), np.int8)),
+            "doc_id": t["doc_id"],
+            "p": pa.array(np.full(len(ids), -1, np.int64)),
+            "text": t["text"],
+        })
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["kind"] == 0]
+        mk = g[g["kind"] == 1].sort_values(["doc_id", "p"], kind="mergesort")
+        mids = mk["doc_id"].to_numpy()
+        mps = mk["p"].to_numpy()
+        ids, n_chars, n_removed, texts_out = [], [], [], []
+        for did, text in zip(docs["doc_id"].to_numpy(), docs["text"]):
+            lo = np.searchsorted(mids, did, side="left")
+            hi = np.searchsorted(mids, did, side="right")
+            ids.append(int(did))
+            n_chars.append(len(text))
+            if lo == hi:
+                n_removed.append(0)
+                texts_out.append(text)
+                continue
+            s = mps[lo:hi]                          # sorted unique positions
+            e = s + L
+            new = np.r_[True, s[1:] > np.maximum.accumulate(e[:-1])]
+            bidx = np.nonzero(new)[0]
+            ms = s[bidx]
+            cme = np.maximum.accumulate(e)
+            me = cme[np.r_[bidx[1:] - 1, len(s) - 1]]
+            n_removed.append(int((me - ms).sum()))
+            kept = []
+            prev = 0
+            for a, b in zip(ms, me):
+                if a > prev:
+                    kept.append(text[prev:a])
+                prev = b
+            if prev < len(text):
+                kept.append(text[prev:])
+            texts_out.append("".join(kept))
+        return pd.DataFrame({
+            "doc_id": pd.array(ids, dtype="int64"),
+            "n_chars": pd.array(n_chars, dtype="int64"),
+            "n_removed": pd.array(n_removed, dtype="int64"),
+            "dedup_md5": md5_hex_array(texts_out),
+        })
+
+    return (
+        marks.union(ds.map_batches(doc_side, batch_format="pyarrow"))
+        .groupby("dpart").map_groups(rebuild, batch_format="pandas")
+        .sort("doc_id")
+    )
+
+
+def exact_substring_dedup_oracle_sql(L: int = 40) -> str:
+    """DuckDB replay of the full ExactSubstr chain: window expansion via
+    lateral generate_series, global first-occurrence marking by window
+    CONTENT, gaps-and-islands interval merge, and character-exact
+    reconstruction of the surviving text."""
+    return f"""
+        WITH d AS (
+            SELECT doc_id, text, length(text) AS n FROM documents
+        ),
+        w AS (
+            SELECT d.doc_id, g.p AS p, substring(d.text, g.p + 1, {L}) AS win
+            FROM d, UNNEST(range(0, greatest(d.n - {L} + 1, 0))) AS g(p)
+            WHERE d.n >= {L}
+        ),
+        m AS (
+            SELECT doc_id, p,
+                   row_number() OVER (PARTITION BY win
+                                      ORDER BY doc_id, p) AS rn
+            FROM w
+        ),
+        spans AS (
+            SELECT doc_id, CAST(p AS BIGINT) AS s,
+                   CAST(p + {L} AS BIGINT) AS e
+            FROM m WHERE rn > 1
+        ),
+        ord AS (
+            SELECT doc_id, s, e,
+                   max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pmax
+            FROM spans
+        ),
+        isl AS (
+            SELECT doc_id, s, e,
+                   SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+            FROM ord
+        ),
+        merged AS (
+            SELECT doc_id, island, MIN(s) AS ms, MAX(e) AS me
+            FROM isl GROUP BY doc_id, island
+        ),
+        rem AS (
+            SELECT doc_id, SUM(me - ms) AS n_removed
+            FROM merged GROUP BY doc_id
+        ),
+        segs AS (
+            SELECT doc_id,
+                   lag(me, 1, 0) OVER (PARTITION BY doc_id
+                                       ORDER BY ms) AS ks,
+                   ms AS ke
+            FROM merged
+            UNION ALL
+            SELECT mg.doc_id, MAX(mg.me) AS ks, ANY_VALUE(d.n) AS ke
+            FROM merged mg JOIN d USING (doc_id)
+            GROUP BY mg.doc_id
+        ),
+        kept AS (
+            SELECT s.doc_id,
+                   string_agg(substring(d.text, CAST(s.ks AS INT) + 1,
+                                        CAST(s.ke - s.ks AS INT)),
+                              '' ORDER BY s.ks) AS ktext
+            FROM segs s JOIN d USING (doc_id)
+            WHERE s.ke > s.ks
+            GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(d.n AS BIGINT) AS n_chars,
+               CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+               md5(CASE WHEN r.doc_id IS NULL THEN d.text
+                        ELSE COALESCE(k.ktext, '') END) AS dedup_md5
+        FROM d
+        LEFT JOIN rem r USING (doc_id)
+        LEFT JOIN kept k USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
 def term_df(sf_dir: str, top_k: int = 100) -> rd.Dataset:
     """Corpus vocabulary document frequency: the top_k tokens by the
     number of documents containing them (ties broken by token asc).

@@ -2231,3 +2231,108 @@ def test_kll_query_bound_ok_at_sf0001(ray_session):
     assert int(out["weight_ok"].iloc[0]) == 1
     assert int(out["bound_ok"].iloc[0]) == 1
     assert int(out["n_values"].iloc[0]) > 0
+
+
+def _esd_naive(texts: dict[int, str], L: int):
+    """Brute-force ExactSubstr spec: global keep-first by (doc_id, pos),
+    union the dup windows, cut the spans."""
+    import hashlib
+    seen: set = set()
+    marks: dict[int, list[int]] = {d: [] for d in texts}
+    for did in sorted(texts):
+        t = texts[did]
+        for p in range(max(len(t) - L + 1, 0)):
+            w = t[p:p + L]
+            if w in seen:
+                marks[did].append(p)
+            else:
+                seen.add(w)
+    out = {}
+    for did in sorted(texts):
+        t = texts[did]
+        cut = np.zeros(len(t), bool)
+        for p in marks[did]:
+            cut[p:p + L] = True
+        kept = "".join(c for c, m in zip(t, cut) if not m)
+        out[did] = (len(t), int(cut.sum()), hashlib.md5(
+            kept.encode()).hexdigest())
+    return out
+
+
+def test_exact_substring_dedup_planted_vs_bruteforce(ray_session,
+                                                     tmp_path_factory):
+    from pholcus_ray.pipelines.textdata import exact_substring_dedup
+
+    d = tmp_path_factory.mktemp("esd")
+    passage = ("the shared boilerplate passage that repeats verbatim "
+               "across documents zero one and two exactly")
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa"]
+    texts = {
+        0: "u " + passage + " tail zero",            # first occurrence: kept
+        1: "doc one prefix " + passage + " suffix",  # span removed
+        2: passage + " middle filler " + passage,    # self-repeat: 2nd cut
+        3: " ".join(rng.choice(words, 60)),
+        4: "short",                                   # < L: untouched
+    }
+    texts[5] = texts[3]                               # exact dup of 3
+    t = pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(texts[k]) for k in sorted(texts)],
+                            pa.int64()),
+    })
+    pq.write_table(t, os.path.join(str(d), "documents.parquet"))
+
+    L = 40
+    got = _to_df(exact_substring_dedup(str(d), L=L)).set_index("doc_id")
+    want = _esd_naive(texts, L)
+    for did, (n, rm, h) in want.items():
+        assert int(got.loc[did, "n_chars"]) == n
+        assert int(got.loc[did, "n_removed"]) == rm, did
+        assert got.loc[did, "dedup_md5"] == h, did
+    # the planted structure actually exercised removal
+    assert int(got.loc[0, "n_removed"]) == 0
+    assert int(got.loc[1, "n_removed"]) >= len(passage)
+    assert int(got.loc[2, "n_removed"]) >= len(passage)
+    assert int(got.loc[4, "n_removed"]) == 0
+    assert int(got.loc[5, "n_removed"]) == len(texts[3])
+
+
+def test_exact_substring_dedup_random_matches_bruteforce(ray_session,
+                                                         tmp_path_factory):
+    """Randomized cross-check on a corpus built to stress overlaps:
+    small alphabet so long repeats arise naturally, plus grafted
+    passages with partial overlap between docs."""
+    from pholcus_ray.pipelines.textdata import exact_substring_dedup
+
+    d = tmp_path_factory.mktemp("esdrand")
+    rng = np.random.default_rng(23)
+    base = "".join(rng.choice(list("abc "), 400))
+    texts = {}
+    for i in range(12):
+        s = int(rng.integers(0, 300))
+        e = s + int(rng.integers(30, 100))
+        graft = base[s:e]
+        noise = "".join(rng.choice(list("abcdefgh "), 80))
+        texts[i] = noise[:40] + graft + noise[40:]
+    t = pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(texts[k]) for k in sorted(texts)],
+                            pa.int64()),
+    })
+    pq.write_table(t, os.path.join(str(d), "documents.parquet"))
+    L = 24
+    got = _to_df(exact_substring_dedup(str(d), L=L)).set_index("doc_id")
+    want = _esd_naive(texts, L)
+    assert int(got["n_removed"].sum()) > 0
+    for did, (n, rm, h) in want.items():
+        assert (int(got.loc[did, "n_chars"]),
+                int(got.loc[did, "n_removed"]),
+                got.loc[did, "dedup_md5"]) == (n, rm, h), did
