@@ -452,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": T.heavy_hitters,
         "countmin_check": T.countmin_check,
         "kll_quantiles_check": T.kll_quantiles_check,
+        "kmv_distinct_check": T.kmv_distinct_check,
         "temperature_mix": T.temperature_mix,
         "inverted_index": T.inverted_index,
         "quantile_buckets": T.quantile_buckets,
@@ -573,6 +574,12 @@ def _countmin_check_sql() -> str:
     from pholcus_ray.pipelines.textdata import countmin_check_oracle_sql
 
     return countmin_check_oracle_sql()
+
+
+def _kmv_distinct_check_sql() -> str:
+    from pholcus_ray.pipelines.textdata import kmv_distinct_check_oracle_sql
+
+    return kmv_distinct_check_oracle_sql()
 
 
 def _lm_perplexity_sql() -> str:
@@ -1281,6 +1288,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "logreg_parity": _logreg_parity_sql(),
         "tokenized_shards": _tokenized_shards_sql(),
         "countmin_check": _countmin_check_sql(),
+        "kmv_distinct_check": _kmv_distinct_check_sql(),
         "packed_token_shards": _packed_token_shards_sql(),
         "model_score": _model_score_sql(),
         "epoch_shuffle": _epoch_shuffle_sql(),

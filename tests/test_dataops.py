@@ -2336,3 +2336,39 @@ def test_exact_substring_dedup_random_matches_bruteforce(ray_session,
         assert (int(got.loc[did, "n_chars"]),
                 int(got.loc[did, "n_removed"]),
                 got.loc[did, "dedup_md5"]) == (n, rm, h), did
+
+
+def test_kmv_distinct_matches_bruteforce(ray_session):
+    """KMV at a small k on real sf0.001 events: the distributed
+    bottom-k merge must equal the single-pass brute-force sketch
+    (bottom-k of ALL distinct hashes), including the estimator and
+    the sample checksum."""
+    from pholcus_ray.functions.hashing import md5_lower64_array
+    from pholcus_ray.pipelines.textdata import kmv_distinct_check
+
+    K = 32
+    out = kmv_distinct_check(SF, k=K, max_err_pct=60).to_pandas() \
+        .set_index("event_type")
+    ev = pq.read_table(os.path.join(SF, "events.parquet"),
+                       columns=["event_type", "user_id"]).to_pandas()
+    assert len(out) > 0
+    for ty, g in ev.groupby("event_type"):
+        h = np.unique(md5_lower64_array(
+            [f"u{u}" for u in g["user_id"].to_numpy()]))
+        bk = np.sort(h)[:K]
+        nd = len(h)
+        est = nd if nd < K else (K - 1) * (1 << 64) // int(bk[-1])
+        assert int(out.loc[ty, "n_kept"]) == min(nd, K)
+        assert int(out.loc[ty, "n_users_est"]) == est
+        assert int(out.loc[ty, "sketch_sum"]) == \
+            int(bk.sum(dtype=object)) % (1 << 61)
+
+
+def test_kmv_exact_below_k(ray_session):
+    """When every type has fewer than k distinct users the estimate IS
+    the exact count and within_ok is trivially 1."""
+    from pholcus_ray.pipelines.textdata import kmv_distinct_check
+
+    out = kmv_distinct_check(SF, k=1 << 20).to_pandas()
+    assert (out["within_ok"] == 1).all()
+    assert (out["n_users_est"] == out["n_kept"]).all()
