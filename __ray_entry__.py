@@ -409,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": T.line_dedup,
         "within_doc_dedup": T.within_doc_dedup,
         "substring_dups": T.substring_dups,
+        "winnowing_fp": T.winnowing_fp,
         "exact_substring_dedup": T.exact_substring_dedup,
         # capstone composition: quality gate -> exact dedup -> near-dup
         # removal -> split, one SQL oracle over the whole chain
@@ -520,6 +521,12 @@ def _exact_substring_dedup_sql() -> str:
     from pholcus_ray.pipelines.textdata import exact_substring_dedup_oracle_sql
 
     return exact_substring_dedup_oracle_sql(L=40)
+
+
+def _winnowing_fp_sql() -> str:
+    from pholcus_ray.pipelines.textdata import winnowing_fp_oracle_sql
+
+    return winnowing_fp_oracle_sql(k=8, w=16)
 
 
 def _link_degree_sql() -> str:
@@ -1517,6 +1524,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT * FROM g WHERE n_docs >= 2 ORDER BY window_md5
         """,
         "exact_substring_dedup": _exact_substring_dedup_sql(),
+        "winnowing_fp": _winnowing_fp_sql(),
         "c4_filters": r"""
             -- C4 rule filter: a line survives iff it ends in terminal
             -- punctuation after trimming the explicit ASCII whitespace

@@ -2295,6 +2295,194 @@ def exact_substring_dedup_oracle_sql(L: int = 40) -> str:
     """
 
 
+def winnowing_fp(sf_dir: str, k: int = 8, w: int = 16,
+                 num_parts: int = 32) -> rd.Dataset:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every k-char gram, slide a window
+    of w consecutive gram hashes, select the minimal hash per window
+    with the RIGHTMOST tie-break (robust winnowing), dedupe consecutive
+    selections; the selected (pos, hash) set is the fingerprint. The
+    guarantee: any shared substring of length >= w + k - 1 between two
+    docs is caught by at least one shared fingerprint, at expected
+    density 2/(w+1) — fingerprints are the sub-linear exchange currency
+    the full-window ops (:func:`substring_dups`,
+    :func:`exact_substring_dedup`) don't have.
+
+    Per doc: doc_id, n_grams, n_fp (selected positions), n_shared_fp
+    (distinct fingerprint hashes also fingerprinting ANOTHER doc — the
+    MOSS similarity signal), fp_xor (xor of selected hashes, masked to
+    63 bits). Gram hash = md5-lower64 == DuckDB ``md5_number_lower``,
+    so the ENTIRE construction — selection, tie-breaks, sharing —
+    replays in the SQL oracle.
+
+    Scale shape: extraction is per-doc (one vectorized md5 pass + an
+    O(G*w) C-level sliding argmin — reversed-array argmin gives the
+    rightmost-tie rule for free); only fingerprint rows (~2/(w+1) of
+    grams) materialize; sharing is ONE hash-partitioned exchange of
+    (h, doc_id) pairs plus a doc-bucketed count merge. No broadcast,
+    no driver state.
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+    nP = int(num_parts)
+    K, W = int(k), int(w)
+
+    def extract(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_doc, out_ng, out_p, out_h = [], [], [], []
+        for did, text in zip(ids, t["text"].to_pylist()):
+            G = len(text) - K + 1
+            if G <= 0:
+                out_doc.append(np.array([did], np.int64))
+                out_ng.append(np.array([0], np.int64))
+                out_p.append(np.array([-1], np.int64))
+                out_h.append(np.array([0], np.uint64))
+                continue
+            h = md5_lower64_array([text[i:i + K] for i in range(G)])
+            if G <= W:
+                rev_idx = int(h[::-1].argmin())     # rightmost min overall
+                sel = np.array([G - 1 - rev_idx], np.int64)
+            else:
+                rev = h[::-1]
+                idx = sliding_window_view(rev, W).argmin(axis=1)
+                # reversed window j covers original window q = G-W-j;
+                # first-min in reversed = rightmost-min in original.
+                j = np.arange(G - W + 1)
+                p_sel = (G - 1) - (j + idx[j])
+                sel = np.unique(p_sel).astype(np.int64)
+            out_doc.append(np.full(len(sel), did, np.int64))
+            out_ng.append(np.full(len(sel), G, np.int64))
+            out_p.append(sel)
+            out_h.append(h[sel])
+        doc = np.concatenate(out_doc)
+        hh = np.concatenate(out_h)
+        return pa.table({
+            "hpart": pa.array((hh % np.uint64(nP)).astype(np.int32)),
+            "dpart": pa.array((doc.astype(np.uint64) % nP).astype(np.int32)),
+            "doc_id": pa.array(doc, pa.int64()),
+            "n_grams": pa.array(np.concatenate(out_ng), pa.int64()),
+            "p": pa.array(np.concatenate(out_p), pa.int64()),
+            "h": pa.array(hh.view(np.int64), pa.int64()),
+        })
+
+    fp = ds.map_batches(extract, batch_format="pyarrow").materialize()
+
+    def mark_shared(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["p"] >= 0]
+        dh = g[["doc_id", "h"]].drop_duplicates()
+        ndocs = dh.groupby("h")["doc_id"].transform("size")
+        sh = dh[ndocs >= 2]
+        cnt = sh.groupby("doc_id").size()
+        return pa.table({
+            "dpart": pa.array((cnt.index.to_numpy().astype(np.uint64) % nP)
+                              .astype(np.int32)),
+            "doc_id": pa.array(cnt.index.to_numpy().astype(np.int64),
+                               pa.int64()),
+            "n_grams": pa.array(np.full(len(cnt), -1, np.int64), pa.int64()),
+            "p": pa.array(np.full(len(cnt), -1, np.int64), pa.int64()),
+            # h carries the per-doc shared-hash count on these rows
+            "h": pa.array(cnt.to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    shared = fp.groupby("hpart").map_groups(
+        mark_shared, batch_format="pandas")
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        st = g[g["n_grams"] >= 0].sort_values(["doc_id", "p"],
+                                              kind="mergesort")
+        sc = g[g["n_grams"] < 0]
+        if len(st) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.array([], dtype="int64"),
+                "n_grams": pd.array([], dtype="int64"),
+                "n_fp": pd.array([], dtype="int64"),
+                "n_shared_fp": pd.array([], dtype="int64"),
+                "fp_xor": pd.array([], dtype="int64"),
+            })
+        ids = st["doc_id"].to_numpy()
+        b = np.r_[0, np.nonzero(ids[1:] != ids[:-1])[0] + 1]
+        uids = ids[b]
+        hv = st["h"].to_numpy()
+        pv = st["p"].to_numpy()
+        xor = np.bitwise_xor.reduceat(
+            np.where(pv >= 0, hv, 0), b) & np.int64(0x7FFFFFFFFFFFFFFF)
+        nfp = np.add.reduceat((pv >= 0).astype(np.int64), b)
+        ng = st["n_grams"].to_numpy()[b]
+        # one partial count per hpart partition touched by the doc — SUM
+        smap = sc.groupby("doc_id")["h"].sum().to_dict()
+        return pd.DataFrame({
+            "doc_id": pd.array(uids, dtype="int64"),
+            "n_grams": pd.array(ng, dtype="int64"),
+            "n_fp": pd.array(nfp, dtype="int64"),
+            "n_shared_fp": pd.array(
+                [int(smap.get(d, 0)) for d in uids], dtype="int64"),
+            "fp_xor": pd.array(xor, dtype="int64"),
+        })
+
+    return (fp.drop_columns(["hpart"]).union(shared)
+            .groupby("dpart").map_groups(finalize, batch_format="pandas")
+            .sort("doc_id"))
+
+
+def winnowing_fp_oracle_sql(k: int = 8, w: int = 16) -> str:
+    """DuckDB replay of the whole winnowing construction: gram hashes
+    via md5_number_lower, per-window rightmost-min selection via the
+    composite key h*2^31 - p (minimized = min h, then max p; positions
+    are < 2^31 by construction), distinct selected positions, cross-doc
+    sharing, xor checksum."""
+    return f"""
+        WITH d AS (
+            SELECT doc_id, text, length(text) - {k} + 1 AS G
+            FROM documents
+        ),
+        g AS (
+            SELECT d.doc_id, gp.p AS p, d.G,
+                   md5_number_lower(substring(d.text, gp.p + 1, {k})) AS h
+            FROM d, UNNEST(range(0, greatest(d.G, 0))) AS gp(p)
+        ),
+        win AS (
+            SELECT doc_id, qq.q AS q, p, h
+            FROM g, UNNEST(range(greatest(p - {w} + 1, 0),
+                                 least(p, greatest(G - {w}, 0)) + 1))
+                 AS qq(q)
+        ),
+        sel AS (
+            SELECT doc_id, q,
+                   min(CAST(h AS HUGEINT) * 2147483648 - p) AS kk
+            FROM win GROUP BY doc_id, q
+        ),
+        fp AS (
+            SELECT DISTINCT w.doc_id, w.p, w.h
+            FROM win w JOIN sel s
+              ON w.doc_id = s.doc_id AND w.q = s.q
+             AND CAST(w.h AS HUGEINT) * 2147483648 - w.p = s.kk
+        ),
+        sh AS (
+            SELECT h FROM (
+                SELECT h, count(DISTINCT doc_id) AS c
+                FROM fp GROUP BY h
+            ) WHERE c >= 2
+        ),
+        per AS (
+            SELECT f.doc_id,
+                   count(*) AS n_fp,
+                   count(DISTINCT f.h)
+                       FILTER (WHERE f.h IN (SELECT h FROM sh))
+                       AS n_shared_fp,
+                   bit_xor(f.h) & 9223372036854775807 AS fp_xor
+            FROM fp f GROUP BY f.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(greatest(d.G, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(p.n_fp, 0) AS BIGINT) AS n_fp,
+               CAST(COALESCE(p.n_shared_fp, 0) AS BIGINT) AS n_shared_fp,
+               CAST(COALESCE(p.fp_xor, 0) AS BIGINT) AS fp_xor
+        FROM d LEFT JOIN per p USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
 def term_df(sf_dir: str, top_k: int = 100) -> rd.Dataset:
     """Corpus vocabulary document frequency: the top_k tokens by the
     number of documents containing them (ties broken by token asc).

@@ -2372,3 +2372,61 @@ def test_kmv_exact_below_k(ray_session):
     out = kmv_distinct_check(SF, k=1 << 20).to_pandas()
     assert (out["within_ok"] == 1).all()
     assert (out["n_users_est"] == out["n_kept"]).all()
+
+
+def _winnow_naive(text: str, k: int, w: int):
+    """Spec-literal robust winnowing: per window, min hash with
+    rightmost tie-break; fingerprint = set of selected positions."""
+    from pholcus_ray.functions.hashing import md5_lower64_array
+
+    G = len(text) - k + 1
+    if G <= 0:
+        return []
+    h = md5_lower64_array([text[i:i + k] for i in range(G)])
+    sel = set()
+    for q in range(max(G - w, 0) + 1):
+        win = range(q, min(q + w, G))
+        best = min(win, key=lambda p: (int(h[p]), -p))
+        sel.add(best)
+    return sorted((p, int(h[p])) for p in sel)
+
+
+def test_winnowing_matches_bruteforce_and_guarantee(ray_session,
+                                                    tmp_path_factory):
+    from pholcus_ray.pipelines.textdata import winnowing_fp
+
+    d = tmp_path_factory.mktemp("winnow")
+    rng = np.random.default_rng(7)
+    shared = "the identical plagiarised sentence lives here verbatim"
+    texts = {
+        0: "prefix zero " + shared + " suffix zero",
+        1: "completely different lead-in then " + shared + " trailing",
+        2: "".join(rng.choice(list("abcdefg "), 200)),
+        3: "tiny",                                   # < k chars: no grams
+        4: "".join(rng.choice(list("abcdefg "), 120)),
+    }
+    t = pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(texts[i]) for i in sorted(texts)],
+                            pa.int64()),
+    })
+    pq.write_table(t, os.path.join(str(d), "documents.parquet"))
+    k, w = 8, 16
+    got = _to_df(winnowing_fp(str(d), k=k, w=w)).set_index("doc_id")
+    for did, text in texts.items():
+        fps = _winnow_naive(text, k, w)
+        assert int(got.loc[did, "n_grams"]) == max(len(text) - k + 1, 0)
+        assert int(got.loc[did, "n_fp"]) == len(fps), did
+        x = 0
+        for _, hv in fps:
+            x ^= hv
+        assert int(got.loc[did, "fp_xor"]) == (x & 0x7FFFFFFFFFFFFFFF), did
+    # Schleimer guarantee: len(shared) >= w + k - 1 chars shared between
+    # docs 0 and 1 => at least one shared fingerprint on BOTH docs.
+    assert len(shared) >= w + k - 1
+    assert int(got.loc[0, "n_shared_fp"]) >= 1
+    assert int(got.loc[1, "n_shared_fp"]) >= 1
+    assert int(got.loc[3, "n_fp"]) == 0
