@@ -2093,18 +2093,27 @@ def exact_substring_dedup(sf_dir: str, L: int = 40, mbits: int = 1 << 23,
     def count_partial(t: pa.Table) -> pa.Table:
         h, _, _ = _esd_window_hashes(t["text"].to_pylist(), L)
         u, c = np.unique(h, return_counts=True)
-        return pa.table({"h": pa.array(u, pa.int64()),
+        return pa.table({"part": pa.array(
+                             (u.astype(np.uint64) % nP).astype(np.int32)),
+                         "h": pa.array(u, pa.int64()),
                          "c": pa.array(c.astype(np.int64))})
+
+    def dup_hashes(g: pd.DataFrame) -> pa.Table:
+        # one C-level reduce per COARSE partition (the DF-exchange shape;
+        # a fine groupby("h") over ~1M distinct hashes costs ~30s in
+        # sort-shuffle overhead at sf0.1 where this costs ~0.2s)
+        h = g["h"].to_numpy()
+        u, inv = np.unique(h, return_inverse=True)
+        tot = np.bincount(inv, weights=g["c"].to_numpy()).astype(np.int64)
+        return pa.table({"h": pa.array(u[tot >= 2], pa.int64())})
 
     cand = (
         ds.map_batches(count_partial, batch_format="pyarrow")
-        .groupby("h").aggregate(Sum("c", alias_name="n"))
+        .groupby("part").map_groups(dup_hashes, batch_format="pandas")
     )
 
     def bloom_partial(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        hs = t.filter(pc.greater_equal(t["n"], 2))["h"].to_numpy(
-            zero_copy_only=False)
+        hs = t["h"].to_numpy(zero_copy_only=False)
         bm = np.zeros(mbits // 64, np.uint64)
         if len(hs):
             u = hs.astype(np.uint64)
@@ -3326,8 +3335,12 @@ def kmv_distinct_check(sf_dir: str, k: int = 1024,
         uid = t["user_id"].to_numpy(zero_copy_only=False)
         types, blobs = [], []
         for ty in np.unique(et):
-            h = np.unique(md5_lower64_array(
-                [f"u{u}" for u in uid[et == ty]]))
+            # C-level numeric dedup FIRST: the md5 loop is the only
+            # Python-speed step, so feed it each distinct user once per
+            # (block, type), not once per event row (~13x fewer calls on
+            # the events table's repeat-heavy user column).
+            uu = np.unique(uid[et == ty])
+            h = np.unique(md5_lower64_array([f"u{u}" for u in uu]))
             if len(h) > K:
                 h = np.sort(np.partition(h, K - 1)[:K])
             types.append(str(ty))
