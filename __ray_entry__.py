@@ -426,6 +426,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IVF probing all clusters is exact == brute force: SQL-oracles the
         # IVF routing/assignment machinery itself
         "ann_ivf_full_probe": lambda sf: S.ann_ivf(sf, n_clusters=8, nprobe=8),
+        # LSH-bucketed ANN (multi-table hyperplane signatures)
+        "srp_topk": S.srp_topk,
+        "srp_recall": S.srp_recall,
+        # nbits=0 collides every bucket: exact brute force, SQL-oracling
+        # the SRP candidate/rank machinery itself
+        "srp_full_probe": lambda sf: S.srp_topk(sf, nbits=0),
         "kmeans_train": S.kmeans_train,
         "pca_power": S.pca_power,
         "embedding_near_dups": S.embedding_near_dups,
@@ -967,6 +973,24 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT CAST(10 AS BIGINT) AS k,
                    CAST(10 AS BIGINT) AS n_results,
                    CAST(1 AS BIGINT) AS recall_ok
+        """,
+        "srp_recall": """
+            -- assertion oracle: multi-table hyperplane LSH (16 tables x
+            -- 6 sign bits) top-10 recall vs brute force must stay >= 0.5
+            -- (measured 0.6-0.9 across test SFs, deterministic planes);
+            -- a silent banding/signature regression fails here
+            SELECT CAST(10 AS BIGINT) AS k,
+                   CAST(10 AS BIGINT) AS n_results,
+                   CAST(1 AS BIGINT) AS recall_ok
+        """,
+        "srp_full_probe": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round_even(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos
+            FROM embeddings e, q
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, e.vec_id
+            LIMIT 10
         """,
         "jsonl_roundtrip": """
             -- the engine computes these sums from documents AFTER a

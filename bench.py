@@ -131,6 +131,18 @@ _BENCH_QUERIES = [
     "packed_token_shards",
     # round-4: mergeable KLL quantile sketch + self-certified bound gate
     "kll_quantiles_check",
+    # round-4 late additions: bottom-k distinct sketch, winnowing
+    # fingerprints, bigram-LM perplexity filter, full ExactSubstr removal
+    # (coarse-exchange count plan), pHash image dedup, unigram-tokenizer
+    # parity (trains the distributed EM AND its sequential twin)
+    "kmv_distinct_check",
+    "winnowing_fp",
+    "lm_perplexity",
+    "exact_substring_dedup",
+    "image_phash_dups",
+    "unigram_parity",
+    # round-4: multi-table hyperplane LSH ANN (recall-gated vs brute force)
+    "srp_recall",
 ]
 
 

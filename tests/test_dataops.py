@@ -827,6 +827,24 @@ def test_ann_ivf_recall(ray_session):
     assert ivf4["vec_id"].iloc[0] == 0
 
 
+def test_srp_lsh_recall(ray_session):
+    from pholcus_ray.pipelines.similarity import ann_topk, srp_topk
+
+    brute = srp_topk(SF, k=10, nbits=0).to_pandas()
+    exact = ann_topk(SF, k=10).to_pandas()
+    # nbits=0 collides every bucket: the LSH path degrades to exact brute
+    # force — identical ranking proves the candidate filter only FILTERS
+    assert list(brute["vec_id"]) == list(exact["vec_id"])
+    srp = srp_topk(SF, k=10).to_pandas()
+    assert len(srp) == 10
+    recall = len(set(exact["vec_id"]) & set(srp["vec_id"])) / 10
+    # 16 tables x 6 sign bits on near-orthogonal uniform vectors: measured
+    # 0.6-0.9 across SFs with the fixed-seed planes (deterministic)
+    assert recall >= 0.5
+    # the query vector collides with itself in every table (cos = 1)
+    assert srp["vec_id"].iloc[0] == 0
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 
