@@ -454,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": T.tfidf_topk,
         "source_quota": T.source_quota,
         "c4_filters": T.c4_filters,
+        "blocklist_filter": T.blocklist_filter,
         "normalize_text": T.normalize_text,
         "bigram_pmi": T.bigram_pmi,
         "heavy_hitters": T.heavy_hitters,
@@ -1586,6 +1587,44 @@ def _oracle_sql_raw() -> dict[str, str]:
                    md5(coalesce(array_to_string(kept, chr(10)), ''))
                      AS kept_md5
             FROM k ORDER BY doc_id
+        """,
+        "blocklist_filter": r"""
+            -- C4 badwords stage with a self-derived blocklist: vocab
+            -- tokens with df >= 2 whose md5 hex starts with '0', ranked
+            -- (df DESC, token ASC), capped at 64. Per doc: token count,
+            -- blocked occurrences (with multiplicity), keep verdict, and
+            -- the lexicographically first blocked token hit (UTF-8 byte
+            -- order == code-point order, so MIN agrees with python min).
+            -- Mirrors textdata.blocklist_filter.
+            WITH toks AS (
+              SELECT doc_id,
+                     UNNEST(CASE WHEN trim(text) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\s+')
+                            END) AS token
+              FROM documents
+            ), vocab AS (
+              SELECT token, COUNT(DISTINCT doc_id) AS df
+              FROM toks GROUP BY 1
+            ), blocklist AS (
+              SELECT token FROM vocab
+              WHERE df >= 2 AND md5(token) LIKE '0%'
+              ORDER BY df DESC, token LIMIT 64
+            ), cnt AS (
+              SELECT t.doc_id,
+                     COUNT(*) AS n_tokens,
+                     COUNT(b.token) AS n_blocked,
+                     MIN(b.token) AS first_blocked
+              FROM toks t LEFT JOIN blocklist b ON t.token = b.token
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(c.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(c.n_blocked, 0) AS BIGINT) AS n_blocked,
+                   COALESCE(c.n_blocked, 0) = 0 AS keep,
+                   COALESCE(c.first_blocked, '') AS first_blocked
+            FROM documents d LEFT JOIN cnt c USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "pack_sequences": r"""
             -- concat-and-chunk sequence packing: docs concatenated in

@@ -13,6 +13,7 @@ hashing; banding as in Mining of Massive Datasets ch.3).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 import unicodedata
@@ -6313,3 +6314,88 @@ def data_card_oracle_sql() -> str:
                    + 0.5) / 1000000 AS pct_docs
       FROM g ORDER BY source, lang
     """
+
+
+# ---------------------------------------------------------------------------
+# blocklist filter (round 4) — the C4 "badwords" dictionary-match stage
+# ---------------------------------------------------------------------------
+
+
+def blocklist_filter(sf_dir: str, min_df: int = 2,
+                     cap: int = 64) -> rd.Dataset:
+    """Dictionary blocklist filtering — the C4 badwords stage (Raffel et
+    al. 2020 §2.2 drop any page containing a word on the "List of Dirty,
+    Naughty ..." list). No external wordlist is allowed in this sandbox,
+    so the blocklist is SELF-DERIVED deterministically: corpus vocabulary
+    tokens with document frequency >= min_df whose md5 hex digest starts
+    with '0' (a reproducible 1/16 vocab sample), ranked (df DESC, token
+    ASC) and capped at `cap` entries so the broadcast is bounded by
+    construction at any corpus size. Emits per doc: total token count,
+    blocked-token occurrence count (with multiplicity), the keep verdict
+    (no blocked token present), and for flagged docs the lexicographically
+    first blocked token hit — so the oracle verifies WHICH word fired,
+    not just how many.
+
+    Scale design: the vocab DF pass is the term_df shape (per-batch
+    Counter over per-doc token SETS, vocab-sized shuffle — never
+    corpus-token-sized); the blocklist is <= cap rows on the driver
+    (64 here; a real badwords list is ~1e3 entries), broadcast ONCE via
+    ``ray.put`` and resolved per task from local plasma; the scan is one
+    shuffle-free streaming map_batches doing C-level frozenset membership.
+    The trailing sort is oracle-comparison only. Reference parity: the
+    same ban-dictionary shape as pholcus's per-rule output-field filters,
+    applied corpus-wide.
+    """
+    from collections import Counter
+
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t["text"].to_pylist():
+            c.update(set(_tokens(x)))
+        return pa.table({
+            "token": pa.array(list(c.keys()), pa.string()),
+            "df_part": pa.array(list(c.values()), pa.int64()),
+        })
+
+    def pick(t: pa.Table) -> pa.Table:
+        toks = t["token"].to_pylist()
+        df = t["df"].to_numpy(zero_copy_only=False)
+        keep = [i for i, (tok, d) in enumerate(zip(toks, df))
+                if d >= min_df
+                and hashlib.md5(tok.encode("utf-8")).hexdigest()[0] == "0"]
+        return t.take(pa.array(keep, pa.int64()))
+
+    bl_rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df_part", alias_name="df"))
+        .map_batches(pick, batch_format="pyarrow")
+        .sort(["df", "token"], descending=[True, False])
+        .limit(cap)
+        .take_all()
+    )
+    blocked = frozenset(r["token"] for r in bl_rows)
+    bl_ref = ray.put(blocked)
+
+    def scan(t: pa.Table) -> pa.Table:
+        bl = ray.get(bl_ref)
+        ids = t["doc_id"].to_pylist()
+        n_toks, n_blocked, keeps, first_hits = [], [], [], []
+        for x in t["text"].to_pylist():
+            toks = _tokens(x)
+            hits = [tok for tok in toks if tok in bl]
+            n_toks.append(len(toks))
+            n_blocked.append(len(hits))
+            keeps.append(not hits)
+            first_hits.append(min(hits) if hits else "")
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_toks, pa.int64()),
+            "n_blocked": pa.array(n_blocked, pa.int64()),
+            "keep": pa.array(keeps, pa.bool_()),
+            "first_blocked": pa.array(first_hits, pa.string()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow").sort("doc_id")

@@ -63,7 +63,7 @@ def ducksf():
      "epoch_shuffle", "data_card", "dsir_importance", "gopher_repetition",
      "gopher_quality", "semdedup", "logreg_parity", "tokenized_shards",
      "pq_recall", "countmin_check", "packed_token_shards",
-     "kll_quantiles_check"],
+     "kll_quantiles_check", "blocklist_filter"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
