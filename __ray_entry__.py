@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative graph analysis (bucket-pinned edges, integer fixed
         # point, fully SQL-oracled via chained per-iteration CTEs)
         "pagerank": G.pagerank,
+        "hits": G.hits,
         "minlabel_components": G.minlabel_components,
         "triangle_count": G.triangle_count,
         "link_degree_stats": G.link_degree_stats,
@@ -522,6 +523,12 @@ def _pagerank_sql() -> str:
     from pholcus_ray.pipelines.graph import pagerank_oracle_sql
 
     return pagerank_oracle_sql(iters=5)
+
+
+def _hits_sql() -> str:
+    from pholcus_ray.pipelines.graph import hits_oracle_sql
+
+    return hits_oracle_sql(iters=5)
 
 
 def _exact_substring_dedup_sql() -> str:
@@ -1292,6 +1299,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM w GROUP BY lang
         """,
         "pagerank": _pagerank_sql(),
+        "hits": _hits_sql(),
         "link_degree_stats": _link_degree_sql(),
         "host_pagerank_parity": """
             -- assertion oracle: distributed PageRank over the real crawl

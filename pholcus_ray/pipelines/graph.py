@@ -1198,3 +1198,280 @@ def anchor_text_parity(corpus_dir: str) -> pa.Table:
     ref = anchor_text_reference(corpus_dir).to_pandas()
     ok = eng.equals(ref) and len(eng) > 0
     return pa.table({"parity_ok": pa.array([int(ok)], pa.int64())})
+
+
+# --------------------------------------------------------------------------
+# HITS (hubs & authorities) — Kleinberg 1999, the second classic iterative
+# link-analysis pass a crawl corpus needs besides PageRank (reference scope:
+# the link graph pholcus builds while crawling; HITS semantics are public
+# knowledge, J. ACM 46(5)). Un-normalized INTEGER HITS: hub/auth start at 1
+# and each half-step is a pure edge-sum, so the fixed point is exactly
+# replayable in chained DuckDB CTEs (no float normalization, no division).
+# Growth is ~3 bits per full iteration on the derived graph (measured), so
+# int64 holds far past the default 5 iterations; the fold asserts < 2^62
+# loudly rather than wrapping, and the SQL side casts HUGEINT sums back to
+# BIGINT (DuckDB errors on overflow — same loudness).
+#
+# Layout: the same bucket-pinned-edge design as pagerank_iterations, but
+# HITS needs BOTH directions — auth(w) = Σ hub(u) over u→w flows along
+# forward buckets (keyed by src), hub(u) = Σ auth(w) over u→w flows along
+# reverse buckets (keyed by dst). Each direction is built once, normalized
+# to (key, oth, opart) sorted by key, and pinned in plasma. State rows
+# (part, node, hub, auth) carry the non-recomputed value through each
+# half-step shuffle as explicit pass-through rows (one per node — the same
+# width as the state itself), because unlike PageRank the fold cannot
+# reconstruct the carried column from contributions alone.
+# --------------------------------------------------------------------------
+
+
+@ray.remote
+def _derived_kv_bucket(n_docs: int, bucket: int, n_buckets: int,
+                       reverse: bool) -> pa.Table:
+    """Key-normalized edge bucket of the derived doc graph: rows whose KEY
+    node (src forward, dst reverse) ≡ bucket (mod n_buckets), sorted by
+    key, carrying the other endpoint and its bucket. Derivation enumerates
+    all srcs and filters (O(E) per task — fine for a derived graph); a
+    REAL edge table replaces this with a read of its src-/dst-partitioned
+    parquet bucket (the corpus ``bucket=`` hive layout, sources/pages.py).
+    """
+    src = np.arange(n_docs, dtype=np.int64)
+    deg = 1 + (src % 3)
+    ss, dd = [], []
+    for i, (m, a) in enumerate(zip(_MULTS, _OFFS)):
+        sel = src[deg > i]
+        ss.append(sel)
+        dd.append((sel * m + a) % n_docs)
+    s = np.concatenate(ss)
+    d = np.concatenate(dd)
+    key, oth = (d, s) if reverse else (s, d)
+    keep = key % n_buckets == bucket
+    key, oth = key[keep], oth[keep]
+    o = np.argsort(key, kind="stable")
+    key, oth = key[o], oth[o]
+    return pa.table({
+        "key": pa.array(key, pa.int64()),
+        "oth": pa.array(oth, pa.int64()),
+        "opart": pa.array(oth % n_buckets, pa.int64()),
+    })
+
+
+_KV_CACHE: dict[tuple[str, int], tuple] = {}
+
+
+def _kv_arrays(graph_key: str, bucket: int, refs: dict) -> tuple:
+    ck = (graph_key, bucket)
+    with _EDGE_LOCK:
+        hit = _KV_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    t = ray.get(refs[bucket])  # zero-copy plasma read of the pinned bucket
+    tri = (
+        t["key"].to_numpy(zero_copy_only=False),
+        t["oth"].to_numpy(zero_copy_only=False),
+        t["opart"].to_numpy(zero_copy_only=False),
+    )
+    with _EDGE_LOCK:
+        _KV_CACHE[ck] = tri
+    return tri
+
+
+def _hits_half(values: rd.Dataset, refs: dict, graph_key: str,
+               n_buckets: int, bucket_nodes, carry: str,
+               new: str) -> rd.Dataset:
+    """One HITS half-step: ``new``[oth] = Σ ``carry``[key] over the pinned
+    (key → oth) edge buckets; ``carry`` itself rides through the shuffle as
+    pass-through rows. Output rows are (part, node, hub, auth), already
+    partitioned by node bucket — the layout the next half-step's map needs.
+    """
+
+    def contribute(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        val = t[carry].to_numpy(zero_copy_only=False)
+        part = t["part"].to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        node_s, val_s, part_s = node[order], val[order], part[order]
+        out_p, out_n, out_c = [], [], []
+        for p in np.unique(part_s):
+            ekey, eoth, eopart = _kv_arrays(graph_key, int(p), refs)
+            if len(ekey) == 0:
+                continue
+            # the batch may hold only a slice of bucket p's rows (Ray
+            # re-batches freely); edges whose key row is elsewhere are
+            # contributed by whichever batch holds that row
+            pos = np.searchsorted(node_s, ekey)
+            pos = np.minimum(pos, len(node_s) - 1)
+            ok = node_s[pos] == ekey
+            if not ok.any():
+                continue
+            contrib = val_s[pos[ok]]
+            oth = eoth[ok]
+            oparts = eopart[ok]
+            # per-batch combiner: one (oth, sum) partial per distinct oth
+            u, first, inv = np.unique(oth, return_index=True,
+                                      return_inverse=True)
+            acc = np.zeros(len(u), np.int64)
+            np.add.at(acc, inv, contrib)
+            out_p.append(oparts[first])
+            out_n.append(u)
+            out_c.append(acc)
+        cp = np.concatenate(out_p) if out_p else np.empty(0, np.int64)
+        cn = np.concatenate(out_n) if out_n else np.empty(0, np.int64)
+        cc = np.concatenate(out_c) if out_c else np.empty(0, np.int64)
+        # pass-through: every node ships its carried value to its own
+        # bucket exactly once, so every non-empty bucket reaches the
+        # reduce and the fold can restate the carried column
+        return pa.table({
+            "dpart": pa.array(np.concatenate([cp, part_s])),
+            "dst": pa.array(np.concatenate([cn, node_s])),
+            "contrib": pa.array(np.concatenate([cc, val_s])),
+            "is_pass": pa.array(np.concatenate(
+                [np.zeros(len(cn), np.int8), np.ones(len(node_s), np.int8)])),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"part": pd.Series([], dtype="int64"),
+                                 "node": pd.Series([], dtype="int64"),
+                                 "hub": pd.Series([], dtype="int64"),
+                                 "auth": pd.Series([], dtype="int64")})
+        p = int(g["dpart"].iloc[0])
+        nodes = bucket_nodes(p)
+        pas = g[g["is_pass"] == 1]
+        car = np.zeros(len(nodes), np.int64)
+        pn = pas["dst"].to_numpy()
+        pos = np.searchsorted(nodes, pn)
+        assert len(pn) == len(nodes) and (nodes[pos] == pn).all(), \
+            "HITS pass-through rows must cover the bucket's node set exactly"
+        car[pos] = pas["contrib"].to_numpy()
+        s = np.zeros(len(nodes), np.int64)
+        real = g[g["is_pass"] == 0]
+        if len(real):
+            folded = real.groupby("dst", sort=True)["contrib"].sum()
+            keys = folded.index.to_numpy()
+            kpos = np.searchsorted(nodes, keys)
+            kpos_c = np.minimum(kpos, len(nodes) - 1)
+            valid = nodes[kpos_c] == keys  # dangling targets drop, as in PR
+            s[kpos_c[valid]] = folded.to_numpy()[valid]
+        assert int(s.max(initial=0)) < 2 ** 62, \
+            "HITS int64 headroom exhausted — lower iters"
+        cols = {new: s, carry: car}
+        return pd.DataFrame({
+            "part": np.full(len(nodes), p, np.int64),
+            "node": nodes,
+            "hub": cols["hub"],
+            "auth": cols["auth"],
+        })
+
+    return (
+        values.map_batches(contribute, batch_format="pyarrow")
+        .groupby("dpart")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def hits(sf_dir: str, iters: int = 5, n_buckets: int = 16) -> rd.Dataset:
+    """Un-normalized integer HITS over the derived doc link graph — fully
+    SQL-oracled (chained per-half-step CTEs state the identical sums).
+    Returns (doc_id, hub_q, auth_q) after ``iters`` full iterations."""
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    if n_docs * max(_MULTS) >= 2 ** 63:
+        raise ValueError("derived graph: n_docs * max multiplier overflows "
+                         "int64 — regenerate with smaller constants")
+    key_f = f"hitsF:{sf_dir}:{n_docs}:{n_buckets}"
+    key_r = f"hitsR:{sf_dir}:{n_docs}:{n_buckets}"
+    refs_f = {b: _derived_kv_bucket.remote(n_docs, b, n_buckets, False)
+              for b in range(n_buckets)}
+    refs_r = {b: _derived_kv_bucket.remote(n_docs, b, n_buckets, True)
+              for b in range(n_buckets)}
+    ray.wait(list(refs_f.values()) + list(refs_r.values()),
+             num_returns=2 * n_buckets)
+
+    def bucket_nodes(p: int) -> np.ndarray:
+        return np.arange(p, n_docs, n_buckets, dtype=np.int64)
+
+    nb = np.int64(n_buckets)
+
+    def init(t: pa.Table) -> pa.Table:
+        node = t["doc_id"].to_numpy(zero_copy_only=False)
+        one = np.ones(len(node), np.int64)
+        return pa.table({
+            "part": pa.array(node % nb),
+            "node": pa.array(node, pa.int64()),
+            "hub": pa.array(one),
+            "auth": pa.array(np.zeros(len(node), np.int64)),
+        })
+
+    values = (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])
+        .map_batches(init, batch_format="pyarrow")
+    )
+    for _ in range(iters):
+        values = _hits_half(values, refs_f, key_f, n_buckets, bucket_nodes,
+                            carry="hub", new="auth")
+        values = _hits_half(values, refs_r, key_r, n_buckets, bucket_nodes,
+                            carry="auth", new="hub")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["node"], "hub_q": t["hub"],
+                         "auth_q": t["auth"]})
+
+    return values.map_batches(project, batch_format="pyarrow")
+
+
+def hits_reference(sf_dir: str, iters: int = 5) -> pa.Table:
+    """Sequential single-process twin (same integer rule, plain numpy) —
+    the bit-exactness witness, same contract as pagerank_reference."""
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    src = np.arange(n_docs, dtype=np.int64)
+    deg = 1 + (src % 3)
+    es, ed = [], []
+    for i, (m, a) in enumerate(zip(_MULTS, _OFFS)):
+        sel = src[deg > i]
+        es.append(sel)
+        ed.append((sel * m + a) % n_docs)
+    es, ed = np.concatenate(es), np.concatenate(ed)
+    hub = np.ones(n_docs, np.int64)
+    auth = np.zeros(n_docs, np.int64)
+    for _ in range(iters):
+        auth = np.zeros(n_docs, np.int64)
+        np.add.at(auth, ed, hub[es])
+        hub = np.zeros(n_docs, np.int64)
+        np.add.at(hub, es, auth[ed])
+        assert int(max(hub.max(), auth.max())) < 2 ** 62
+    return pa.table({"doc_id": pa.array(src), "hub_q": pa.array(hub),
+                     "auth_q": pa.array(auth)})
+
+
+def hits_oracle_sql(iters: int = 5) -> str:
+    """Chained-CTE DuckDB statement of the identical integer half-steps."""
+    head = f"""
+WITH mults(i, m, a) AS (VALUES (0, {_MULTS[0]}, {_OFFS[0]}),
+                               (1, {_MULTS[1]}, {_OFFS[1]}),
+                               (2, {_MULTS[2]}, {_OFFS[2]})),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src, (d.doc_id * t.m + t.a) % nn.n AS dst
+  FROM documents d CROSS JOIN nn JOIN mults t ON t.i <= d.doc_id % 3
+),
+h0 AS (SELECT doc_id AS node, CAST(1 AS BIGINT) AS hub FROM documents)"""
+    body = ""
+    for k in range(1, iters + 1):
+        body += f""",
+a{k} AS (
+  SELECT d.doc_id AS node, CAST(COALESCE(s.c, 0) AS BIGINT) AS auth
+  FROM documents d LEFT JOIN (
+     SELECT e.dst AS node, CAST(SUM(h.hub) AS BIGINT) AS c
+     FROM edges e JOIN h{k - 1} h ON h.node = e.src GROUP BY e.dst) s
+  ON s.node = d.doc_id),
+h{k} AS (
+  SELECT d.doc_id AS node, CAST(COALESCE(s.c, 0) AS BIGINT) AS hub
+  FROM documents d LEFT JOIN (
+     SELECT e.src AS node, CAST(SUM(a.auth) AS BIGINT) AS c
+     FROM edges e JOIN a{k} a ON a.node = e.dst GROUP BY e.src) s
+  ON s.node = d.doc_id)"""
+    return (f"{head}{body}\n"
+            f"SELECT h.node AS doc_id, h.hub AS hub_q, a.auth AS auth_q\n"
+            f"FROM h{iters} h JOIN a{iters} a ON a.node = h.node")

@@ -86,3 +86,42 @@ def test_triangle_count_bucket_invariance(ray_session):
     a = triangle_count(SF, n_buckets=4).to_pandas()
     b = triangle_count(SF, n_buckets=16).to_pandas()
     assert a.equals(b)
+
+
+def test_hits_bit_identical_to_sequential_twin(ray_session):
+    from pholcus_ray.pipelines.graph import hits, hits_reference
+
+    eng = (hits(SF, iters=5, n_buckets=8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    ref = (hits_reference(SF, iters=5).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert eng.equals(ref)
+    # both score families actually iterated (not a degenerate all-zeros run)
+    assert eng["hub_q"].max() > 1 and eng["auth_q"].max() > 1
+    assert eng["hub_q"].nunique() > 10
+
+
+def test_hits_bucket_count_invariance(ray_session):
+    from pholcus_ray.pipelines.graph import hits
+
+    a = (hits(SF, iters=3, n_buckets=4).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (hits(SF, iters=3, n_buckets=16).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
+
+
+def test_hits_oracle_sql_matches(ray_session):
+    import duckdb
+    from pholcus_ray.pipelines.graph import hits, hits_oracle_sql
+
+    eng = (hits(SF, iters=4, n_buckets=8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    sql = (con.execute(hits_oracle_sql(iters=4)).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    for c in sql.columns:
+        sql[c] = sql[c].astype("int64")
+    assert eng.equals(sql)
