@@ -355,6 +355,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # point, fully SQL-oracled via chained per-iteration CTEs)
         "pagerank": G.pagerank,
         "hits": G.hits,
+        "bfs_distance": G.bfs_distance,
+        "kcore_peel": G.kcore_peel,
         "minlabel_components": G.minlabel_components,
         "triangle_count": G.triangle_count,
         "link_degree_stats": G.link_degree_stats,
@@ -529,6 +531,18 @@ def _hits_sql() -> str:
     from pholcus_ray.pipelines.graph import hits_oracle_sql
 
     return hits_oracle_sql(iters=5)
+
+
+def _bfs_distance_sql() -> str:
+    from pholcus_ray.pipelines.graph import bfs_distance_oracle_sql
+
+    return bfs_distance_oracle_sql(iters=8)
+
+
+def _kcore_peel_sql() -> str:
+    from pholcus_ray.pipelines.graph import kcore_peel_oracle_sql
+
+    return kcore_peel_oracle_sql(k=3, iters=6)
 
 
 def _exact_substring_dedup_sql() -> str:
@@ -1300,6 +1314,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(),
         "hits": _hits_sql(),
+        "bfs_distance": _bfs_distance_sql(),
+        "kcore_peel": _kcore_peel_sql(),
         "link_degree_stats": _link_degree_sql(),
         "host_pagerank_parity": """
             -- assertion oracle: distributed PageRank over the real crawl

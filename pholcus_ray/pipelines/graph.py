@@ -1475,3 +1475,373 @@ h{k} AS (
     return (f"{head}{body}\n"
             f"SELECT h.node AS doc_id, h.hub AS hub_q, a.auth AS auth_q\n"
             f"FROM h{iters} h JOIN a{iters} a ON a.node = h.node")
+
+
+# --------------------------------------------------------------------------
+# BFS hop distance from a seed set — the crawl-depth question every frontier
+# engine answers implicitly (reference: pholcus walks the link graph outward
+# from seeds; this operator states the resulting depth analytically over the
+# whole graph). Integer min-plus propagation: dist0 = 0 on seeds (doc_id %
+# seed_mod == 0 — SQL-derivable), INF elsewhere; each round relaxes along
+# every edge (dist[dst] = min(dist[dst], dist[src] + 1)). Fixed ``iters``
+# rounds => distances ≤ iters are exact, beyond stays INF (-1 in output) —
+# the bounded-round contract is stated on both sides, like kcore below.
+# --------------------------------------------------------------------------
+
+_BFS_INF = 1 << 40
+
+
+def bfs_distance(sf_dir: str, iters: int = 8, n_buckets: int = 16,
+                 seed_mod: int = 97) -> rd.Dataset:
+    """Hop distance from the seed set over the derived doc graph — fully
+    SQL-oracled (chained per-round LEAST CTEs). Returns (doc_id, dist_q),
+    -1 = unreached within ``iters`` hops."""
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    key_f = f"hitsF:{sf_dir}:{n_docs}:{n_buckets}"
+    refs_f = {b: _derived_kv_bucket.remote(n_docs, b, n_buckets, False)
+              for b in range(n_buckets)}
+    ray.wait(list(refs_f.values()), num_returns=n_buckets)
+
+    def bucket_nodes(p: int) -> np.ndarray:
+        return np.arange(p, n_docs, n_buckets, dtype=np.int64)
+
+    nb = np.int64(n_buckets)
+
+    def init(t: pa.Table) -> pa.Table:
+        node = t["doc_id"].to_numpy(zero_copy_only=False)
+        dist = np.where(node % seed_mod == 0, 0, _BFS_INF).astype(np.int64)
+        return pa.table({
+            "part": pa.array(node % nb),
+            "node": pa.array(node, pa.int64()),
+            "dist": pa.array(dist),
+        })
+
+    def contribute(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        dist = t["dist"].to_numpy(zero_copy_only=False)
+        part = t["part"].to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        node_s, dist_s, part_s = node[order], dist[order], part[order]
+        out_p, out_n, out_c = [], [], []
+        for p in np.unique(part_s):
+            ekey, eoth, eopart = _kv_arrays(key_f, int(p), refs_f)
+            if len(ekey) == 0:
+                continue
+            pos = np.searchsorted(node_s, ekey)
+            pos = np.minimum(pos, len(node_s) - 1)
+            ok = node_s[pos] == ekey
+            if not ok.any():
+                continue
+            cand = dist_s[pos[ok]] + 1          # INF+1 still >= INF: safe
+            oth, oparts = eoth[ok], eopart[ok]
+            u, first, inv = np.unique(oth, return_index=True,
+                                      return_inverse=True)
+            acc = np.full(len(u), _BFS_INF + 1, np.int64)
+            np.minimum.at(acc, inv, cand)       # per-batch min-combiner
+            out_p.append(oparts[first])
+            out_n.append(u)
+            out_c.append(acc)
+        cp = np.concatenate(out_p) if out_p else np.empty(0, np.int64)
+        cn = np.concatenate(out_n) if out_n else np.empty(0, np.int64)
+        cc = np.concatenate(out_c) if out_c else np.empty(0, np.int64)
+        # pass-through: each node's own current distance (so the fold can
+        # take the min against incoming relaxations)
+        return pa.table({
+            "dpart": pa.array(np.concatenate([cp, part_s])),
+            "dst": pa.array(np.concatenate([cn, node_s])),
+            "cand": pa.array(np.concatenate([cc, dist_s])),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"part": pd.Series([], dtype="int64"),
+                                 "node": pd.Series([], dtype="int64"),
+                                 "dist": pd.Series([], dtype="int64")})
+        p = int(g["dpart"].iloc[0])
+        nodes = bucket_nodes(p)
+        d = np.full(len(nodes), _BFS_INF + 1, np.int64)
+        folded = g.groupby("dst", sort=True)["cand"].min()
+        keys = folded.index.to_numpy()
+        pos = np.searchsorted(nodes, keys)
+        pos_c = np.minimum(pos, len(nodes) - 1)
+        valid = nodes[pos_c] == keys            # dangling targets drop
+        np.minimum.at(d, pos_c[valid], folded.to_numpy()[valid])
+        d = np.minimum(d, _BFS_INF)             # clamp INF+1 back to INF
+        return pd.DataFrame({
+            "part": np.full(len(nodes), p, np.int64),
+            "node": nodes,
+            "dist": d,
+        })
+
+    values = (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])
+        .map_batches(init, batch_format="pyarrow")
+    )
+    for _ in range(iters):
+        values = (
+            values.map_batches(contribute, batch_format="pyarrow")
+            .groupby("dpart")
+            .map_groups(fold, batch_format="pandas")
+        )
+
+    def project(t: pa.Table) -> pa.Table:
+        d = t["dist"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["node"],
+            "dist_q": pa.array(np.where(d >= _BFS_INF, -1, d)
+                               .astype(np.int64)),
+        })
+
+    return values.map_batches(project, batch_format="pyarrow")
+
+
+def bfs_distance_reference(sf_dir: str, iters: int = 8,
+                           seed_mod: int = 97) -> pa.Table:
+    """Sequential numpy twin of the identical bounded-round relaxation."""
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    src = np.arange(n_docs, dtype=np.int64)
+    deg = 1 + (src % 3)
+    es, ed = [], []
+    for i, (m, a) in enumerate(zip(_MULTS, _OFFS)):
+        sel = src[deg > i]
+        es.append(sel)
+        ed.append((sel * m + a) % n_docs)
+    es, ed = np.concatenate(es), np.concatenate(ed)
+    dist = np.where(src % seed_mod == 0, 0, _BFS_INF).astype(np.int64)
+    for _ in range(iters):
+        nd = dist.copy()
+        np.minimum.at(nd, ed, dist[es] + 1)
+        dist = np.minimum(nd, _BFS_INF)
+    return pa.table({
+        "doc_id": pa.array(src),
+        "dist_q": pa.array(np.where(dist >= _BFS_INF, -1, dist)
+                           .astype(np.int64)),
+    })
+
+
+def bfs_distance_oracle_sql(iters: int = 8, seed_mod: int = 97) -> str:
+    """Chained-CTE DuckDB statement of the identical min-plus rounds."""
+    inf = _BFS_INF
+    head = f"""
+WITH mults(i, m, a) AS (VALUES (0, {_MULTS[0]}, {_OFFS[0]}),
+                               (1, {_MULTS[1]}, {_OFFS[1]}),
+                               (2, {_MULTS[2]}, {_OFFS[2]})),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src, (d.doc_id * t.m + t.a) % nn.n AS dst
+  FROM documents d CROSS JOIN nn JOIN mults t ON t.i <= d.doc_id % 3
+),
+d0 AS (SELECT doc_id AS node,
+              CAST(CASE WHEN doc_id % {seed_mod} = 0 THEN 0
+                        ELSE {inf} END AS BIGINT) AS dist
+       FROM documents)"""
+    body = ""
+    for k in range(1, iters + 1):
+        body += f""",
+d{k} AS (
+  SELECT d.doc_id AS node,
+         CAST(LEAST(p.dist, COALESCE(s.c, {inf}), {inf}) AS BIGINT) AS dist
+  FROM documents d JOIN d{k - 1} p ON p.node = d.doc_id
+  LEFT JOIN (
+     SELECT e.dst AS node, MIN(r.dist + 1) AS c
+     FROM edges e JOIN d{k - 1} r ON r.node = e.src GROUP BY e.dst) s
+  ON s.node = d.doc_id)"""
+    return (f"{head}{body}\n"
+            f"SELECT node AS doc_id, CASE WHEN dist >= {inf} THEN -1 "
+            f"ELSE dist END AS dist_q FROM d{iters}")
+
+
+# --------------------------------------------------------------------------
+# R-round k-core peeling — graph-shape curation (which documents sit in a
+# densely linked cluster vs the sparse fringe; the link-farm / boilerplate-
+# hub signal for crawl corpora). Each round removes nodes whose count of
+# STILL-ACTIVE neighbors (undirected view: in-edges + out-edges, self-loops
+# counting once per endpoint) is < k; fixed ``iters`` rounds = the bounded-
+# round contract, stated identically in the chained-CTE oracle. With enough
+# rounds the fixed point IS the k-core; the output also reports the final
+# active-neighbor degree so partial peels are auditable.
+# --------------------------------------------------------------------------
+
+
+def kcore_peel(sf_dir: str, k: int = 3, iters: int = 6,
+               n_buckets: int = 16) -> rd.Dataset:
+    """R-round k-core peel over the derived doc graph — fully SQL-oracled.
+    Returns (doc_id, in_core, deg_q): in_core ∈ {0,1} after ``iters``
+    rounds, deg_q = active-neighbor count entering the last round's test."""
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    key_f = f"hitsF:{sf_dir}:{n_docs}:{n_buckets}"
+    key_r = f"hitsR:{sf_dir}:{n_docs}:{n_buckets}"
+    refs_f = {b: _derived_kv_bucket.remote(n_docs, b, n_buckets, False)
+              for b in range(n_buckets)}
+    refs_r = {b: _derived_kv_bucket.remote(n_docs, b, n_buckets, True)
+              for b in range(n_buckets)}
+    ray.wait(list(refs_f.values()) + list(refs_r.values()),
+             num_returns=2 * n_buckets)
+
+    def bucket_nodes(p: int) -> np.ndarray:
+        return np.arange(p, n_docs, n_buckets, dtype=np.int64)
+
+    nb = np.int64(n_buckets)
+
+    def init(t: pa.Table) -> pa.Table:
+        node = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array(node % nb),
+            "node": pa.array(node, pa.int64()),
+            "act": pa.array(np.ones(len(node), np.int64)),
+            "deg": pa.array(np.zeros(len(node), np.int64)),
+        })
+
+    def contribute(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        act = t["act"].to_numpy(zero_copy_only=False)
+        part = t["part"].to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        node_s, act_s, part_s = node[order], act[order], part[order]
+        out_p, out_n, out_c = [], [], []
+        for p in np.unique(part_s):
+            # an active node votes +1 to every out-neighbor (fwd buckets,
+            # keyed by src) and every in-neighbor (rev buckets, keyed by
+            # dst) — together the undirected active-degree
+            for gkey, refs in ((key_f, refs_f), (key_r, refs_r)):
+                ekey, eoth, eopart = _kv_arrays(gkey, int(p), refs)
+                if len(ekey) == 0:
+                    continue
+                pos = np.searchsorted(node_s, ekey)
+                pos = np.minimum(pos, len(node_s) - 1)
+                ok = node_s[pos] == ekey
+                if not ok.any():
+                    continue
+                votes = act_s[pos[ok]]
+                oth, oparts = eoth[ok], eopart[ok]
+                u, first, inv = np.unique(oth, return_index=True,
+                                          return_inverse=True)
+                acc = np.zeros(len(u), np.int64)
+                np.add.at(acc, inv, votes)
+                out_p.append(oparts[first])
+                out_n.append(u)
+                out_c.append(acc)
+        cp = np.concatenate(out_p) if out_p else np.empty(0, np.int64)
+        cn = np.concatenate(out_n) if out_n else np.empty(0, np.int64)
+        cc = np.concatenate(out_c) if out_c else np.empty(0, np.int64)
+        return pa.table({
+            "dpart": pa.array(np.concatenate([cp, part_s])),
+            "dst": pa.array(np.concatenate([cn, node_s])),
+            "votes": pa.array(np.concatenate([cc, act_s])),
+            "is_pass": pa.array(np.concatenate(
+                [np.zeros(len(cn), np.int8), np.ones(len(node_s), np.int8)])),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"part": pd.Series([], dtype="int64"),
+                                 "node": pd.Series([], dtype="int64"),
+                                 "act": pd.Series([], dtype="int64"),
+                                 "deg": pd.Series([], dtype="int64")})
+        p = int(g["dpart"].iloc[0])
+        nodes = bucket_nodes(p)
+        pas = g[g["is_pass"] == 1]
+        act = np.zeros(len(nodes), np.int64)
+        pn = pas["dst"].to_numpy()
+        pos = np.searchsorted(nodes, pn)
+        assert len(pn) == len(nodes) and (nodes[pos] == pn).all(), \
+            "kcore pass-through rows must cover the bucket's node set"
+        act[pos] = pas["votes"].to_numpy()
+        deg = np.zeros(len(nodes), np.int64)
+        real = g[g["is_pass"] == 0]
+        if len(real):
+            folded = real.groupby("dst", sort=True)["votes"].sum()
+            keys = folded.index.to_numpy()
+            kpos = np.searchsorted(nodes, keys)
+            kpos_c = np.minimum(kpos, len(nodes) - 1)
+            valid = nodes[kpos_c] == keys
+            deg[kpos_c[valid]] = folded.to_numpy()[valid]
+        new_act = ((act == 1) & (deg >= k)).astype(np.int64)
+        return pd.DataFrame({
+            "part": np.full(len(nodes), p, np.int64),
+            "node": nodes,
+            "act": new_act,
+            "deg": deg,
+        })
+
+    values = (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])
+        .map_batches(init, batch_format="pyarrow")
+    )
+    for _ in range(iters):
+        values = (
+            values.map_batches(contribute, batch_format="pyarrow")
+            .groupby("dpart")
+            .map_groups(fold, batch_format="pandas")
+        )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["node"], "in_core": t["act"],
+                         "deg_q": t["deg"]})
+
+    return values.map_batches(project, batch_format="pyarrow")
+
+
+def kcore_peel_reference(sf_dir: str, k: int = 3,
+                         iters: int = 6) -> pa.Table:
+    """Sequential numpy twin of the identical bounded-round peel."""
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    src = np.arange(n_docs, dtype=np.int64)
+    dg = 1 + (src % 3)
+    es, ed = [], []
+    for i, (m, a) in enumerate(zip(_MULTS, _OFFS)):
+        sel = src[dg > i]
+        es.append(sel)
+        ed.append((sel * m + a) % n_docs)
+    es, ed = np.concatenate(es), np.concatenate(ed)
+    act = np.ones(n_docs, np.int64)
+    deg = np.zeros(n_docs, np.int64)
+    for _ in range(iters):
+        deg = np.zeros(n_docs, np.int64)
+        np.add.at(deg, ed, act[es])
+        np.add.at(deg, es, act[ed])
+        act = ((act == 1) & (deg >= k)).astype(np.int64)
+    return pa.table({"doc_id": pa.array(src), "in_core": pa.array(act),
+                     "deg_q": pa.array(deg)})
+
+
+def kcore_peel_oracle_sql(k: int = 3, iters: int = 6) -> str:
+    """Chained-CTE DuckDB statement of the identical peel rounds."""
+    head = f"""
+WITH mults(i, m, a) AS (VALUES (0, {_MULTS[0]}, {_OFFS[0]}),
+                               (1, {_MULTS[1]}, {_OFFS[1]}),
+                               (2, {_MULTS[2]}, {_OFFS[2]})),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src, (d.doc_id * t.m + t.a) % nn.n AS dst
+  FROM documents d CROSS JOIN nn JOIN mults t ON t.i <= d.doc_id % 3
+),
+a0 AS (SELECT doc_id AS node, CAST(1 AS BIGINT) AS act,
+              CAST(0 AS BIGINT) AS deg FROM documents)"""
+    body = ""
+    for t in range(1, iters + 1):
+        body += f""",
+a{t} AS (
+  SELECT d.doc_id AS node,
+         CAST(CASE WHEN p.act = 1 AND COALESCE(s.c, 0) >= {k}
+                   THEN 1 ELSE 0 END AS BIGINT) AS act,
+         CAST(COALESCE(s.c, 0) AS BIGINT) AS deg
+  FROM documents d JOIN a{t - 1} p ON p.node = d.doc_id
+  LEFT JOIN (
+     SELECT node, SUM(act) AS c FROM (
+        SELECT e.dst AS node, r.act FROM edges e
+          JOIN a{t - 1} r ON r.node = e.src
+        UNION ALL
+        SELECT e.src AS node, r.act FROM edges e
+          JOIN a{t - 1} r ON r.node = e.dst) u
+     GROUP BY node) s
+  ON s.node = d.doc_id)"""
+    return (f"{head}{body}\n"
+            f"SELECT node AS doc_id, act AS in_core, deg AS deg_q "
+            f"FROM a{iters}")

@@ -125,3 +125,44 @@ def test_hits_oracle_sql_matches(ray_session):
     for c in sql.columns:
         sql[c] = sql[c].astype("int64")
     assert eng.equals(sql)
+
+
+def test_bfs_distance_twin_and_invariance(ray_session):
+    from pholcus_ray.pipelines.graph import bfs_distance, bfs_distance_reference
+
+    eng = (bfs_distance(SF, iters=6, n_buckets=8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    ref = (bfs_distance_reference(SF, iters=6).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert eng.equals(ref)
+    # the frontier actually expanded: seeds at 0, several strictly positive
+    # rings, and an unreached remainder
+    assert (eng["dist_q"] == 0).sum() > 0
+    assert eng["dist_q"].max() >= 3
+    b = (bfs_distance(SF, iters=6, n_buckets=16).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert eng.equals(b)
+
+
+def test_kcore_peel_twin_and_sql(ray_session):
+    import duckdb
+    from pholcus_ray.pipelines.graph import (kcore_peel,
+                                             kcore_peel_oracle_sql,
+                                             kcore_peel_reference)
+
+    eng = (kcore_peel(SF, k=3, iters=5, n_buckets=8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    ref = (kcore_peel_reference(SF, k=3, iters=5).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert eng.equals(ref)
+    # non-degenerate split: the 3-core keeps most but not all nodes
+    kept = int(eng["in_core"].sum())
+    assert 0 < kept < len(eng)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    sql = (con.execute(kcore_peel_oracle_sql(k=3, iters=5)).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    for c in sql.columns:
+        sql[c] = sql[c].astype("int64")
+    assert eng.equals(sql)
