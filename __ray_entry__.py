@@ -405,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": T.simhash_near_dups,
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
         "ngram_jaccard_exact": T.ngram_jaccard_exact,
+        "ngram_containment": T.ngram_containment,
         "word_jaccard_exact": T.word_jaccard_exact,
         "dup_clusters": T.dup_clusters,
         "dup_keep_best": T.dup_keep_best,
@@ -543,6 +544,12 @@ def _kcore_peel_sql() -> str:
     from pholcus_ray.pipelines.graph import kcore_peel_oracle_sql
 
     return kcore_peel_oracle_sql(k=3, iters=6)
+
+
+def _ngram_containment_sql() -> str:
+    from pholcus_ray.pipelines.textdata import ngram_containment_oracle_sql
+
+    return ngram_containment_oracle_sql(threshold=0.8)
 
 
 def _exact_substring_dedup_sql() -> str:
@@ -952,6 +959,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, e.vec_id
             LIMIT 10
         """,
+        "ngram_containment": _ngram_containment_sql(),
         "ngram_jaccard_exact": r"""
             WITH norm AS (
               SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s

@@ -1500,6 +1500,165 @@ def ngram_jaccard_exact(sf_dir: str, threshold: float = 0.6, n: int = 3,
     )
 
 
+def ngram_containment(sf_dir: str, threshold: float = 0.8, n: int = 3,
+                      bucket_count: int = 4) -> rd.Dataset:
+    """ALL ordered pairs (a, b) with char-n-gram containment
+    |grams(a) ∩ grams(b)| / |grams(a)| >= threshold, a != b — the
+    ASYMMETRIC complement of :func:`ngram_jaccard_exact`: Jaccard misses
+    a short doc quoted inside a long one (the union grows with the long
+    side), containment is exactly the quote / boilerplate-inclusion
+    signal (Broder 1997's other resemblance measure; the "contained
+    document" drop rule of crawl dedup).
+
+    Plan: the dense indicator-matrix bucket-pair join (the
+    ngram_jaccard_exact dense regime) — legitimate as the PRIMARY plan
+    here because char n-gram vocabulary is alphabet-combinatorial
+    (|charset|^n of normalized text, independent of corpus size): docs
+    bucket by doc_id % B, each of the B(B+1)/2 bucket pairs computes its
+    exact intersection-count submatrix with one sgemm over {0,1}^G
+    indicator rows (counts < 2^24 so float32 BLAS is lossless), then
+    applies the keep rule PER DIRECTION — inter/|row| and inter/|col|
+    are different tests, so one pk group emits up to two ordered rows
+    per doc pair. Per-task memory = 2 buckets x G bytes, controlled by
+    B at scale; each doc's gram-index blob ships B times (the standard
+    blocked all-pairs exchange). Word shingles are intentionally NOT
+    exposed: their vocabulary grows with the corpus, and exact
+    containment there needs the asymmetric Vernica-style R-S prefix
+    index (prefix-cut A side x FULL B side), a different operator.
+
+    Both sides divide the same two integers in IEEE double (engine:
+    numpy, oracle: DuckDB ``i * 1.0 / c``), so values are bit-identical
+    modulo the module's 63-bit gram-hash collision caveat.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+    B = int(bucket_count)
+
+    # pass 1: the gram-id lut (tiny: bounded by |charset|^n, the same
+    # broadcast bound ngram_jaccard_exact's char path states)
+    def freq_partial(t: pa.Table) -> pa.Table:
+        hs = [_gram_hashes(x, n, "char") for x in t["text"].to_pylist()]
+        allh = np.concatenate(hs) if hs else np.empty(0, dtype=np.int64)
+        return pa.table({"gram": pa.array(np.unique(allh), pa.int64())})
+
+    grams_seen = (docs.map_batches(freq_partial, batch_format="pyarrow")
+                  .to_pandas())
+    gram_sorted = np.unique(grams_seen["gram"].to_numpy().astype(np.int64))
+    G = int(gram_sorted.size)
+    lut_ref = ray.put(gram_sorted)
+
+    def emit_blocks(t: pa.Table) -> pa.Table:
+        gs = ray.get(lut_ref)
+        pk_l, bk_l, id_l, ln_l, blob_l = [], [], [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            hs = _gram_hashes(text, n, "char")
+            if hs.size == 0:
+                continue
+            idx = np.searchsorted(gs, hs).astype(np.int32)
+            bk = int(did) % B
+            blob = idx.tobytes()
+            for i in range(B):
+                lo, hi = min(i, bk), max(i, bk)
+                pk_l.append(lo * B + hi)
+                bk_l.append(bk)
+                id_l.append(did)
+                ln_l.append(hs.size)
+                blob_l.append(blob)
+        return pa.table({
+            "pk": pa.array(pk_l, pa.int32()),
+            "bk": pa.array(bk_l, pa.int32()),
+            "doc_id": pa.array(id_l, pa.int64()),
+            "L": pa.array(ln_l, pa.int64()),
+            "blob": pa.array(blob_l, pa.binary()),
+        })
+
+    def pair_join(g: pd.DataFrame) -> pd.DataFrame:
+        pk = int(g["pk"].iloc[0])
+        lo, hi = pk // B, pk % B
+        empty = pd.DataFrame({"a": np.array([], np.int64),
+                              "b": np.array([], np.int64),
+                              "containment": np.array([], np.float64)})
+
+        def side(bk: int):
+            s = g[g["bk"] == bk].drop_duplicates(subset=["doc_id"])
+            ids = s["doc_id"].to_numpy().astype(np.int64)
+            Ls = s["L"].to_numpy().astype(np.int64)
+            M = np.zeros((len(s), G), dtype=np.float32)
+            for r, bl in enumerate(s["blob"]):
+                M[r, np.frombuffer(bl, dtype=np.int32)] = 1.0
+            return ids, Ls, M
+
+        ia, La, Ma = side(lo)
+        if lo == hi:
+            ib, Lb, Mb = ia, La, Ma
+        else:
+            ib, Lb, Mb = side(hi)
+        if ia.size == 0 or ib.size == 0:
+            return empty
+        inter = (Ma @ Mb.T).astype(np.int64)
+        out_a, out_b, out_c = [], [], []
+        # per DIRECTION: row-doc contained in col-doc, then col in row
+        c_rc = inter / np.maximum(1, La)[:, None]
+        m = c_rc >= threshold
+        m &= ia[:, None] != ib[None, :]
+        xi, yi = np.nonzero(m)
+        out_a.append(ia[xi]); out_b.append(ib[yi]); out_c.append(c_rc[xi, yi])
+        if lo != hi:  # same-bucket groups already enumerate both orders
+            c_cr = inter / np.maximum(1, Lb)[None, :]
+            m2 = c_cr >= threshold
+            xi2, yi2 = np.nonzero(m2)
+            out_a.append(ib[yi2]); out_b.append(ia[xi2])
+            out_c.append(c_cr[xi2, yi2])
+        a = np.concatenate(out_a)
+        if a.size == 0:
+            return empty
+        return pd.DataFrame({
+            "a": a,
+            "b": np.concatenate(out_b),
+            "containment": np.concatenate(out_c),
+        })
+
+    return (docs.map_batches(emit_blocks, batch_format="pyarrow")
+            .groupby("pk")
+            .map_groups(pair_join, batch_format="pandas")
+            .sort(["a", "b"]))
+
+
+def ngram_containment_oracle_sql(threshold: float = 0.8, n: int = 3) -> str:
+    """Exact DuckDB oracle for :func:`ngram_containment`: the identical
+    gram extraction (distinct char n-grams of the whitespace-normalized
+    lowercase text, whole-string gram for short docs) and the identical
+    raw IEEE division i * 1.0 / |A|."""
+    return f"""
+      WITH norm AS (
+        SELECT doc_id,
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS s
+        FROM documents
+      ),
+      grams AS (
+        SELECT DISTINCT doc_id, substr(s, CAST(g AS INTEGER), {n}) AS gram
+        FROM norm, UNNEST(range(1, length(s) - {n - 2})) AS t(g)
+        WHERE length(s) >= {n}
+        UNION
+        SELECT DISTINCT doc_id, s AS gram FROM norm
+        WHERE length(s) < {n} AND s <> ''
+      ),
+      gcounts AS (SELECT doc_id, COUNT(*) AS c FROM grams GROUP BY 1),
+      ginter AS (
+        SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS i
+        FROM grams g1
+        JOIN grams g2 ON g2.gram = g1.gram AND g2.doc_id <> g1.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT g.a, g.b, g.i * 1.0 / ca.c AS containment
+      FROM ginter g JOIN gcounts ca ON ca.doc_id = g.a
+      WHERE g.i * 1.0 / ca.c >= {threshold}
+      ORDER BY a, b
+    """
+
+
 # ---------------------------------------------------------------------------
 # text analysis: tokens, quality, language, fingerprint
 # ---------------------------------------------------------------------------

@@ -63,7 +63,8 @@ def ducksf():
      "epoch_shuffle", "data_card", "dsir_importance", "gopher_repetition",
      "gopher_quality", "semdedup", "logreg_parity", "tokenized_shards",
      "pq_recall", "countmin_check", "packed_token_shards",
-     "kll_quantiles_check", "blocklist_filter"],
+     "kll_quantiles_check", "blocklist_filter", "hits", "bfs_distance",
+     "kcore_peel", "ngram_containment"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -2448,3 +2449,36 @@ def test_winnowing_matches_bruteforce_and_guarantee(ray_session,
     assert int(got.loc[0, "n_shared_fp"]) >= 1
     assert int(got.loc[1, "n_shared_fp"]) >= 1
     assert int(got.loc[3, "n_fp"]) == 0
+
+
+def test_ngram_containment_asymmetric_inclusion(ray_session,
+                                                tmp_path_factory):
+    """A short doc quoted inside a much longer one: containment flags the
+    ordered pair (short -> long) that symmetric Jaccard misses."""
+    import os
+    d = str(tmp_path_factory.mktemp("containdocs"))
+    short = "the quick brown fox jumps over the lazy dog"
+    long = (short + " and then wanders far beyond the riverbank through "
+            "tall grass fields whistling quietly all the way home again "
+            "under a violet sky full of unfamiliar constellations")
+    texts = {0: short, 1: long, 2: "zzz qqq xxx totally unrelated vvv"}
+    t = pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "n_chars": pa.array([len(texts[k]) for k in sorted(texts)],
+                            pa.int64()),
+    })
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    from pholcus_ray.pipelines.textdata import (ngram_containment,
+                                                ngram_jaccard_exact)
+
+    cont = ngram_containment(d, threshold=0.9).to_pandas()
+    got = set(zip(cont["a"], cont["b"]))
+    assert (0, 1) in got          # short contained in long
+    assert (1, 0) not in got      # long NOT contained in short
+    assert not any(2 in p for p in got)
+    jac = ngram_jaccard_exact(d, threshold=0.9).to_pandas()
+    # Jaccard misses the inclusion pair entirely (empty result here)
+    assert len(jac) == 0 or not ((jac["a"] == 0) & (jac["b"] == 1)).any()
