@@ -467,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct_check": T.kmv_distinct_check,
         "temperature_mix": T.temperature_mix,
         "inverted_index": T.inverted_index,
+        "phrase_search": T.phrase_search,
         "quantile_buckets": T.quantile_buckets,
         "bm25_topk": T.bm25_topk,
         "stratified_sample": T.stratified_sample,
@@ -550,6 +551,12 @@ def _ngram_containment_sql() -> str:
     from pholcus_ray.pipelines.textdata import ngram_containment_oracle_sql
 
     return ngram_containment_oracle_sql(threshold=0.8)
+
+
+def _phrase_search_sql() -> str:
+    from pholcus_ray.pipelines.textdata import phrase_search_oracle_sql
+
+    return phrase_search_oracle_sql()
 
 
 def _exact_substring_dedup_sql() -> str:
@@ -960,6 +967,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             LIMIT 10
         """,
         "ngram_containment": _ngram_containment_sql(),
+        "phrase_search": _phrase_search_sql(),
         "ngram_jaccard_exact": r"""
             WITH norm AS (
               SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s

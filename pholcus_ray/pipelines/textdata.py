@@ -4040,6 +4040,113 @@ def dedup_against(sf_dir: str, bloom_bits: int = 1 << 20,
             .sort("doc_id"))
 
 
+def phrase_search(sf_dir: str, num_parts: int = 32) -> rd.Dataset:
+    """Positional phrase match over the corpus — the exact-phrase lookup an
+    inverted index with positions answers (decontamination / quote lookup).
+    The phrase is SELF-DERIVED deterministically (the blocklist_filter
+    pattern): the globally most frequent adjacent-token bigram, ties broken
+    by (a, b) lexicographic — so the oracle can re-derive the identical
+    phrase in SQL and the operator stays meaningful at every scale with no
+    external input.
+
+    Scale shape: pass 1 is the bigram_pmi count exchange restricted to
+    bigrams — per-block Counters pre-aggregate (combiner), rows partition
+    by a composite bigram hash so each bigram's global count finishes in
+    exactly one partition, each partition emits ONE winner row, and the
+    driver folds <= num_parts winner rows (bounded by the partition count,
+    not the data). Pass 2 re-streams the documents once and counts
+    adjacent (a, b) occurrences per doc — position-aware matching without
+    materializing a positional index. Text never crosses a stage boundary.
+    """
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+    nP = np.uint64(num_parts)
+
+    def big_counts(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        big: Counter = Counter()
+        for x in t["text"].to_pylist():
+            toks = _tokens(x)
+            big.update(zip(toks, toks[1:]))
+        a = [p_[0] for p_ in big]
+        b = [p_[1] for p_ in big]
+        cnt = list(big.values())
+        key = [x + "\x1f" + y for x, y in zip(a, b)]
+        return pa.table({
+            "part": pa.array((hash64_array(key) % nP).astype(np.int32)
+                             if key else np.empty(0, np.int32)),
+            "a": pa.array(a, pa.string()),
+            "b": pa.array(b, pa.string()),
+            "cnt": pa.array(cnt, pa.int64()),
+        })
+
+    def part_winner(g: pd.DataFrame) -> pd.DataFrame:
+        tot = (g.groupby(["a", "b"], sort=False)["cnt"].sum().reset_index()
+               .sort_values(["cnt", "a", "b"],
+                            ascending=[False, True, True], kind="mergesort"))
+        return tot.head(1)[["a", "b", "cnt"]]
+
+    winners = (ds.map_batches(big_counts, batch_format="pyarrow")
+               .groupby("part").map_groups(part_winner,
+                                           batch_format="pandas")
+               .to_pandas())
+    if len(winners) == 0:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "term_a": pa.array([], pa.string()),
+            "term_b": pa.array([], pa.string()),
+            "n_matches": pa.array([], pa.int64()),
+        }))
+    winners = winners.sort_values(["cnt", "a", "b"],
+                                  ascending=[False, True, True],
+                                  kind="mergesort")
+    ta, tb = str(winners["a"].iloc[0]), str(winners["b"].iloc[0])
+
+    def match(t: pa.Table) -> pa.Table:
+        ids, cnts = [], []
+        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _tokens(x)
+            c = sum(1 for u, v in zip(toks, toks[1:]) if u == ta and v == tb)
+            if c:
+                ids.append(did)
+                cnts.append(c)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "term_a": pa.array([ta] * len(ids), pa.string()),
+            "term_b": pa.array([tb] * len(ids), pa.string()),
+            "n_matches": pa.array(cnts, pa.int64()),
+        })
+
+    return ds.map_batches(match, batch_format="pyarrow").sort("doc_id")
+
+
+def phrase_search_oracle_sql() -> str:
+    """Exact DuckDB oracle: re-derives the identical top bigram (count
+    DESC, a, b) and counts the identical adjacent occurrences per doc."""
+    return r"""
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents WHERE trim(text) <> ''
+      ),
+      pos AS (
+        SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM tok
+      ),
+      big AS (
+        SELECT toks[i] AS a, toks[i + 1] AS b, COUNT(*) AS n_ab
+        FROM pos GROUP BY 1, 2
+      ),
+      top AS (SELECT a, b FROM big ORDER BY n_ab DESC, a, b LIMIT 1),
+      m AS (
+        SELECT p.doc_id, COUNT(*) AS n
+        FROM pos p JOIN top t ON p.toks[i] = t.a AND p.toks[i + 1] = t.b
+        GROUP BY 1
+      )
+      SELECT m.doc_id, t.a AS term_a, t.b AS term_b,
+             CAST(m.n AS BIGINT) AS n_matches
+      FROM m CROSS JOIN top t ORDER BY m.doc_id
+    """
+
+
 def bigram_pmi(sf_dir: str, min_count: int = 5, k: int = 100,
                num_parts: int = 32) -> rd.Dataset:
     """Corpus-wide collocation mining: top-k adjacent-token bigrams by
