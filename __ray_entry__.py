@@ -466,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_quantiles_check": T.kll_quantiles_check,
         "kmv_distinct_check": T.kmv_distinct_check,
         "temperature_mix": T.temperature_mix,
+        "token_budget": T.token_budget,
         "inverted_index": T.inverted_index,
         "phrase_search": T.phrase_search,
         "quantile_buckets": T.quantile_buckets,
@@ -557,6 +558,12 @@ def _phrase_search_sql() -> str:
     from pholcus_ray.pipelines.textdata import phrase_search_oracle_sql
 
     return phrase_search_oracle_sql()
+
+
+def _token_budget_sql() -> str:
+    from pholcus_ray.pipelines.textdata import token_budget_oracle_sql
+
+    return token_budget_oracle_sql()
 
 
 def _exact_substring_dedup_sql() -> str:
@@ -968,6 +975,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         """,
         "ngram_containment": _ngram_containment_sql(),
         "phrase_search": _phrase_search_sql(),
+        "token_budget": _token_budget_sql(),
         "ngram_jaccard_exact": r"""
             WITH norm AS (
               SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s

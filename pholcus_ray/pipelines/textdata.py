@@ -4040,6 +4040,106 @@ def dedup_against(sf_dir: str, bloom_bits: int = 1 << 20,
             .sort("doc_id"))
 
 
+def token_budget(sf_dir: str) -> rd.Dataset:
+    """Mixture planning: allocate a global token budget across sources by
+    the largest-remainder method (Hamilton apportionment) — the exact
+    integer allocation step a training-mix plan needs AFTER temperature
+    weighting picks proportions (temperature_mix's integer-exact
+    complement). Budget and weights are SELF-DERIVED so the operator is
+    meaningful at any scale: budget = total_tokens // 2, weight_i =
+    floor(sqrt(n_tokens_i)) (the tau=0.5 temperature-mix weight in exact
+    integer form; double sqrt + floor is bit-identical between numpy and
+    DuckDB for counts < 2^53).
+
+    Scale shape: ONE distributed pass — per-block per-source token-count
+    partials (combiner) folded by a source-keyed groupby whose output is
+    bounded by the SOURCE CARDINALITY, not the corpus (the data_card
+    discipline); the apportionment itself runs on the driver over those
+    few rows in Python bigints (budget x weight overflows int64 at
+    ~10^13 tokens; the oracle uses HUGEINT for the same product).
+    Leftover = budget - sum(base) (< n_sources by construction) goes +1
+    each to the sources with the largest remainders, ties broken by
+    source name ascending — the rule the oracle restates with
+    ROW_NUMBER().
+    """
+    ds = _read_documents(sf_dir, columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for src, x in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            c[src] += len(_tokens(x))
+        return pa.table({
+            "source": pa.array(list(c.keys()), pa.string()),
+            "nt": pa.array(list(c.values()), pa.int64()),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("source", sort=True)["nt"].sum().reset_index()
+        return pd.DataFrame({"source": out["source"].values,
+                             "n_tokens": out["nt"].astype("int64").values})
+
+    per_source = (ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby("source").map_groups(fold, batch_format="pandas")
+                  .to_pandas().sort_values("source").reset_index(drop=True))
+    n_tok = per_source["n_tokens"].to_numpy().astype(np.int64)
+    weight = np.floor(np.sqrt(n_tok.astype(np.float64))).astype(np.int64)
+    W = int(weight.sum())
+    assert W > 0, "token_budget: corpus has no tokens"
+    budget = int(n_tok.sum()) // 2
+    base = np.array([budget * int(w) // W for w in weight], dtype=np.int64)
+    rem = np.array([budget * int(w) % W for w in weight], dtype=np.int64)
+    leftover = budget - int(base.sum())
+    # largest remainder first, ties by source ascending (= current order)
+    order = np.lexsort((np.arange(len(rem)), -rem))
+    extra = np.zeros(len(rem), np.int64)
+    extra[order[:leftover]] = 1
+    return rd.from_arrow(pa.table({
+        "source": pa.array(per_source["source"].tolist(), pa.string()),
+        "n_tokens": pa.array(n_tok),
+        "weight": pa.array(weight),
+        "alloc_tokens": pa.array(base + extra),
+    }))
+
+
+def token_budget_oracle_sql() -> str:
+    """Exact DuckDB oracle: identical token counts, sqrt-floor weights,
+    HUGEINT apportionment and largest-remainder tie-break."""
+    return r"""
+      WITH d AS (
+        SELECT source,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+'))
+               END AS nt
+        FROM documents
+      ),
+      s AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS n_tokens
+            FROM d GROUP BY 1),
+      w AS (SELECT source, n_tokens,
+                   CAST(FLOOR(SQRT(n_tokens)) AS BIGINT) AS weight
+            FROM s),
+      tot AS (SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget,
+                     CAST(SUM(weight) AS BIGINT) AS W
+              FROM w),
+      base AS (
+        SELECT source, n_tokens, weight,
+               CAST(CAST(budget AS HUGEINT) * weight // W AS BIGINT) AS base,
+               CAST(CAST(budget AS HUGEINT) * weight % W AS BIGINT) AS rem
+        FROM w CROSS JOIN tot
+      ),
+      lf AS (SELECT CAST(t.budget - (SELECT SUM(base) FROM base) AS BIGINT)
+                      AS L
+             FROM tot t),
+      rk AS (SELECT source, n_tokens, weight, base,
+                    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS r
+             FROM base)
+      SELECT source, n_tokens, weight,
+             CAST(base + CASE WHEN r <= (SELECT L FROM lf)
+                              THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+      FROM rk ORDER BY source
+    """
+
+
 def phrase_search(sf_dir: str, num_parts: int = 32) -> rd.Dataset:
     """Positional phrase match over the corpus — the exact-phrase lookup an
     inverted index with positions answers (decontamination / quote lookup).
