@@ -145,6 +145,18 @@ def _q_anchor_text_parity(sf_dir: str):
     return anchor_text_parity(_corpus_for(sf_dir))
 
 
+def _q_url_templates(sf_dir: str):
+    from pholcus_ray.pipelines.graph import url_templates
+
+    return url_templates(_corpus_for(sf_dir))
+
+
+def _q_url_templates_parity(sf_dir: str):
+    from pholcus_ray.pipelines.graph import url_templates_parity
+
+    return url_templates_parity(_corpus_for(sf_dir))
+
+
 def _blocks(t, n_blocks: int = 8):
     """Split an in-memory table into blocks so small actor pools get
     parallel work (round-1 finding: one block fed one actor, second idle)."""
@@ -367,6 +379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank_parity": _q_host_pagerank_parity,
         "anchor_text": _q_anchor_text,
         "anchor_text_parity": _q_anchor_text_parity,
+        "url_templates": _q_url_templates,
+        "url_templates_parity": _q_url_templates_parity,
         # gate-visible recall/completeness/parity twins for the
         # probabilistic + iterative family (round-2 judge item #6):
         # constant-schema verdict rows the oracle pins, so a silent
@@ -1351,6 +1365,12 @@ def _oracle_sql_raw() -> dict[str, str]:
             -- assertion oracle: distributed per-target anchor-text
             -- aggregation over the real crawl link graph must equal the
             -- sequential twin byte-for-byte on a non-empty target set
+            SELECT CAST(1 AS BIGINT) AS parity_ok
+        """,
+        "url_templates_parity": """
+            -- assertion oracle: distributed per-host URL-template
+            -- inventory over the crawl corpus must equal the sequential
+            -- twin byte-for-byte over a multi-host corpus
             SELECT CAST(1 AS BIGINT) AS parity_ok
         """,
         "pagerank_weighted_sample": _pagerank_sample_sql(),

@@ -1845,3 +1845,107 @@ a{t} AS (
     return (f"{head}{body}\n"
             f"SELECT node AS doc_id, act AS in_core, deg AS deg_q "
             f"FROM a{iters}")
+
+
+# --------------------------------------------------------------------------
+# URL template mining — the crawl-scheduling signal (which URL *patterns*
+# dominate a host: /article/123 vs /tag/45/page/6). The reference's keyin/
+# rule targeting picks URLs by pattern; this operator inverts that: it
+# derives the pattern inventory FROM the crawl corpus, per host, so a rule
+# author (or a dedup/quota policy) can see where the volume is. Template =
+# path+query with every digit run collapsed to '#'.
+# --------------------------------------------------------------------------
+
+_DIGITS_RE = None
+
+
+def _url_template(url: str) -> tuple[str, str]:
+    """(host, template) of a URL — digit runs in path+query collapse to
+    '#'; the pure function shared by the distributed pass and the
+    sequential twin (the oracle-conformance discipline of CLAUDE.md)."""
+    import re
+    global _DIGITS_RE
+    if _DIGITS_RE is None:
+        _DIGITS_RE = re.compile(r"\d+")
+    rest = url.split("://", 1)[-1]
+    slash = rest.find("/")
+    host = rest if slash < 0 else rest[:slash]
+    path = "/" if slash < 0 else rest[slash:]
+    return host, _DIGITS_RE.sub("#", path)
+
+
+def url_templates(corpus_dir: str, n_buckets: int = 8) -> rd.Dataset:
+    """Per-host URL-template inventory over the crawl corpus: one
+    streaming pass emits slim (host, template) rows (html is never read),
+    ONE host-hash-bucketed exchange, and each partition folds its hosts
+    with a C-level groupby into per-template page counts and a per-host
+    rank (n_pages DESC, template ASC — deterministic under any arrival
+    order). Per-partition memory is its share of DISTINCT (host,
+    template) pairs, not the page stream."""
+    from ..functions.hashing import hash64_array
+
+    ds = rd.read_parquet(os.path.join(corpus_dir, "pages"),
+                         columns=["url"])
+    nb = np.uint64(n_buckets)
+
+    def rows(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for u in t["url"].to_pylist():
+            c[_url_template(u)] += 1
+        hosts = [h for h, _ in c]
+        tmps = [tp for _, tp in c]
+        h = hash64_array(hosts) if hosts else np.empty(0, np.uint64)
+        return pa.table({
+            "part": pa.array((h % nb).astype(np.int64)),
+            "host": pa.array(hosts, pa.string()),
+            "template": pa.array(tmps, pa.string()),
+            "cnt": pa.array(list(c.values()), pa.int64()),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        tot = (g.groupby(["host", "template"], sort=True)["cnt"].sum()
+               .reset_index())
+        tot = tot.sort_values(["host", "cnt", "template"],
+                              ascending=[True, False, True],
+                              kind="mergesort").reset_index(drop=True)
+        tot["rank"] = tot.groupby("host").cumcount() + 1
+        return pd.DataFrame({
+            "host": tot["host"].values,
+            "template": tot["template"].values,
+            "n_pages": tot["cnt"].astype("int64").values,
+            "rank": tot["rank"].astype("int64").values,
+        })
+
+    return (ds.map_batches(rows, batch_format="pyarrow")
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .sort(["host", "rank"]))
+
+
+def url_templates_reference(corpus_dir: str) -> pa.Table:
+    """Sequential single-process twin — same pure function, same order."""
+    t = pq.read_table(os.path.join(corpus_dir, "pages"), columns=["url"])
+    from collections import Counter
+    c: Counter = Counter()
+    for u in t["url"].to_pylist():
+        c[_url_template(u)] += 1
+    df = pd.DataFrame([(h, tp, n) for (h, tp), n in c.items()],
+                      columns=["host", "template", "n_pages"])
+    df = df.sort_values(["host", "n_pages", "template"],
+                        ascending=[True, False, True],
+                        kind="mergesort").reset_index(drop=True)
+    df["rank"] = df.groupby("host").cumcount() + 1
+    df = df.sort_values(["host", "rank"], kind="mergesort") \
+        .reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df.astype({"n_pages": "int64", "rank": "int64"}),
+        preserve_index=False)
+
+
+def url_templates_parity(corpus_dir: str) -> pa.Table:
+    """Gate-visible verdict: distributed inventory equals the sequential
+    twin byte-for-byte over a non-empty host set."""
+    eng = url_templates(corpus_dir).to_pandas().reset_index(drop=True)
+    ref = url_templates_reference(corpus_dir).to_pandas()
+    ok = eng.equals(ref) and len(eng) > 0 and eng["host"].nunique() > 1
+    return pa.table({"parity_ok": pa.array([int(ok)], pa.int64())})

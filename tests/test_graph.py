@@ -166,3 +166,17 @@ def test_kcore_peel_twin_and_sql(ray_session):
     for c in sql.columns:
         sql[c] = sql[c].astype("int64")
     assert eng.equals(sql)
+
+
+def test_url_templates_parity_and_shape(ray_session):
+    from pholcus_ray.sources.pages import cached_corpus
+    from pholcus_ray.pipelines.graph import url_templates, url_templates_parity
+
+    corpus = cached_corpus(n_pages=200, n_hosts=5)
+    t = url_templates(corpus).to_pandas()
+    assert len(t) > 0 and t["host"].nunique() > 1
+    # rank is 1-based, contiguous, count-descending within each host
+    for _, g in t.groupby("host"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (g["n_pages"].values[:-1] >= g["n_pages"].values[1:]).all()
+    assert int(url_templates_parity(corpus).to_pandas().iloc[0, 0]) == 1
