@@ -143,6 +143,18 @@ _BENCH_QUERIES = [
     "unigram_parity",
     # round-4: multi-table hyperplane LSH ANN (recall-gated vs brute force)
     "srp_recall",
+    # round-4 closing batch: HITS + bounded-round graph fixed points (share
+    # the memoized edge buckets with pagerank), asymmetric containment
+    # near-dup, positional phrase match, Hamilton token apportionment,
+    # per-host URL templates, C4 badwords blocklist
+    "hits",
+    "bfs_distance",
+    "kcore_peel",
+    "ngram_containment",
+    "phrase_search",
+    "token_budget",
+    "url_templates",
+    "blocklist_filter",
 ]
 
 
