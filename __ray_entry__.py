@@ -479,6 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_check": T.countmin_check,
         "kll_quantiles_check": T.kll_quantiles_check,
         "kmv_distinct_check": T.kmv_distinct_check,
+        "bloom_fpr_check": T.bloom_fpr_check,
         "temperature_mix": T.temperature_mix,
         "token_budget": T.token_budget,
         "inverted_index": T.inverted_index,
@@ -650,6 +651,12 @@ def _kmv_distinct_check_sql() -> str:
     from pholcus_ray.pipelines.textdata import kmv_distinct_check_oracle_sql
 
     return kmv_distinct_check_oracle_sql()
+
+
+def _bloom_fpr_check_sql() -> str:
+    from pholcus_ray.pipelines.textdata import bloom_fpr_check_oracle_sql
+
+    return bloom_fpr_check_oracle_sql()
 
 
 def _lm_perplexity_sql() -> str:
@@ -1389,6 +1396,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "tokenized_shards": _tokenized_shards_sql(),
         "countmin_check": _countmin_check_sql(),
         "kmv_distinct_check": _kmv_distinct_check_sql(),
+        "bloom_fpr_check": _bloom_fpr_check_sql(),
         "packed_token_shards": _packed_token_shards_sql(),
         "model_score": _model_score_sql(),
         "epoch_shuffle": _epoch_shuffle_sql(),

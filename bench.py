@@ -155,6 +155,9 @@ _BENCH_QUERIES = [
     "token_budget",
     "url_templates",
     "blocklist_filter",
+    # round-4: Bloom-filter set membership with full-construction SQL
+    # replay (the sketch family's set-membership member)
+    "bloom_fpr_check",
 ]
 
 

@@ -3594,6 +3594,155 @@ def kmv_distinct_check_oracle_sql(k: int = 1024,
     """
 
 
+def bloom_fpr_check(sf_dir: str, m_bits: int = 8_192, k: int = 4,
+                    probes: int = 8_192) -> pa.Table:
+    """Distributed Bloom filter over the corpus's exact-dedup keys with a
+    gate-visible accuracy verdict — the set-membership member of the sketch
+    family (HLL = cardinality, CountMin = point frequency, Misra-Gries =
+    top-k, KLL = rank, KMV = sampled-distinct). This is the standalone,
+    value-verified twin of the Bloom prefilter :func:`dedup_against` uses
+    to cheapen its sealed-corpus anti-join.
+
+    Scale shape: each block folds its DISTINCT md5(text) keys into one
+    fixed-size m-bit bitmap — bit positions are
+    md5-lower64(f"{{i}}:{{key}}") % m for i < k, the repo's
+    oracle-replayable hash — and emits it as ONE ~m/8-byte row; the driver
+    ORs #blocks bitmaps (tree-reduce is the drop-in at scale; OR is
+    associative and idempotent, so cross-block duplicate keys need no
+    global dedup pass). A second pass recomputes every key's positions and
+    tests them against the merged bitmap shipped once via ``ray.put`` —
+    an end-to-end integrity check on the bitmap exchange (``member_miss``
+    must be 0: a Bloom filter can never false-negative). False-positive
+    rate is measured on ``probes`` synthetic keys (``probe:{{j}}`` — by
+    construction disjoint from the 32-hex member keys), and ``bound_ok``
+    pins fp_count <= 3 * probes * (bits_set/m)^k — the all-k-bits-hit
+    probability at the MEASURED fill, checked in exact integer arithmetic
+    (fp_count * m^k <= 3 * probes * bits_set^k; HUGEINT on the SQL side).
+    The DuckDB oracle replays the entire construction — bitmap, member
+    check, probe hits — so a silent hash/merge regression fails
+    CORRECTNESS, not just a unit test."""
+    import ray
+
+    ds = _read_documents(sf_dir, columns=["text"])
+    M, K = int(m_bits), int(k)
+    W = M // 64
+
+    def _positions(keys: list, i: int) -> np.ndarray:
+        return (md5_lower64_array([f"{i}:{s}" for s in keys])
+                % np.uint64(M)).astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = sorted(set(md5_hex_array(t["text"].to_pylist()).tolist()))
+        bm = np.zeros(W, np.uint64)
+        for i in range(K):
+            pos = _positions(keys, i)
+            np.bitwise_or.at(bm, pos // 64,
+                             np.uint64(1) << (pos % 64).astype(np.uint64))
+        return pa.table({
+            "bm": pa.FixedSizeListArray.from_arrays(
+                pa.array(bm.view(np.int64), pa.int64()), W),
+        })
+
+    merged = np.zeros(W, np.uint64)
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        merged |= np.asarray(row["bm"], np.int64).view(np.uint64)
+    bits_set = int(np.unpackbits(merged.view(np.uint8)).sum())
+
+    # integrity pass: every member position must be set in the MERGED
+    # bitmap (catches a broken OR/serialization, the way countmin_check's
+    # lower_ok catches a broken sum); the 8 KB bitmap ships once
+    bm_ref = ray.put(merged)
+
+    def miss_partial(t: pa.Table) -> pa.Table:
+        bm = ray.get(bm_ref)
+        keys = sorted(set(md5_hex_array(t["text"].to_pylist()).tolist()))
+        missing: list = []
+        for i in range(K):
+            pos = _positions(keys, i)
+            hit = (bm[pos // 64]
+                   >> (pos % 64).astype(np.uint64)) & np.uint64(1)
+            missing.extend(pos[hit == 0].tolist())
+        return pa.table({"pos": pa.array(missing, pa.int64())})
+
+    miss = ds.map_batches(miss_partial, batch_format="pyarrow").take_all()
+    member_miss = len({r["pos"] for r in miss})
+
+    probe_keys = [f"probe:{j}" for j in range(int(probes))]
+    all_hit = np.ones(int(probes), bool)
+    for i in range(K):
+        pos = _positions(probe_keys, i)
+        hit = (merged[pos // 64]
+               >> (pos % 64).astype(np.uint64)) & np.uint64(1)
+        all_hit &= hit.astype(bool)
+    fp_count = int(all_hit.sum())
+
+    bound_ok = int(fp_count * M ** K <= 3 * int(probes) * bits_set ** K)
+    return pa.table({
+        "m_bits": pa.array([M], pa.int64()),
+        "k_hashes": pa.array([K], pa.int64()),
+        "bits_set": pa.array([bits_set], pa.int64()),
+        "member_miss": pa.array([member_miss], pa.int64()),
+        "probes": pa.array([int(probes)], pa.int64()),
+        "fp_count": pa.array([fp_count], pa.int64()),
+        "bound_ok": pa.array([bound_ok], pa.int64()),
+    })
+
+
+def bloom_fpr_check_oracle_sql(m_bits: int = 8_192, k: int = 4,
+                               probes: int = 8_192) -> str:
+    """Full-construction replay: DuckDB md5() / md5_number_lower() rebuild
+    the member key set, the bit positions, the member-integrity check and
+    the probe hits; the bound compares in HUGEINT (m^k = 2^64 overflows
+    BIGINT at the default sizing)."""
+    return f"""
+      WITH keys AS (SELECT DISTINCT md5(text) AS key FROM documents),
+      hi AS (SELECT CAST(i AS VARCHAR) AS i FROM range({k}) t(i)),
+      bits AS (
+        SELECT DISTINCT
+               CAST(md5_number_lower(hi.i || ':' || keys.key)
+                    % {m_bits} AS BIGINT) AS pos
+        FROM keys CROSS JOIN hi
+      ),
+      member AS (
+        SELECT COUNT(*) AS member_miss FROM (
+          SELECT DISTINCT
+                 CAST(md5_number_lower(hi.i || ':' || keys.key)
+                      % {m_bits} AS BIGINT) AS pos
+          FROM keys CROSS JOIN hi
+        ) mp WHERE mp.pos NOT IN (SELECT pos FROM bits)
+      ),
+      pk AS (SELECT 'probe:' || CAST(j AS VARCHAR) AS key
+             FROM range({probes}) t(j)),
+      phit AS (
+        SELECT pk.key, COUNT(*) AS hits
+        FROM pk CROSS JOIN hi
+        JOIN bits ON bits.pos =
+             CAST(md5_number_lower(hi.i || ':' || pk.key)
+                  % {m_bits} AS BIGINT)
+        GROUP BY pk.key
+      ),
+      agg AS (
+        SELECT (SELECT COUNT(*) FROM bits) AS bits_set,
+               (SELECT member_miss FROM member) AS member_miss,
+               (SELECT COUNT(*) FROM phit WHERE hits = {k}) AS fp_count
+      )
+      SELECT CAST({m_bits} AS BIGINT) AS m_bits,
+             CAST({k} AS BIGINT) AS k_hashes,
+             CAST(bits_set AS BIGINT) AS bits_set,
+             CAST(member_miss AS BIGINT) AS member_miss,
+             CAST({probes} AS BIGINT) AS probes,
+             CAST(fp_count AS BIGINT) AS fp_count,
+             CAST(CASE WHEN CAST(fp_count AS HUGEINT)
+                            * CAST({m_bits} AS HUGEINT)
+                            * {m_bits} * {m_bits} * {m_bits}
+                       <= 3 * CAST({probes} AS HUGEINT)
+                            * CAST(bits_set AS HUGEINT)
+                            * bits_set * bits_set * bits_set
+                  THEN 1 ELSE 0 END AS BIGINT) AS bound_ok
+      FROM agg
+    """
+
+
 # ---------------------------------------------------------------------------
 # deterministic splits + near-dup clustering
 # ---------------------------------------------------------------------------

@@ -64,7 +64,8 @@ def ducksf():
      "gopher_quality", "semdedup", "logreg_parity", "tokenized_shards",
      "pq_recall", "countmin_check", "packed_token_shards",
      "kll_quantiles_check", "blocklist_filter", "hits", "bfs_distance",
-     "kcore_peel", "ngram_containment", "phrase_search", "token_budget"],
+     "kcore_peel", "ngram_containment", "phrase_search", "token_budget",
+     "bloom_fpr_check"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
