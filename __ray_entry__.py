@@ -402,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode_parity": T.bpe_encode_parity,
         # inference / tokenizer / training-order operators
         "model_score": T.model_score,
+        "score_calibration": T.score_calibration,
         "bpe_merges": T.bpe_merges,
         "bpe_encode": T.bpe_encode,
         "epoch_shuffle": T.epoch_shuffle,
@@ -651,6 +652,12 @@ def _kmv_distinct_check_sql() -> str:
     from pholcus_ray.pipelines.textdata import kmv_distinct_check_oracle_sql
 
     return kmv_distinct_check_oracle_sql()
+
+
+def _score_calibration_sql() -> str:
+    from pholcus_ray.pipelines.textdata import score_calibration_oracle_sql
+
+    return score_calibration_oracle_sql()
 
 
 def _bloom_fpr_check_sql() -> str:
@@ -1397,6 +1404,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "countmin_check": _countmin_check_sql(),
         "kmv_distinct_check": _kmv_distinct_check_sql(),
         "bloom_fpr_check": _bloom_fpr_check_sql(),
+        "score_calibration": _score_calibration_sql(),
         "packed_token_shards": _packed_token_shards_sql(),
         "model_score": _model_score_sql(),
         "epoch_shuffle": _epoch_shuffle_sql(),

@@ -158,6 +158,9 @@ _BENCH_QUERIES = [
     # round-4: Bloom-filter set membership with full-construction SQL
     # replay (the sketch family's set-membership member)
     "bloom_fpr_check",
+    # round-4: classifier reliability table vs a self-derived balanced
+    # token-presence label
+    "score_calibration",
 ]
 
 

@@ -2689,6 +2689,19 @@ def term_df(sf_dir: str, top_k: int = 100) -> rd.Dataset:
 _C4_WS = " \t\r\f\v"
 
 
+def _c4_kept_lines(x: str, min_line_words: int) -> list:
+    """The C4 line rule as a pure helper: a line survives iff it ends in
+    terminal punctuation after trimming the explicit ASCII whitespace
+    set, has >= min_line_words words, and doesn't mention
+    'javascript'."""
+    return [
+        ln for ln in x.split("\n")
+        if ln.rstrip(_C4_WS).endswith((".", "!", "?", '"'))
+        and len(_tokens(ln)) >= min_line_words
+        and "javascript" not in ln.lower()
+    ]
+
+
 def c4_filters(sf_dir: str, min_kept_lines: int = 3,
                min_line_words: int = 5) -> rd.Dataset:
     """C4-style rule-based quality filtering (Raffel et al. 2020, §2.2):
@@ -2712,12 +2725,7 @@ def c4_filters(sf_dir: str, min_kept_lines: int = 3,
         ids, n_lines, n_kept, keeps, kept_texts = [], [], [], [], []
         for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             lines = x.split("\n")
-            kept = [
-                ln for ln in lines
-                if ln.rstrip(_C4_WS).endswith((".", "!", "?", '"'))
-                and len(_tokens(ln)) >= min_line_words
-                and "javascript" not in ln.lower()
-            ]
+            kept = _c4_kept_lines(x, min_line_words)
             ids.append(did)
             n_lines.append(len(lines))
             n_kept.append(len(kept))
@@ -6510,6 +6518,190 @@ def model_score_oracle_sql() -> str:
       FROM tok t LEFT JOIN sc ON sc.doc_id = t.doc_id
       ORDER BY t.doc_id
     """
+
+
+class CalibPartial:
+    """Actor-pool stage for :func:`score_calibration`: ``__init__`` builds
+    the scorer's weight table once per actor (the stateful-stage rule —
+    for a real classifier this is the model load), ``__call__`` folds a
+    whole block into at most ``n_bins`` partial rows, so the exchange is
+    bins x blocks regardless of corpus size."""
+
+    def __init__(self, n_bins: int, target_ref):
+        import ray
+
+        self.scorer = ModelScorer()
+        self.B = int(n_bins)
+        self.target = ray.get(target_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        sc = self.scorer(t)
+        totals = sc["score_total"].to_numpy(zero_copy_only=False)
+        lens = sc["n_tokens"].to_numpy(zero_copy_only=False)
+        denom = np.maximum(lens, 1)
+        # integer-exact equal-width bin over the mean's [-500, 500] range:
+        # floor((mean + 500) * B / 1000) without the float division —
+        # nonneg // positive is floor on both python and DuckDB ints
+        b = np.minimum((totals + 500 * denom) * self.B // (1000 * denom),
+                       self.B - 1).astype(np.int64)
+        keep = np.fromiter(
+            (self.target in _tokens(x) for x in t["text"].to_pylist()),
+            np.int64, len(lens))
+        n_docs = np.zeros(self.B, np.int64)
+        n_keep = np.zeros(self.B, np.int64)
+        s_sum = np.zeros(self.B, np.int64)
+        t_sum = np.zeros(self.B, np.int64)
+        np.add.at(n_docs, b, 1)
+        np.add.at(n_keep, b, keep)
+        np.add.at(s_sum, b, totals)
+        np.add.at(t_sum, b, lens)
+        nz = np.flatnonzero(n_docs)
+        return pa.table({
+            "bucket": pa.array(nz, pa.int64()),
+            "n_docs": pa.array(n_docs[nz], pa.int64()),
+            "n_pos": pa.array(n_keep[nz], pa.int64()),
+            "score_total_sum": pa.array(s_sum[nz], pa.int64()),
+            "n_tokens_sum": pa.array(t_sum[nz], pa.int64()),
+        })
+
+
+def score_calibration(sf_dir: str, n_bins: int = 10) -> pa.Table:
+    """Reliability table for the quality classifier: bin every document's
+    :class:`ModelScorer` mean score into ``n_bins`` equal-width buckets
+    over its [-500, 500] range and report, per bucket, the document count
+    and the positive rate of a token-presence ground-truth label — the
+    classifier-evaluation step a production pipeline runs before trusting
+    a learned filter (the fastText-vs-label reliability diagram every
+    CC-derived corpus paper tabulates). The label is the
+    :func:`logreg_train` shape (doc contains a target token), with the
+    target SELF-DERIVED as the most balanced token in the corpus — df
+    closest to half the doc count, ties to the lexicographically smallest
+    — following the self-derived-parameter pattern of
+    :func:`blocklist_filter` / :func:`phrase_search`, so the corpus
+    itself pins a label with real variance.
+
+    Scale shape: one bounded vocab-df exchange to pick the target (the
+    term_df shape), then one embarrassingly-parallel pass — score + label
+    + bucket per block, folded block-locally to <= n_bins rows
+    (``CalibPartial``), driver sum bounded by bins x blocks. Everything
+    integer except label_rate, which uses the shared _round6 half-UP
+    scheme. The bucket index is integer-exact ((total + 500·n)·B //
+    (1000·n) — no float boundary), so the DuckDB oracle replays the whole
+    table bit-identically: scores via md5_number_lower, the same balance
+    rule (abs(2·df - n_docs)), the same integer bin rule."""
+    from collections import Counter
+
+    import ray
+
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t["text"].to_pylist():
+            c.update(set(_tokens(x)))
+        return pa.table({
+            "token": pa.array(list(c.keys()), pa.string()),
+            "df_part": pa.array(list(c.values()), pa.int64()),
+        })
+
+    def balance(t: pa.Table) -> pa.Table:
+        df = t["df"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "token": t["token"],
+            "balance": pa.array(np.abs(2 * df - n_docs), pa.int64()),
+        })
+
+    # vocab-bounded df exchange -> ONE row reaches the driver (the term_df
+    # shape; never a driver-side vocab fold — the round-2 gram-DF lesson)
+    target = (ds.map_batches(df_partial, batch_format="pyarrow")
+              .groupby("token")
+              .aggregate(Sum("df_part", alias_name="df"))
+              .map_batches(balance, batch_format="pyarrow")
+              .sort(["balance", "token"])
+              .limit(1)
+              .take(1))[0]["token"]
+
+    rows = ds.map_batches(
+        CalibPartial, batch_format="pyarrow", concurrency=2,
+        fn_constructor_kwargs={"n_bins": n_bins,
+                               "target_ref": ray.put(target)},
+    ).take_all()
+    B = int(n_bins)
+    n_docs = np.zeros(B, np.int64)
+    n_keep = np.zeros(B, np.int64)
+    s_sum = np.zeros(B, np.int64)
+    t_sum = np.zeros(B, np.int64)
+    for r in rows:
+        i = int(r["bucket"])
+        n_docs[i] += int(r["n_docs"])
+        n_keep[i] += int(r["n_pos"])
+        s_sum[i] += int(r["score_total_sum"])
+        t_sum[i] += int(r["n_tokens_sum"])
+    nz = np.flatnonzero(n_docs)
+    rate = [_round6(int(n_keep[i]) / int(n_docs[i])) for i in nz]
+    return pa.table({
+        "bucket": pa.array(nz.astype(np.int64), pa.int64()),
+        "n_docs": pa.array(n_docs[nz], pa.int64()),
+        "n_pos": pa.array(n_keep[nz], pa.int64()),
+        "pos_rate": pa.array(rate, pa.float64()),
+        "score_total_sum": pa.array(s_sum[nz], pa.int64()),
+        "n_tokens_sum": pa.array(t_sum[nz], pa.int64()),
+    })
+
+
+def score_calibration_oracle_sql(n_bins: int = 10) -> str:
+    """Replays scores (model_score CTEs), the self-derived balanced
+    target token (abs(2*df - n_docs), ties to token asc), the
+    token-presence label, and the integer bin rule, then aggregates per
+    bucket."""
+    return r"""
+      WITH tok AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(text), '\s+')
+                    END AS toks
+        FROM documents
+      ), inst AS (
+        SELECT doc_id,
+               CAST(CAST(md5_number_lower(u.tok) AS HUGEINT) % 256
+                    AS BIGINT) AS j
+        FROM tok, unnest(toks) AS u(tok)
+      ), sc AS (
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               SUM((j * 2654435761) % 1000 - 500) AS score_total
+        FROM inst GROUP BY 1
+      ), dfr AS (
+        SELECT token, COUNT(*) AS df FROM (
+          SELECT doc_id, unnest(list_distinct(toks)) AS token FROM tok
+        ) GROUP BY 1
+      ), tgt AS (
+        SELECT token FROM dfr, (SELECT COUNT(*) AS n FROM documents)
+        ORDER BY abs(2 * df - n), token LIMIT 1
+      ), d AS (
+        SELECT t.doc_id,
+               CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(sc.score_total, 0) AS BIGINT) AS score_total,
+               list_contains(t.toks, (SELECT token FROM tgt)) AS pos
+        FROM tok t LEFT JOIN sc USING (doc_id)
+      ), b AS (
+        SELECT least((score_total + 500 * greatest(n_tokens, 1)) * {B}
+                     // (1000 * greatest(n_tokens, 1)),
+                     {B} - 1) AS bucket,
+               n_tokens, score_total, pos
+        FROM d
+      )
+      SELECT CAST(bucket AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+             FLOOR(SUM(CASE WHEN pos THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+                   * 1000000 + 0.5) / 1000000 AS pos_rate,
+             CAST(SUM(score_total) AS BIGINT) AS score_total_sum,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_sum
+      FROM b GROUP BY 1 ORDER BY 1
+    """.replace("{B}", str(int(n_bins)))
 
 
 # ---------------------------------------------------------------------------
