@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": G.pagerank,
         "hits": G.hits,
         "bfs_distance": G.bfs_distance,
+        "scc_certificate": G.scc_certificate,
         "kcore_peel": G.kcore_peel,
         "minlabel_components": G.minlabel_components,
         "triangle_count": G.triangle_count,
@@ -556,6 +557,12 @@ def _bfs_distance_sql() -> str:
     from pholcus_ray.pipelines.graph import bfs_distance_oracle_sql
 
     return bfs_distance_oracle_sql(iters=8)
+
+
+def _scc_certificate_sql() -> str:
+    from pholcus_ray.pipelines.graph import scc_certificate_oracle_sql
+
+    return scc_certificate_oracle_sql(iters=8)
 
 
 def _kcore_peel_sql() -> str:
@@ -1367,6 +1374,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         "hits": _hits_sql(),
         "bfs_distance": _bfs_distance_sql(),
+        "scc_certificate": _scc_certificate_sql(),
         "kcore_peel": _kcore_peel_sql(),
         "link_degree_stats": _link_degree_sql(),
         "host_pagerank_parity": """

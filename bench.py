@@ -161,6 +161,9 @@ _BENCH_QUERIES = [
     # round-4: classifier reliability table vs a self-derived balanced
     # token-presence label
     "score_calibration",
+    # round-4: forward-backward SCC certificates (bounded-round directed
+    # min-label in both directions over the pinned hits edge buckets)
+    "scc_certificate",
 ]
 
 

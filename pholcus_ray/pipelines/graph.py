@@ -1847,6 +1847,202 @@ a{t} AS (
             f"FROM a{iters}")
 
 
+_I64MAX = np.iinfo(np.int64).max
+
+
+def scc_certificate(sf_dir: str, iters: int = 8,
+                    n_buckets: int = 16) -> rd.Dataset:
+    """Bounded-round strongly-connected-component certificates over the
+    DIRECTED derived doc graph — the forward-backward coloring idea
+    (Fleischer et al. 2000) as two simultaneous min-label fixed points:
+    ``fwd_q`` = min doc_id reachable FORWARD within ``iters`` hops,
+    ``bwd_q`` = min doc_id reachable BACKWARD (i.e. that can be reached
+    from in the reversed graph) within ``iters`` hops. Where the two
+    agree on a label m, the certificate is EXACT for any ``iters``: a
+    path u→m and a path m→u both exist, so u and m are provably in the
+    same SCC and ``scc_cert`` = m groups them; where they disagree the
+    node keeps itself (sound — never merges two distinct SCCs; complete
+    once iters reaches the component diameter — the same bounded-round
+    contract as :func:`bfs_distance` / :func:`kcore_peel`, pinned on
+    both sides).
+
+    Scale shape: both propagations ride ONE values dataset (part, node,
+    flab, blab) over the hits-style bucket-pinned directed edge tables —
+    fwd pulls along reverse-keyed buckets (label at dst flows to src),
+    bwd along forward-keyed ones; per round one slim 4-int-column
+    exchange, per-batch min-combining before the shuffle, groupby-min
+    fold per coarse bucket. No driver state, int64 end to end."""
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    key_f = f"hitsF:{sf_dir}:{n_docs}:{n_buckets}"
+    key_r = f"hitsR:{sf_dir}:{n_docs}:{n_buckets}"
+    refs_f = {b: _derived_kv_bucket.remote(n_docs, b, n_buckets, False)
+              for b in range(n_buckets)}
+    refs_r = {b: _derived_kv_bucket.remote(n_docs, b, n_buckets, True)
+              for b in range(n_buckets)}
+    ray.wait(list(refs_f.values()) + list(refs_r.values()),
+             num_returns=2 * n_buckets)
+    nb = np.int64(n_buckets)
+
+    def init(t: pa.Table) -> pa.Table:
+        node = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array(node % nb),
+            "node": pa.array(node, pa.int64()),
+            "flab": pa.array(node, pa.int64()),
+            "blab": pa.array(node, pa.int64()),
+        })
+
+    def _pull(node_s, lab_s, graph_key, refs):
+        """Per-batch min-combined contributions of ``lab`` along the
+        key→oth direction of the pinned buckets; returns (bpart, b, m)."""
+        out_p, out_n, out_m = [], [], []
+        for p in np.unique(node_s % nb):
+            ekey, eoth, eopart = _kv_arrays(graph_key, int(p), refs)
+            if len(ekey) == 0:
+                continue
+            pos = np.searchsorted(node_s, ekey)
+            pos = np.minimum(pos, len(node_s) - 1)
+            ok = node_s[pos] == ekey
+            if not ok.any():
+                continue
+            cand = lab_s[pos[ok]]
+            bb, bp = eoth[ok], eopart[ok]
+            u, inv = np.unique(bb, return_inverse=True)
+            acc = np.full(len(u), _I64MAX, np.int64)
+            np.minimum.at(acc, inv, cand)
+            first = np.zeros(len(u), np.int64)
+            first[inv] = np.arange(len(bb))
+            out_p.append(bp[first])
+            out_n.append(u)
+            out_m.append(acc)
+        if not out_p:
+            e = np.empty(0, np.int64)
+            return e, e, e
+        return (np.concatenate(out_p), np.concatenate(out_n),
+                np.concatenate(out_m))
+
+    def propagate(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        flab = t["flab"].to_numpy(zero_copy_only=False)
+        blab = t["blab"].to_numpy(zero_copy_only=False)
+        part = t["part"].to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        node_s = node[order]
+        flab_s, blab_s, part_s = flab[order], blab[order], part[order]
+        fp, fn, fm = _pull(node_s, flab_s, key_r, refs_r)  # dst lab → src
+        bp, bn, bm = _pull(node_s, blab_s, key_f, refs_f)  # src lab → dst
+        sent_f = np.full(len(bn), _I64MAX, np.int64)
+        sent_b = np.full(len(fn), _I64MAX, np.int64)
+        return pa.table({
+            "bpart": pa.array(np.concatenate([part_s, fp, bp])),
+            "b": pa.array(np.concatenate([node_s, fn, bn])),
+            "fm": pa.array(np.concatenate([flab_s, fm, sent_f])),
+            "bm": pa.array(np.concatenate([blab_s, sent_b, bm])),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"part": pd.Series([], dtype="int64"),
+                                 "node": pd.Series([], dtype="int64"),
+                                 "flab": pd.Series([], dtype="int64"),
+                                 "blab": pd.Series([], dtype="int64")})
+        f = g.groupby("b", sort=True).agg(fm=("fm", "min"),
+                                          bm=("bm", "min"))
+        node = f.index.to_numpy()
+        return pd.DataFrame({
+            "part": (node % int(nb)).astype(np.int64),
+            "node": node,
+            "flab": f["fm"].to_numpy(),
+            "blab": f["bm"].to_numpy(),
+        })
+
+    values = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id"])
+              .map_batches(init, batch_format="pyarrow"))
+    for _ in range(iters):
+        values = (values.map_batches(propagate, batch_format="pyarrow")
+                  .groupby("bpart")
+                  .map_groups(fold, batch_format="pandas"))
+
+    def project(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        f = t["flab"].to_numpy(zero_copy_only=False)
+        b = t["blab"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(node, pa.int64()),
+            "fwd_q": pa.array(f, pa.int64()),
+            "bwd_q": pa.array(b, pa.int64()),
+            "scc_cert": pa.array(np.where(f == b, f, node), pa.int64()),
+        })
+
+    return values.map_batches(project, batch_format="pyarrow")
+
+
+def scc_certificate_reference(sf_dir: str, iters: int = 8) -> pa.Table:
+    """Sequential numpy twin: identical Jacobi rounds, identical rule."""
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    src = np.arange(n_docs, dtype=np.int64)
+    deg = 1 + (src % 3)
+    es, ed = [], []
+    for i, (m, a) in enumerate(zip(_MULTS, _OFFS)):
+        sel = src[deg > i]
+        es.append(sel)
+        ed.append((sel * m + a) % n_docs)
+    es, ed = np.concatenate(es), np.concatenate(ed)
+    f = src.copy()
+    b = src.copy()
+    for _ in range(iters):
+        nf = f.copy()
+        np.minimum.at(nf, es, f[ed])
+        nb_ = b.copy()
+        np.minimum.at(nb_, ed, b[es])
+        f, b = nf, nb_
+    return pa.table({
+        "doc_id": pa.array(src),
+        "fwd_q": pa.array(f),
+        "bwd_q": pa.array(b),
+        "scc_cert": pa.array(np.where(f == b, f, src)),
+    })
+
+
+def scc_certificate_oracle_sql(iters: int = 8) -> str:
+    """Chained-CTE DuckDB statement of the identical simultaneous
+    min-label rounds in both directions plus the agreement rule."""
+    head = f"""
+WITH mults(i, m, a) AS (VALUES (0, {_MULTS[0]}, {_OFFS[0]}),
+                               (1, {_MULTS[1]}, {_OFFS[1]}),
+                               (2, {_MULTS[2]}, {_OFFS[2]})),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src, (d.doc_id * t.m + t.a) % nn.n AS dst
+  FROM documents d CROSS JOIN nn JOIN mults t ON t.i <= d.doc_id % 3
+),
+f0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+b0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents)"""
+    body = ""
+    for k in range(1, iters + 1):
+        body += f""",
+f{k} AS (
+  SELECT p.node, CAST(LEAST(p.lbl, COALESCE(s.m, p.lbl)) AS BIGINT) AS lbl
+  FROM f{k - 1} p LEFT JOIN (
+     SELECT e.src AS node, MIN(l.lbl) AS m
+     FROM edges e JOIN f{k - 1} l ON l.node = e.dst GROUP BY e.src) s
+  ON s.node = p.node),
+b{k} AS (
+  SELECT p.node, CAST(LEAST(p.lbl, COALESCE(s.m, p.lbl)) AS BIGINT) AS lbl
+  FROM b{k - 1} p LEFT JOIN (
+     SELECT e.dst AS node, MIN(l.lbl) AS m
+     FROM edges e JOIN b{k - 1} l ON l.node = e.src GROUP BY e.dst) s
+  ON s.node = p.node)"""
+    return (f"{head}{body}\n"
+            f"SELECT f.node AS doc_id, f.lbl AS fwd_q, b.lbl AS bwd_q,\n"
+            f"       CAST(CASE WHEN f.lbl = b.lbl THEN f.lbl ELSE f.node "
+            f"END AS BIGINT) AS scc_cert\n"
+            f"FROM f{iters} f JOIN b{iters} b ON b.node = f.node")
+
+
 # --------------------------------------------------------------------------
 # URL template mining — the crawl-scheduling signal (which URL *patterns*
 # dominate a host: /article/123 vs /tag/45/page/6). The reference's keyin/

@@ -65,7 +65,7 @@ def ducksf():
      "pq_recall", "countmin_check", "packed_token_shards",
      "kll_quantiles_check", "blocklist_filter", "hits", "bfs_distance",
      "kcore_peel", "ngram_containment", "phrase_search", "token_budget",
-     "bloom_fpr_check", "score_calibration"],
+     "bloom_fpr_check", "score_calibration", "scc_certificate"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
