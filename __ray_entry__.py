@@ -426,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": T.dup_clusters,
         "dup_keep_best": T.dup_keep_best,
         "dedup_against": T.dedup_against,
+        "bloom_fpr_check": T.bloom_fpr_check,
         "line_dedup": T.line_dedup,
         "within_doc_dedup": T.within_doc_dedup,
         "substring_dups": T.substring_dups,
@@ -481,7 +482,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_check": T.countmin_check,
         "kll_quantiles_check": T.kll_quantiles_check,
         "kmv_distinct_check": T.kmv_distinct_check,
-        "bloom_fpr_check": T.bloom_fpr_check,
         "temperature_mix": T.temperature_mix,
         "token_budget": T.token_budget,
         "inverted_index": T.inverted_index,
