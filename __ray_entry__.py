@@ -396,6 +396,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logreg_parity": T.logreg_parity,
         "pca_parity": S.pca_parity,
         "bpe_parity": T.bpe_parity,
+        "wordpiece_parity": T.wordpiece_parity,
+        "wordpiece_encode_parity": T.wordpiece_encode_parity,
         "unigram_parity": T.unigram_parity,
         "unigram_encode_parity": T.unigram_encode_parity,
         "unigram_lm": T.unigram_lm,
@@ -406,6 +408,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "score_calibration": T.score_calibration,
         "bpe_merges": T.bpe_merges,
         "bpe_encode": T.bpe_encode,
+        "wordpiece_merges": T.wordpiece_merges,
+        "wordpiece_encode": T.wordpiece_encode,
         "epoch_shuffle": T.epoch_shuffle,
         "pack_sequences": T.pack_sequences,
         "data_card": T.data_card,
@@ -1119,6 +1123,29 @@ def _oracle_sql_raw() -> dict[str, str]:
                                      trim(lower(text)), '\\s+')) END)
                         AS BIGINT) AS n_words,
                    CAST(1 AS BIGINT) AS chars_ok,
+                   CAST(1 AS BIGINT) AS parity_ok
+            FROM documents
+        """,
+        "wordpiece_parity": """
+            -- assertion oracle: the distributed WordPiece merge sequence
+            -- (likelihood-scored pairs, merged symbols, quantized scores)
+            -- must be bit-identical to its sequential twin (parity_ok),
+            -- complete all rounds, and have trained on EVERY token
+            -- instance (n_words recomputed from documents)
+            SELECT CAST(6 AS BIGINT) AS n_rounds,
+                   CAST(SUM(CASE WHEN trim(lower(text)) = '' THEN 0
+                            ELSE len(regexp_split_to_array(
+                                     trim(lower(text)), '\\s+')) END)
+                        AS BIGINT) AS n_words,
+                   CAST(1 AS BIGINT) AS parity_ok
+            FROM documents
+        """,
+        "wordpiece_encode_parity": """
+            -- assertion oracle: the distributed greedy longest-match
+            -- WordPiece encode (doc counts, piece counts, order-sensitive
+            -- p61 checksums) must be bit-identical to its sequential twin
+            -- over every document (n_docs recomputed from documents)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(1 AS BIGINT) AS parity_ok
             FROM documents
         """,

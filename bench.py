@@ -143,6 +143,11 @@ _BENCH_QUERIES = [
     "unigram_parity",
     # round-4: multi-table hyperplane LSH ANN (recall-gated vs brute force)
     "srp_recall",
+    # round-4: WordPiece trainer parity (distributed likelihood-scored
+    # merges AND the sequential twin run inside the query — the bpe/unigram
+    # parity pricing) + greedy longest-match encode
+    "wordpiece_parity",
+    "wordpiece_encode",
     # round-4 closing batch: HITS + bounded-round graph fixed points (share
     # the memoized edge buckets with pagerank), asymmetric containment
     # near-dup, positional phrase match, Hamilton token apportionment,

@@ -7106,3 +7106,350 @@ def blocklist_filter(sf_dir: str, min_df: int = 2,
         })
 
     return ds.map_batches(scan, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer (train + encode) — the third member of the tokenizer
+# trio next to BPE (bpe_merges) and Unigram-LM (unigram_lm)
+# ---------------------------------------------------------------------------
+
+
+def _wp_symbolize(word: str) -> list:
+    """Initial WordPiece symbolization: first character bare, every later
+    character carries the ``##`` continuation prefix (Schuster & Nakajima
+    2012; the BERT convention of Devlin et al. 2019)."""
+    return [word[0]] + ["##" + c for c in word[1:]]
+
+
+def _wp_apply(syms: list, left: str, right: str, merged: str) -> list:
+    """One merge pass — greedy left-to-right, non-overlapping (the
+    _bpe_apply contract), except the merged symbol strips ``right``'s
+    ``##`` continuation marker: ("w","##o") -> "wo"; ("##o","##r") ->
+    "##or"."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+_WP_SCALE = 10 ** 12
+
+
+def _wp_score_q(c_pair: int, c_left: int, c_right: int) -> int:
+    """The WordPiece pair score count(lr)/(count(l)*count(r)) quantized to
+    an exact integer: floor(c_pair * 1e12 / (c_left * c_right)), computed
+    in arbitrary-precision Python ints so the floor is exact.  The
+    quantized value IS the selection rule (ties then break on (left,
+    right) lexicographic), so engine and twin agree bit-for-bit with no
+    cross-library float division in sight; c_pair <= min(c_left, c_right)
+    bounds the result at 1e12, inside int64."""
+    return (int(c_pair) * _WP_SCALE) // (int(c_left) * int(c_right))
+
+
+def wordpiece_merges(sf_dir: str, rounds: int = 6) -> pa.Table:
+    """Learn the first ``rounds`` WordPiece merges over the corpus — the
+    likelihood-scored sibling of :func:`bpe_merges` (BPE picks the most
+    FREQUENT adjacent pair; WordPiece picks the pair maximizing
+    count(lr)/(count(l)·count(r)), the unigram-LM likelihood gain of the
+    merge — Schuster & Nakajima 2012, as shipped in BERT's tokenizer).
+
+    Scale shape (the bpe_merges contract): ONE corpus pass builds the
+    word-frequency table; every round after that scans only the
+    symbolized vocab table — one map_batches pass emits adjacent-pair
+    Counter partials into a pair-vocab-bounded groupby-sum, a second
+    emits per-symbol occurrence partials whose aggregate (bounded by the
+    SYMBOL vocabulary — the same cardinality bound token_budget's driver
+    fold rides on) broadcasts once as the denominator table, and the
+    quantized score (:func:`_wp_score_q` — exact integer, no float
+    division) is attached per pair row so the distributed
+    sort-limit(1) argmax with the STATED tie-break (score_q DESC, left
+    ASC, right ASC) is bit-reproducible under any block layout.  The
+    winning merge broadcasts as three strings in the next round's
+    closure; the driver holds only the ``rounds`` merge rows.  Verified
+    bit-identical to the sequential twin by :func:`wordpiece_parity`."""
+
+    def symbolize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "syms": pa.array([_wp_symbolize(w)
+                              for w in t["word"].to_pylist()],
+                             pa.list_(pa.string())),
+            "freq": t["freq"],
+        })
+
+    cur = (_bpe_word_counts(sf_dir)
+           .map_batches(symbolize, batch_format="pyarrow")
+           .materialize())
+
+    pair_schema = pa.schema([("left", pa.string()), ("right", pa.string()),
+                             ("cnt", pa.int64())])
+    sym_schema = pa.schema([("sym", pa.string()), ("cnt", pa.int64())])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        c = _bpe_pair_counter(t["syms"].to_pylist(), t["freq"].to_pylist())
+        if not c:
+            return pair_schema.empty_table()
+        return pa.table({
+            "left": pa.array([k[0] for k in c.keys()], pa.string()),
+            "right": pa.array([k[1] for k in c.keys()], pa.string()),
+            "cnt": pa.array([int(v) for v in c.values()], pa.int64()),
+        })
+
+    def sym_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c = Counter()
+        for syms, f in zip(t["syms"].to_pylist(), t["freq"].to_pylist()):
+            f = int(f)
+            for s in syms:
+                c[s] += f
+        if not c:
+            return sym_schema.empty_table()
+        return pa.table({
+            "sym": pa.array(list(c.keys()), pa.string()),
+            "cnt": pa.array([int(v) for v in c.values()], pa.int64()),
+        })
+
+    rows = []
+    for r in range(rounds):
+        syms_cnt = {row["sym"]: int(row["cnt"]) for row in
+                    (cur.map_batches(sym_partial, batch_format="pyarrow")
+                     .groupby("sym").aggregate(Sum("cnt", alias_name="cnt"))
+                     .take_all())}
+        sc_ref = ray.put(syms_cnt)
+
+        def score(t: pa.Table, sc_ref=sc_ref) -> pa.Table:
+            sc = ray.get(sc_ref)
+            lefts = t["left"].to_pylist()
+            rights = t["right"].to_pylist()
+            cnts = t["cnt"].to_pylist()
+            q = [_wp_score_q(c, sc[l], sc[rr])
+                 for l, rr, c in zip(lefts, rights, cnts)]
+            return t.append_column("score_q", pa.array(q, pa.int64()))
+
+        top = (cur.map_batches(pair_partial, batch_format="pyarrow")
+               .groupby(["left", "right"])
+               .aggregate(Sum("cnt", alias_name="cnt"))
+               .map_batches(score, batch_format="pyarrow")
+               .sort(["score_q", "left", "right"],
+                     descending=[True, False, False])
+               .limit(1)
+               .take_all())
+        if not top:
+            break
+        left, right = top[0]["left"], top[0]["right"]
+        merged = left + right[2:]  # right is always a ## continuation
+        rows.append((r, left, right, merged,
+                     int(top[0]["score_q"]), int(top[0]["cnt"])))
+
+        def apply(t: pa.Table, left=left, right=right,
+                  merged=merged) -> pa.Table:
+            return pa.table({
+                "syms": pa.array(
+                    [_wp_apply(s, left, right, merged)
+                     for s in t["syms"].to_pylist()],
+                    pa.list_(pa.string())),
+                "freq": t["freq"],
+            })
+
+        cur = cur.map_batches(apply, batch_format="pyarrow").materialize()
+
+    return pa.table({
+        "round": pa.array([x[0] for x in rows], pa.int64()),
+        "left": pa.array([x[1] for x in rows], pa.string()),
+        "right": pa.array([x[2] for x in rows], pa.string()),
+        "merged": pa.array([x[3] for x in rows], pa.string()),
+        "score_q": pa.array([x[4] for x in rows], pa.int64()),
+        "pair_count": pa.array([x[5] for x in rows], pa.int64()),
+    })
+
+
+def wordpiece_reference(sf_dir: str, rounds: int = 6) -> pa.Table:
+    """Sequential single-process twin of :func:`wordpiece_merges` (same
+    pure _tokens/_wp_symbolize/_wp_apply/_wp_score_q and tie-break, whole
+    corpus in one Counter) — the kmeans_reference contract."""
+    from collections import Counter
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["text"])
+    wc = Counter()
+    for text in t["text"].to_pylist():
+        wc.update(_tokens(text.lower()))
+    words = {w: _wp_symbolize(w) for w in wc}
+    rows = []
+    for r in range(rounds):
+        pc, sc = Counter(), Counter()
+        for w, syms in words.items():
+            f = wc[w]
+            for s in syms:
+                sc[s] += f
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        scored = {k: _wp_score_q(v, sc[k[0]], sc[k[1]])
+                  for k, v in pc.items()}
+        (left, right), q = min(
+            scored.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merged = left + right[2:]
+        rows.append((r, left, right, merged, int(q),
+                     int(pc[(left, right)])))
+        for w in words:
+            words[w] = _wp_apply(words[w], left, right, merged)
+    return pa.table({
+        "round": pa.array([x[0] for x in rows], pa.int64()),
+        "left": pa.array([x[1] for x in rows], pa.string()),
+        "right": pa.array([x[2] for x in rows], pa.string()),
+        "merged": pa.array([x[3] for x in rows], pa.string()),
+        "score_q": pa.array([x[4] for x in rows], pa.int64()),
+        "pair_count": pa.array([x[5] for x in rows], pa.int64()),
+    })
+
+
+def wordpiece_parity(sf_dir: str, rounds: int = 6) -> pa.Table:
+    """Gate-visible verdict: the distributed WordPiece merge sequence
+    (pairs, merged symbols, quantized scores AND pair counts) must be
+    bit-identical to the sequential twin, and the corpus word total the
+    training table saw must equal the real token count — the SQL oracle
+    pins parity_ok=1, n_rounds, and recomputes n_words from documents."""
+    eng = wordpiece_merges(sf_dir, rounds).to_pydict()
+    ref = wordpiece_reference(sf_dir, rounds).to_pydict()
+    ok = eng == ref
+    n_words = _bpe_word_total(sf_dir)
+    return pa.table({
+        "n_rounds": pa.array([len(eng["round"])], pa.int64()),
+        "n_words": pa.array([n_words], pa.int64()),
+        "parity_ok": pa.array([int(ok)], pa.int64()),
+    })
+
+
+class WordPieceEncoder:
+    """Actor-pool WordPiece ENCODE stage — greedy longest-match-first
+    over a vocabulary (the canonical BERT WordPiece inference algorithm:
+    repeatedly take the longest vocab piece that prefixes the remaining
+    word, continuation pieces carrying ``##``), the inference half of
+    :func:`wordpiece_merges`.
+
+    Stateful-stage contract (the BpeEncoder shape): the vocab frozenset
+    arrives ONCE per actor via ``ray.put`` and a word→pieces memo rides
+    Zipf; ``__call__`` folds each doc to counts + the module's
+    order-sensitive p61 polynomial checksum so nothing token-sized
+    leaves the stage.  Words with no vocab decomposition emit the single
+    ``[UNK]`` piece (impossible when vocab was trained on this corpus —
+    every initial symbol is in vocab — but the branch is the real
+    algorithm's)."""
+
+    _R = 1_000_003
+
+    def __init__(self, vocab_ref):
+        self.vocab = (ray.get(vocab_ref)
+                      if not isinstance(vocab_ref, frozenset) else vocab_ref)
+        self.cache: dict = {}
+
+    def encode_word(self, w: str) -> list:
+        enc = self.cache.get(w)
+        if enc is None:
+            pieces, i, n = [], 0, len(w)
+            while i < n:
+                j = n
+                while j > i:
+                    piece = ("##" + w[i:j]) if i else w[i:j]
+                    if piece in self.vocab:
+                        pieces.append(piece)
+                        break
+                    j -= 1
+                else:
+                    pieces = ["[UNK]"]
+                    break
+                i = j
+            enc = self.cache[w] = pieces
+        return enc
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n_words, n_syms, checks = [], [], []
+        for text in t["text"].to_pylist():
+            toks = _tokens(text.lower())
+            syms = [s for w in toks for s in self.encode_word(w)]
+            n_words.append(len(toks))
+            n_syms.append(len(syms))
+            if syms:
+                h = hash64_array(syms) % _P61
+                c = int(_mulmod_p61(h, _pow_range_p61(self._R, len(h)))
+                        .astype(object).sum() % int(_P61))
+            else:
+                c = 0
+            checks.append(c)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_wp_tokens": pa.array(n_syms, pa.int64()),
+            "enc_hash": pa.array(checks, pa.int64()),
+        })
+
+
+def _wp_vocab(sf_dir: str, rounds: int, merges: pa.Table) -> frozenset:
+    """The encode vocabulary: every INITIAL symbol of the training corpus
+    (each word's first char + ## continuations — one vocab-bounded
+    distributed fold over the word table) plus the learned merge outputs
+    — exactly what a trainer persists for the inference side."""
+    def init_syms(t: pa.Table) -> pa.Table:
+        s = set()
+        for w in t["word"].to_pylist():
+            s.update(_wp_symbolize(w))
+        return pa.table({"sym": pa.array(sorted(s), pa.string())})
+
+    base = (_bpe_word_counts(sf_dir)
+            .map_batches(init_syms, batch_format="pyarrow")
+            .groupby("sym").aggregate(Count())
+            .take_all())
+    return frozenset(r["sym"] for r in base) | \
+        frozenset(merges["merged"].to_pylist())
+
+
+def wordpiece_encode(sf_dir: str, rounds: int = 6) -> rd.Dataset:
+    """Distributed WordPiece encode of the whole corpus under the vocab
+    :func:`wordpiece_merges` + :func:`_wp_vocab` produce (see
+    :class:`WordPieceEncoder`)."""
+    vocab = _wp_vocab(sf_dir, rounds, wordpiece_merges(sf_dir, rounds))
+    ref = ray.put(vocab)
+    return (_read_documents(sf_dir, columns=["doc_id", "text"])
+            .map_batches(WordPieceEncoder,
+                         fn_constructor_kwargs={"vocab_ref": ref},
+                         batch_format="pyarrow", concurrency=2)
+            .sort("doc_id"))
+
+
+def wordpiece_encode_reference(sf_dir: str, rounds: int = 6) -> pa.Table:
+    """Sequential twin: the SAME WordPieceEncoder class over the whole
+    corpus as one batch in one process, under the sequential twin's
+    merges + an in-process vocab fold."""
+    import pyarrow.compute as pc
+
+    rt = wordpiece_reference(sf_dir, rounds)
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    syms = set()
+    for text in t["text"].to_pylist():
+        for w in _tokens(text.lower()):
+            syms.update(_wp_symbolize(w))
+    vocab = frozenset(syms) | frozenset(rt["merged"].to_pylist())
+    out = WordPieceEncoder(vocab)(t)
+    return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))
+
+
+def wordpiece_encode_parity(sf_dir: str, rounds: int = 6) -> pa.Table:
+    """Gate-visible verdict: distributed WordPiece encode ≡ sequential
+    twin (doc counts, piece counts AND order-sensitive content checksums
+    all bit-equal); the SQL oracle pins parity_ok=1 and recomputes
+    n_docs from documents."""
+    eng = wordpiece_encode(sf_dir, rounds).to_pandas().reset_index(drop=True)
+    ref = wordpiece_encode_reference(sf_dir, rounds).to_pandas()
+    ok = eng.equals(ref)
+    return pa.table({
+        "n_docs": pa.array([len(eng)], pa.int64()),
+        "parity_ok": pa.array([int(ok)], pa.int64()),
+    })

@@ -65,7 +65,8 @@ def ducksf():
      "pq_recall", "countmin_check", "packed_token_shards",
      "kll_quantiles_check", "blocklist_filter", "hits", "bfs_distance",
      "kcore_peel", "ngram_containment", "phrase_search", "token_budget",
-     "bloom_fpr_check", "score_calibration", "scc_certificate"],
+     "bloom_fpr_check", "score_calibration", "scc_certificate",
+     "wordpiece_parity", "wordpiece_encode_parity"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -1702,6 +1703,56 @@ def test_bpe_merges_bit_identical_to_sequential_twin(ray_session):
     # counts are monotone non-increasing only within a merge family, but
     # the FIRST merge must be the global most-frequent adjacent pair
     assert eng["pair_count"].iloc[0] >= eng["pair_count"].max()
+
+
+def test_wordpiece_pure_helpers():
+    from pholcus_ray.pipelines.textdata import (_wp_apply, _wp_score_q,
+                                                _wp_symbolize)
+
+    assert _wp_symbolize("word") == ["w", "##o", "##r", "##d"]
+    assert _wp_symbolize("a") == ["a"]
+    # greedy left-to-right non-overlap, merged symbol strips right's ##
+    assert _wp_apply(["a", "##b", "##a", "##b"], "a", "##b", "ab") == \
+        ["ab", "##a", "##b"]
+    assert _wp_apply(["##a", "##a", "##a"], "##a", "##a", "##aa") == \
+        ["##aa", "##a"]
+    # exact integer quantization: floor(c_p * 1e12 / (c_l * c_r))
+    assert _wp_score_q(1, 1, 1) == 10 ** 12
+    assert _wp_score_q(2, 3, 5) == (2 * 10 ** 12) // 15
+    # c_pair <= min(c_l, c_r) keeps the score inside int64
+    assert _wp_score_q(10 ** 9, 10 ** 9, 10 ** 9) == 1000
+
+
+def test_wordpiece_encoder_greedy_longest_match():
+    from pholcus_ray.pipelines.textdata import WordPieceEncoder
+
+    enc = WordPieceEncoder(frozenset(
+        ["un", "##aff", "##able", "##ffa", "u", "##n", "##a", "##f",
+         "##b", "##l", "##e"]))
+    # BERT's canonical example shape: longest prefix piece first
+    assert enc.encode_word("unaffable") == ["un", "##aff", "##able"]
+    # memo hit returns the same list
+    assert enc.encode_word("unaffable") is enc.cache["unaffable"]
+    # a word with no decomposition -> [UNK]
+    assert enc.encode_word("xyz") == ["[UNK]"]
+
+
+def test_wordpiece_merges_bit_identical_to_sequential_twin(ray_session):
+    from pholcus_ray.pipelines.textdata import (wordpiece_merges,
+                                                wordpiece_reference)
+
+    eng = wordpiece_merges(SF, rounds=5).to_pandas()
+    ref = wordpiece_reference(SF, rounds=5).to_pandas()
+    assert eng.equals(ref)
+    assert len(eng) == 5
+    # WordPiece's argmax is likelihood, not frequency: every learned
+    # merge's quantized score is the round's max by construction; scores
+    # are bounded by the 1e12 scale
+    assert (eng["score_q"] <= 10 ** 12).all()
+    assert (eng["score_q"] > 0).all()
+    # merged symbol = left + right without its ## continuation marker
+    for _, r in eng.iterrows():
+        assert r["merged"] == r["left"] + r["right"][2:]
 
 
 def test_minhash_sql_ctes_match_engine_on_adversarial_docs():
