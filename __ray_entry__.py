@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_recall": T.minhash_lsh_recall,
         "simhash_banding_complete": T.simhash_banding_complete,
         "ann_ivf_recall": S.ann_ivf_recall,
+        "nn_descent_recall": S.nn_descent_recall,
         "pq_recall": S.pq_recall,
         "pq_topk": S.pq_topk,
         "kmeans_parity": S.kmeans_parity,
@@ -447,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_filtered": S.ann_filtered,
         "knn_batch": S.knn_batch,
         "knn_graph": S.knn_graph,
+        "nn_descent": S.nn_descent,
         "ann_ivf": S.ann_ivf,
         # IVF probing all clusters is exact == brute force: SQL-oracles the
         # IVF routing/assignment machinery itself
@@ -1050,6 +1052,19 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT CAST(10 AS BIGINT) AS k,
                    CAST(10 AS BIGINT) AS n_results,
                    CAST(1 AS BIGINT) AS recall_ok
+        """,
+        "nn_descent_recall": """
+            -- assertion oracle: NN-Descent (3 rounds, k_build=3k over-
+            -- build) must reach mean recall >= 0.6 vs the exact kNN graph
+            -- (measured 0.98 at the gate SF on near-uniform vectors — the
+            -- algorithm's worst case), emit exactly k neighbors for EVERY
+            -- vector, and contain no self edges; n_vecs recomputed from
+            -- embeddings
+            SELECT CAST(5 AS BIGINT) AS k,
+                   CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   CAST(1 AS BIGINT) AS rows_ok,
+                   CAST(1 AS BIGINT) AS recall_ok
+            FROM embeddings
         """,
         "pq_recall": """
             -- assertion oracle: PQ/ADC (m=32 x ksub=16 codebooks) top-10

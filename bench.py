@@ -148,6 +148,9 @@ _BENCH_QUERIES = [
     # parity pricing) + greedy longest-match encode
     "wordpiece_parity",
     "wordpiece_encode",
+    # round-4: NN-Descent approximate kNN graph + recall gate (builds the
+    # 3-round over-built graph AND the exact knn_graph inside the query)
+    "nn_descent_recall",
     # round-4 closing batch: HITS + bounded-round graph fixed points (share
     # the memoized edge buckets with pagerank), asymmetric containment
     # near-dup, positional phrase match, Hamilton token apportionment,

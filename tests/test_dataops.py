@@ -66,7 +66,7 @@ def ducksf():
      "kll_quantiles_check", "blocklist_filter", "hits", "bfs_distance",
      "kcore_peel", "ngram_containment", "phrase_search", "token_budget",
      "bloom_fpr_check", "score_calibration", "scc_certificate",
-     "wordpiece_parity", "wordpiece_encode_parity"],
+     "wordpiece_parity", "wordpiece_encode_parity", "nn_descent_recall"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -1753,6 +1753,22 @@ def test_wordpiece_merges_bit_identical_to_sequential_twin(ray_session):
     # merged symbol = left + right without its ## continuation marker
     for _, r in eng.iterrows():
         assert r["merged"] == r["left"] + r["right"][2:]
+
+
+def test_nn_descent_deterministic_and_structural(ray_session):
+    from pholcus_ray.pipelines.similarity import nn_descent
+
+    a = nn_descent(SF, k=5, rounds=2).to_pandas()
+    b = nn_descent(SF, k=5, rounds=2).to_pandas()
+    # hash-derived init + stated tie-breaks => bit-stable across runs
+    assert a.equals(b)
+    # exactly k neighbors per vector, ranks 1..k, no self edges
+    assert (a.groupby("vec_id").size() == 5).all()
+    assert (a.groupby("vec_id")["rank"].max() == 5).all()
+    assert (a["vec_id"] != a["neighbor_id"]).all()
+    # cos is non-increasing within each vector's list
+    for _, g in a.groupby("vec_id"):
+        assert (g.sort_values("rank")["cos"].diff().dropna() <= 1e-12).all()
 
 
 def test_minhash_sql_ctes_match_engine_on_adversarial_docs():
