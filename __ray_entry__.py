@@ -488,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_check": T.countmin_check,
         "kll_quantiles_check": T.kll_quantiles_check,
         "kmv_distinct_check": T.kmv_distinct_check,
+        "kmv_overlap": T.kmv_overlap,
         "temperature_mix": T.temperature_mix,
         "token_budget": T.token_budget,
         "inverted_index": T.inverted_index,
@@ -665,6 +666,12 @@ def _kmv_distinct_check_sql() -> str:
     from pholcus_ray.pipelines.textdata import kmv_distinct_check_oracle_sql
 
     return kmv_distinct_check_oracle_sql()
+
+
+def _kmv_overlap_sql() -> str:
+    from pholcus_ray.pipelines.textdata import kmv_overlap_oracle_sql
+
+    return kmv_overlap_oracle_sql()
 
 
 def _score_calibration_sql() -> str:
@@ -1453,6 +1460,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "tokenized_shards": _tokenized_shards_sql(),
         "countmin_check": _countmin_check_sql(),
         "kmv_distinct_check": _kmv_distinct_check_sql(),
+        "kmv_overlap": _kmv_overlap_sql(),
         "bloom_fpr_check": _bloom_fpr_check_sql(),
         "score_calibration": _score_calibration_sql(),
         "packed_token_shards": _packed_token_shards_sql(),

@@ -151,6 +151,9 @@ _BENCH_QUERIES = [
     # round-4: NN-Descent approximate kNN graph + recall gate (builds the
     # 3-round over-built graph AND the exact knn_graph inside the query)
     "nn_descent_recall",
+    # round-4: pairwise KMV set-overlap sketch (Jaccard + union estimates
+    # vs the exact bitmask-fold intersection, full SQL replay)
+    "kmv_overlap",
     # round-4 closing batch: HITS + bounded-round graph fixed points (share
     # the memoized edge buckets with pagerank), asymmetric containment
     # near-dup, positional phrase match, Hamilton token apportionment,

@@ -7453,3 +7453,230 @@ def wordpiece_encode_parity(sf_dir: str, rounds: int = 6) -> pa.Table:
         "n_docs": pa.array([len(eng)], pa.int64()),
         "parity_ok": pa.array([int(ok)], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# KMV set-OVERLAP sketch: pairwise Jaccard / union estimation between
+# groups from mergeable bottom-k signatures
+# ---------------------------------------------------------------------------
+
+
+def kmv_overlap(sf_dir: str, k: int = 512, union_err_pct: int = 20,
+                jacc_err_q: int = 150_000, n_parts: int = 16) -> pa.Table:
+    """Pairwise audience overlap between order priorities from KMV
+    bottom-k signatures (Broder 1997 resemblance sketches on the
+    Bar-Yossef et al. bottom-k frame; Beyer et al. 2007 estimator for
+    the union size) — the CROSS-set member of the sketch family:
+    kmv_distinct_check answers "how many distinct" for ONE set; this
+    answers "how much do two sets SHARE" without ever co-shuffling them:
+    J_est = |bottomk(A∪B) ∩ sk(A) ∩ sk(B)| / |bottomk(A∪B)|, the
+    classic coordinated-sample estimator.
+
+    Scale shape: one pass builds the per-priority bottom-k sketches
+    (C-level unique/partition per block, fixed-size mergeable partials —
+    the kmv_distinct_check contract); the driver folds G sketches (G =
+    #groups, bounded) and forms all G·(G-1)/2 pair verdicts from
+    k-sized integer arrays — at 10^9 keys per group NOTHING but the
+    sketches ever moves.  The exact intersection/union (the accuracy
+    gate's ground truth, affordable only because the key universe is
+    modest here) is ONE custkey%P coarse exchange folding per-key
+    priority bitmasks into G^2-bounded pair-count partials.  Every
+    number is integer (estimates, 1e-6-quantized Jaccard, bounds), so
+    DuckDB replays the WHOLE construction — hashes, bottom-k sets,
+    merged union sketch, membership counts, both estimators and both
+    verdicts — nothing pinned.
+
+    Bounds: union sigma ~ 1/sqrt(k-2) = 4.4% at k=512 (gate 20% ~ 4.5
+    sigma); Jaccard sigma ~ sqrt(J(1-J)/k) ~ 0.019 at J~0.76 (gate 0.15
+    absolute ~ 8 sigma)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderpriority", "o_custkey"])
+    K = int(k)
+    P = int(n_parts)
+
+    def partial(t: pa.Table) -> pa.Table:
+        pr = np.asarray(t["o_orderpriority"].to_pylist(), dtype=object)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        groups, blobs = [], []
+        for g in np.unique(pr):
+            uu = np.unique(ck[pr == g])
+            h = np.unique(md5_lower64_array([f"c{int(c)}" for c in uu]))
+            if len(h) > K:
+                h = np.sort(np.partition(h, K - 1)[:K])
+            groups.append(str(g))
+            blobs.append(h.tobytes())
+        return pa.table({"grp": pa.array(groups, pa.string()),
+                         "sketch": pa.array(blobs, pa.binary())})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(np.concatenate(
+            [np.frombuffer(b, np.uint64) for b in g["sketch"]]))
+        if len(h) > K:
+            h = np.sort(np.partition(h, K - 1)[:K])
+        return pd.DataFrame({"grp": [g["grp"].iloc[0]],
+                             "sketch": [h.tobytes()]})
+
+    sk_rows = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("grp").map_groups(merge, batch_format="pandas")
+               .take_all())
+    sketches = {r["grp"]: np.frombuffer(r["sketch"], np.uint64)
+                for r in sk_rows}
+    prios = sorted(sketches)
+    pr_ref = ray.put(prios)
+
+    # exact pairwise intersections: per-key priority bitmasks folded to
+    # G^2-bounded pair-count partials inside one coarse exchange
+    def key_rows(t: pa.Table) -> pa.Table:
+        pl = ray.get(pr_ref)
+        idx = {p: i for i, p in enumerate(pl)}
+        pr = np.array([idx[p] for p in t["o_orderpriority"].to_pylist()],
+                      dtype=np.int64)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cpart": pa.array((ck % P).astype(np.int32)),
+            "c": pa.array(ck, pa.int64()),
+            "bit": pa.array((1 << pr).astype(np.int64)),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        pl = ray.get(pr_ref)
+        gg = g.drop_duplicates(subset=["c", "bit"])
+        masks = gg.groupby("c", sort=False)["bit"].sum().to_numpy()
+        pas, pbs, cnts = [], [], []
+        for i in range(len(pl)):
+            for j in range(i, len(pl)):
+                want = (1 << i) | (1 << j)
+                pas.append(i)
+                pbs.append(j)
+                cnts.append(int(((masks & want) == want).sum()))
+        return pd.DataFrame({"pa": pd.array(pas, dtype="int64"),
+                             "pb": pd.array(pbs, dtype="int64"),
+                             "cnt": pd.array(cnts, dtype="int64")})
+
+    ex_rows = (ds.map_batches(key_rows, batch_format="pyarrow")
+               .groupby("cpart").map_groups(fold, batch_format="pandas")
+               .groupby(["pa", "pb"]).aggregate(Sum("cnt", alias_name="cnt"))
+               .take_all())
+    exact = {(int(r["pa"]), int(r["pb"])): int(r["cnt"]) for r in ex_rows}
+
+    out = {c: [] for c in ("grp_a", "grp_b", "n_kept", "union_est",
+                           "inter_k", "jaccard_q", "union_ok", "jacc_ok")}
+    for i in range(len(prios)):
+        for j in range(i + 1, len(prios)):
+            sa, sb = sketches[prios[i]], sketches[prios[j]]
+            uni = np.unique(np.concatenate([sa, sb]))
+            nd = len(uni)
+            m = uni if nd <= K else np.sort(np.partition(uni, K - 1)[:K])
+            n_kept = len(m)
+            union_est = nd if nd < K else (K - 1) * (1 << 64) // int(m[-1])
+            inter_k = int((np.isin(m, sa) & np.isin(m, sb)).sum())
+            jacc_q = inter_k * 1_000_000 // n_kept
+            inter_ex = exact[(i, j)]
+            ca, cb = exact[(i, i)], exact[(j, j)]
+            union_ex = ca + cb - inter_ex
+            ex_jacc_q = inter_ex * 1_000_000 // union_ex
+            out["grp_a"].append(prios[i])
+            out["grp_b"].append(prios[j])
+            out["n_kept"].append(n_kept)
+            out["union_est"].append(union_est)
+            out["inter_k"].append(inter_k)
+            out["jaccard_q"].append(jacc_q)
+            out["union_ok"].append(
+                int(abs(union_est - union_ex) * 100
+                    <= union_err_pct * union_ex))
+            out["jacc_ok"].append(
+                int(abs(jacc_q - ex_jacc_q) <= jacc_err_q))
+    return pa.table({
+        "grp_a": pa.array(out["grp_a"], pa.string()),
+        "grp_b": pa.array(out["grp_b"], pa.string()),
+        "n_kept": pa.array(out["n_kept"], pa.int64()),
+        "union_est": pa.array(out["union_est"], pa.int64()),
+        "inter_k": pa.array(out["inter_k"], pa.int64()),
+        "jaccard_q": pa.array(out["jaccard_q"], pa.int64()),
+        "union_ok": pa.array(out["union_ok"], pa.int64()),
+        "jacc_ok": pa.array(out["jacc_ok"], pa.int64()),
+    })
+
+
+def kmv_overlap_oracle_sql(k: int = 512, union_err_pct: int = 20,
+                           jacc_err_q: int = 150_000) -> str:
+    """DuckDB replay of the WHOLE overlap construction: same hashes,
+    same per-group bottom-k sets, same merged union sketch, same
+    coordinated-sample membership count, same integer estimators and
+    accuracy verdicts vs the exact intersection — nothing pinned."""
+    return f"""
+        WITH d AS (
+            SELECT DISTINCT o_orderpriority AS p, o_custkey AS c FROM orders
+        ),
+        h AS (
+            SELECT p, CAST(md5_number_lower('c' || CAST(c AS VARCHAR))
+                           AS HUGEINT) AS hv
+            FROM d
+        ),
+        r AS (
+            SELECT p, hv, row_number() OVER (PARTITION BY p ORDER BY hv)
+                   AS rn
+            FROM h
+        ),
+        bk AS (SELECT p, hv FROM r WHERE rn <= {k}),
+        pl AS (SELECT DISTINCT p FROM d),
+        pairs AS (
+            SELECT a.p AS pa, b.p AS pb FROM pl a JOIN pl b ON a.p < b.p
+        ),
+        uni0 AS (
+            SELECT DISTINCT pr.pa, pr.pb, bk.hv
+            FROM pairs pr JOIN bk ON bk.p IN (pr.pa, pr.pb)
+        ),
+        uni AS (
+            SELECT pa, pb, hv,
+                   row_number() OVER (PARTITION BY pa, pb ORDER BY hv)
+                   AS rn,
+                   count(*) OVER (PARTITION BY pa, pb) AS nd
+            FROM uni0
+        ),
+        m AS (SELECT pa, pb, hv, nd FROM uni WHERE rn <= {k}),
+        stats AS (
+            SELECT m.pa, m.pb, any_value(m.nd) AS nd,
+                   count(*) AS n_kept, max(m.hv) AS hk,
+                   count(*) FILTER (
+                       WHERE EXISTS (SELECT 1 FROM bk x
+                                     WHERE x.p = m.pa AND x.hv = m.hv)
+                         AND EXISTS (SELECT 1 FROM bk y
+                                     WHERE y.p = m.pb AND y.hv = m.hv)
+                   ) AS inter_k
+            FROM m GROUP BY m.pa, m.pb
+        ),
+        exc AS (
+            SELECT x.p AS pa, y.p AS pb, COUNT(*) AS inter_ex
+            FROM d x JOIN d y ON x.c = y.c AND x.p < y.p
+            GROUP BY 1, 2
+        ),
+        cnt AS (SELECT p, COUNT(*) AS n FROM d GROUP BY 1),
+        est AS (
+            SELECT s.pa, s.pb,
+                   CAST(s.n_kept AS BIGINT) AS n_kept,
+                   CAST(CASE WHEN s.nd < {k} THEN s.nd
+                        ELSE ({k} - 1) *
+                             CAST('18446744073709551616' AS HUGEINT) // s.hk
+                        END AS BIGINT) AS union_est,
+                   CAST(s.inter_k AS BIGINT) AS inter_k,
+                   CAST(s.inter_k * 1000000 // s.n_kept AS BIGINT)
+                       AS jaccard_q,
+                   e.inter_ex,
+                   ca.n + cb.n - e.inter_ex AS union_ex
+            FROM stats s
+            JOIN exc e ON e.pa = s.pa AND e.pb = s.pb
+            JOIN cnt ca ON ca.p = s.pa
+            JOIN cnt cb ON cb.p = s.pb
+        )
+        SELECT pa AS grp_a, pb AS grp_b, n_kept, union_est, inter_k,
+               jaccard_q,
+               CAST(CASE WHEN abs(union_est - union_ex) * 100
+                              <= {union_err_pct} * union_ex
+                    THEN 1 ELSE 0 END AS BIGINT) AS union_ok,
+               CAST(CASE WHEN abs(jaccard_q -
+                                  inter_ex * 1000000 // union_ex)
+                              <= {jacc_err_q}
+                    THEN 1 ELSE 0 END AS BIGINT) AS jacc_ok
+        FROM est ORDER BY grp_a, grp_b
+    """

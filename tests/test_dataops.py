@@ -66,7 +66,8 @@ def ducksf():
      "kll_quantiles_check", "blocklist_filter", "hits", "bfs_distance",
      "kcore_peel", "ngram_containment", "phrase_search", "token_budget",
      "bloom_fpr_check", "score_calibration", "scc_certificate",
-     "wordpiece_parity", "wordpiece_encode_parity", "nn_descent_recall"],
+     "wordpiece_parity", "wordpiece_encode_parity", "nn_descent_recall",
+     "kmv_overlap"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
