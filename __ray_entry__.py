@@ -157,6 +157,18 @@ def _q_url_templates_parity(sf_dir: str):
     return url_templates_parity(_corpus_for(sf_dir))
 
 
+def _q_cdx_index(sf_dir: str):
+    from pholcus_ray.pipelines.graph import cdx_index
+
+    return cdx_index(_corpus_for(sf_dir))
+
+
+def _q_cdx_index_parity(sf_dir: str):
+    from pholcus_ray.pipelines.graph import cdx_index_parity
+
+    return cdx_index_parity(_corpus_for(sf_dir))
+
+
 def _blocks(t, n_blocks: int = 8):
     """Split an in-memory table into blocks so small actor pools get
     parallel work (round-1 finding: one block fed one actor, second idle)."""
@@ -382,6 +394,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text_parity": _q_anchor_text_parity,
         "url_templates": _q_url_templates,
         "url_templates_parity": _q_url_templates_parity,
+        "cdx_index": _q_cdx_index,
+        "cdx_index_parity": _q_cdx_index_parity,
         # gate-visible recall/completeness/parity twins for the
         # probabilistic + iterative family (round-2 judge item #6):
         # constant-schema verdict rows the oracle pins, so a silent
@@ -1442,6 +1456,13 @@ def _oracle_sql_raw() -> dict[str, str]:
             -- assertion oracle: distributed per-host URL-template
             -- inventory over the crawl corpus must equal the sequential
             -- twin byte-for-byte over a multi-host corpus
+            SELECT CAST(1 AS BIGINT) AS parity_ok
+        """,
+        "cdx_index_parity": """
+            -- assertion oracle: the distributed SURT-keyed CDX capture
+            -- index (digest-bucketed revisit marking + urlkey sort) must
+            -- equal the sequential twin byte-for-byte, cover every page
+            -- exactly once, and satisfy the revisit soundness rule
             SELECT CAST(1 AS BIGINT) AS parity_ok
         """,
         "pagerank_weighted_sample": _pagerank_sample_sql(),

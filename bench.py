@@ -154,6 +154,10 @@ _BENCH_QUERIES = [
     # round-4: pairwise KMV set-overlap sketch (Jaccard + union estimates
     # vs the exact bitmask-fold intersection, full SQL replay)
     "kmv_overlap",
+    # round-4: SURT-keyed CDX capture index over the crawl corpus (digest
+    # revisit dedup; the parity query runs the distributed index AND the
+    # sequential twin)
+    "cdx_index_parity",
     # round-4 closing batch: HITS + bounded-round graph fixed points (share
     # the memoized edge buckets with pagerank), asymmetric containment
     # near-dup, positional phrase match, Hamilton token apportionment,

@@ -180,3 +180,53 @@ def test_url_templates_parity_and_shape(ray_session):
         assert list(g["rank"]) == list(range(1, len(g) + 1))
         assert (g["n_pages"].values[:-1] >= g["n_pages"].values[1:]).all()
     assert int(url_templates_parity(corpus).to_pandas().iloc[0, 0]) == 1
+
+
+def test_surt_key_pure():
+    from pholcus_ray.pipelines.graph import _surt_key
+
+    assert _surt_key("http://a.Example.COM/x/y") == "com,example,a)/x/y"
+    assert _surt_key("http://host0.example.com") == "com,example,host0)/"
+    # query params sort for stability
+    assert _surt_key("http://h.com/p?b=2&a=1") == "com,h)/p?a=1&b=2"
+
+
+def test_cdx_index_parity_and_revisit_rule(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pholcus_ray.sources.pages import cached_corpus
+    from pholcus_ray.pipelines.graph import (cdx_index, cdx_index_parity,
+                                             cdx_index_reference)
+
+    corpus = cached_corpus(n_pages=200, n_hosts=5)
+    t = cdx_index(corpus).to_pandas()
+    assert len(t) > 0
+    # index is urlkey-sorted (the defining CDX property)
+    assert list(t["urlkey"]) == sorted(t["urlkey"])
+    assert int(cdx_index_parity(corpus).to_pandas().iloc[0, 0]) == 1
+
+    # synthetic corpus WITH duplicate content: the revisit rule must point
+    # every later capture of an identical payload at the earliest capture
+    d = tmp_path / "pages"
+    d.mkdir()
+    ts = pa.array(np.arange(6) * 1_000_000, pa.timestamp("us"))
+    urls = [f"http://h{i % 3}.example.com/p/{i}" for i in range(6)]
+    html = [b"same", b"same", b"other", b"same", b"uniq", b"other"]
+    pq.write_table(pa.table({"url": pa.array(urls), "warc_ts": ts,
+                             "html": pa.array(html, pa.binary())}),
+                   str(d / "part.parquet"))
+    eng = cdx_index(str(tmp_path)).to_pandas()
+    ref = cdx_index_reference(str(tmp_path)).to_pandas()
+    assert eng.equals(ref)
+    assert int(cdx_index_parity(str(tmp_path)).to_pandas().iloc[0, 0]) == 1
+    k = dict(zip(eng["urlkey"], zip(eng["is_revisit"], eng["orig_urlkey"])))
+    first_same = "com,example,h0)/p/0"
+    assert k[first_same] == (0, first_same)
+    assert k["com,example,h1)/p/1"] == (1, first_same)
+    assert k["com,example,h0)/p/3"] == (1, first_same)
+    first_other = "com,example,h2)/p/2"
+    assert k[first_other] == (0, first_other)
+    assert k["com,example,h2)/p/5"] == (1, first_other)
+    assert k["com,example,h1)/p/4"][0] == 0
