@@ -179,6 +179,40 @@ def _blocks(t, n_blocks: int = 8):
     return rd.from_arrow([t.slice(i, step) for i in range(0, n, step)])
 
 
+def _q_mime_sniff(sf_dir: str):
+    """Magic-byte MIME routing over a mixed real-container payload table
+    (the untyped-binary ingest front door; see stages/multimodal.py)."""
+    from pholcus_ray.stages.multimodal import MimeSniff, synth_mixed_table
+
+    n = 40 if _sf_name(sf_dir) != "sf0.1" else 160
+    t = synth_mixed_table(n).drop_columns(["true_mime"])
+    return _blocks(t).map_batches(
+        MimeSniff, batch_format="pyarrow", batch_size=64, concurrency=2
+    ).sort("item_id")
+
+
+def _q_mime_sniff_check(sf_dir: str):
+    """Gate-visible verdict: every payload's sniffed MIME equals the
+    generator's ground truth (7 distinct types, unknown fallback
+    included); the SQL oracle pins both constants."""
+    import pyarrow as pa
+
+    from pholcus_ray.stages.multimodal import synth_mixed_table
+
+    n = 40 if _sf_name(sf_dir) != "sf0.1" else 160
+    truth = {int(i): m for i, m in zip(
+        synth_mixed_table(n)["item_id"].to_pylist(),
+        synth_mixed_table(n)["true_mime"].to_pylist())}
+    got = _q_mime_sniff(sf_dir).to_pandas()
+    ok = (len(got) == len(truth)
+          and all(truth[int(i)] == m
+                  for i, m in zip(got["item_id"], got["mime"])))
+    return pa.table({
+        "n_mimes": pa.array([got["mime"].nunique()], pa.int64()),
+        "sniff_ok": pa.array([int(ok)], pa.int64()),
+    })
+
+
 def _q_jsonl_roundtrip(sf_dir: str):
     from pholcus_ray.sources.jsonl import jsonl_roundtrip
 
@@ -531,6 +565,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_png": _q_multimodal_png,
         "multimodal_gif": _q_multimodal_gif,
         "image_phash_dups": _q_image_phash_dups,
+        "mime_sniff": _q_mime_sniff,
+        "mime_sniff_check": _q_mime_sniff_check,
         # relational operator breadth (SQL-oracled, stable since round 1)
         "q1_pricing": R.q1_pricing,
         "top_orders": R.top_orders,
@@ -1457,6 +1493,13 @@ def _oracle_sql_raw() -> dict[str, str]:
             -- inventory over the crawl corpus must equal the sequential
             -- twin byte-for-byte over a multi-host corpus
             SELECT CAST(1 AS BIGINT) AS parity_ok
+        """,
+        "mime_sniff_check": """
+            -- assertion oracle: magic-byte MIME detection over the mixed
+            -- real-container table (WAV/au/PPM/BMP/PNG/GIF + unknown) must
+            -- classify every payload to the generator's ground truth
+            SELECT CAST(7 AS BIGINT) AS n_mimes,
+                   CAST(1 AS BIGINT) AS sniff_ok
         """,
         "cdx_index_parity": """
             -- assertion oracle: the distributed SURT-keyed CDX capture

@@ -158,6 +158,8 @@ _BENCH_QUERIES = [
     # revisit dedup; the parity query runs the distributed index AND the
     # sequential twin)
     "cdx_index_parity",
+    # round-4: magic-byte MIME router over mixed real-container payloads
+    "mime_sniff_check",
     # round-4 closing batch: HITS + bounded-round graph fixed points (share
     # the memoized edge buckets with pagerank), asymmetric containment
     # near-dup, positional phrase match, Hamilton token apportionment,

@@ -67,7 +67,7 @@ def ducksf():
      "kcore_peel", "ngram_containment", "phrase_search", "token_budget",
      "bloom_fpr_check", "score_calibration", "scc_certificate",
      "wordpiece_parity", "wordpiece_encode_parity", "nn_descent_recall",
-     "kmv_overlap", "cdx_index_parity"],
+     "kmv_overlap", "cdx_index_parity", "mime_sniff_check"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -2551,3 +2551,20 @@ def test_ngram_containment_asymmetric_inclusion(ray_session,
     jac = ngram_jaccard_exact(d, threshold=0.9).to_pandas()
     # Jaccard misses the inclusion pair entirely (empty result here)
     assert len(jac) == 0 or not ((jac["a"] == 0) & (jac["b"] == 1)).any()
+
+
+def test_sniff_mime_pure():
+    from pholcus_ray.stages.multimodal import sniff_mime
+
+    assert sniff_mime(b"RIFF\x00\x00\x00\x00WAVEfmt ") == "audio/wav"
+    # RIFF without WAVE form type is NOT wav (e.g. RIFF/AVI)
+    assert sniff_mime(b"RIFF\x00\x00\x00\x00AVI LIST") == \
+        "application/octet-stream"
+    assert sniff_mime(b".snd\x00\x00\x00\x18") == "audio/basic"
+    assert sniff_mime(b"P6\n4 4\n255\n") == "image/x-portable-pixmap"
+    assert sniff_mime(b"BM\x00\x00") == "image/bmp"
+    assert sniff_mime(b"\x89PNG\r\n\x1a\n") == "image/png"
+    assert sniff_mime(b"GIF87a") == "image/gif"
+    assert sniff_mime(b"GIF89a") == "image/gif"
+    assert sniff_mime(b"") == "application/octet-stream"
+    assert sniff_mime(b"\xffhello") == "application/octet-stream"
