@@ -148,9 +148,10 @@ _BENCH_QUERIES = [
     # parity pricing) + greedy longest-match encode
     "wordpiece_parity",
     "wordpiece_encode",
-    # round-4: NN-Descent approximate kNN graph + recall gate (builds the
-    # 3-round over-built graph AND the exact knn_graph inside the query)
-    "nn_descent_recall",
+    # round-4: NN-Descent approximate kNN graph (the recall twin is gate-
+    # checked at sf0.01; timing the twin here would mostly re-time the
+    # exact knn_graph it compares against)
+    "nn_descent",
     # round-4: pairwise KMV set-overlap sketch (Jaccard + union estimates
     # vs the exact bitmask-fold intersection, full SQL replay)
     "kmv_overlap",

@@ -7160,11 +7160,12 @@ def wordpiece_merges(sf_dir: str, rounds: int = 6) -> pa.Table:
 
     Scale shape (the bpe_merges contract): ONE corpus pass builds the
     word-frequency table; every round after that scans only the
-    symbolized vocab table — one map_batches pass emits adjacent-pair
-    Counter partials into a pair-vocab-bounded groupby-sum, a second
-    emits per-symbol occurrence partials whose aggregate (bounded by the
-    SYMBOL vocabulary — the same cardinality bound token_budget's driver
-    fold rides on) broadcasts once as the denominator table, and the
+    symbolized vocab table — ONE map_batches pass emits adjacent-pair
+    AND per-symbol Counter partials (kind-tagged rows) into a single
+    vocab-bounded groupby-sum per round; the symbol slice (bounded by
+    the SYMBOL vocabulary — the same cardinality bound token_budget's
+    driver fold rides on) broadcasts once as the denominator table, and
+    the
     quantized score (:func:`_wp_score_q` — exact integer, no float
     division) is attached per pair row so the distributed
     sort-limit(1) argmax with the STATED tie-break (score_q DESC, left
@@ -7185,43 +7186,53 @@ def wordpiece_merges(sf_dir: str, rounds: int = 6) -> pa.Table:
            .map_batches(symbolize, batch_format="pyarrow")
            .materialize())
 
-    pair_schema = pa.schema([("left", pa.string()), ("right", pa.string()),
-                             ("cnt", pa.int64())])
-    sym_schema = pa.schema([("sym", pa.string()), ("cnt", pa.int64())])
+    both_schema = pa.schema([("kind", pa.int8()), ("left", pa.string()),
+                             ("right", pa.string()), ("cnt", pa.int64())])
 
-    def pair_partial(t: pa.Table) -> pa.Table:
-        c = _bpe_pair_counter(t["syms"].to_pylist(), t["freq"].to_pylist())
-        if not c:
-            return pair_schema.empty_table()
-        return pa.table({
-            "left": pa.array([k[0] for k in c.keys()], pa.string()),
-            "right": pa.array([k[1] for k in c.keys()], pa.string()),
-            "cnt": pa.array([int(v) for v in c.values()], pa.int64()),
-        })
-
-    def sym_partial(t: pa.Table) -> pa.Table:
+    def both_partial(t: pa.Table) -> pa.Table:
+        """Pair AND symbol Counter partials from one scan of the block —
+        kind 0 = adjacent pair, kind 1 = symbol occurrence (right '') —
+        so each round pays ONE vocab-bounded exchange, not two."""
         from collections import Counter
-        c = Counter()
-        for syms, f in zip(t["syms"].to_pylist(), t["freq"].to_pylist()):
+        words = t["syms"].to_pylist()
+        freqs = t["freq"].to_pylist()
+        pc_ = _bpe_pair_counter(words, freqs)
+        sc_ = Counter()
+        for syms, f in zip(words, freqs):
             f = int(f)
             for s in syms:
-                c[s] += f
-        if not c:
-            return sym_schema.empty_table()
+                sc_[s] += f
+        if not pc_ and not sc_:
+            return both_schema.empty_table()
         return pa.table({
-            "sym": pa.array(list(c.keys()), pa.string()),
-            "cnt": pa.array([int(v) for v in c.values()], pa.int64()),
+            "kind": pa.array([0] * len(pc_) + [1] * len(sc_), pa.int8()),
+            "left": pa.array([k[0] for k in pc_] + list(sc_.keys()),
+                             pa.string()),
+            "right": pa.array([k[1] for k in pc_] + [""] * len(sc_),
+                              pa.string()),
+            "cnt": pa.array([int(v) for v in pc_.values()]
+                            + [int(v) for v in sc_.values()], pa.int64()),
         })
 
     rows = []
     for r in range(rounds):
-        syms_cnt = {row["sym"]: int(row["cnt"]) for row in
-                    (cur.map_batches(sym_partial, batch_format="pyarrow")
-                     .groupby("sym").aggregate(Sum("cnt", alias_name="cnt"))
-                     .take_all())}
+        agg = (cur.map_batches(both_partial, batch_format="pyarrow")
+               .groupby(["kind", "left", "right"])
+               .aggregate(Sum("cnt", alias_name="cnt"))
+               .materialize())
+
+        def sym_rows(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc_
+            return t.filter(pc_.equal(t["kind"], 1))
+
+        syms_cnt = {row["left"]: int(row["cnt"]) for row in
+                    agg.map_batches(sym_rows,
+                                    batch_format="pyarrow").take_all()}
         sc_ref = ray.put(syms_cnt)
 
         def score(t: pa.Table, sc_ref=sc_ref) -> pa.Table:
+            import pyarrow.compute as pc_
+            t = t.filter(pc_.equal(t["kind"], 0))
             sc = ray.get(sc_ref)
             lefts = t["left"].to_pylist()
             rights = t["right"].to_pylist()
@@ -7230,10 +7241,7 @@ def wordpiece_merges(sf_dir: str, rounds: int = 6) -> pa.Table:
                  for l, rr, c in zip(lefts, rights, cnts)]
             return t.append_column("score_q", pa.array(q, pa.int64()))
 
-        top = (cur.map_batches(pair_partial, batch_format="pyarrow")
-               .groupby(["left", "right"])
-               .aggregate(Sum("cnt", alias_name="cnt"))
-               .map_batches(score, batch_format="pyarrow")
+        top = (agg.map_batches(score, batch_format="pyarrow")
                .sort(["score_q", "left", "right"],
                      descending=[True, False, False])
                .limit(1)
