@@ -417,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc_certificate": G.scc_certificate,
         "kcore_peel": G.kcore_peel,
         "minlabel_components": G.minlabel_components,
+        "random_walks": G.random_walks,
         "triangle_count": G.triangle_count,
         "link_degree_stats": G.link_degree_stats,
         "pagerank_weighted_sample": G.pagerank_weighted_sample,
@@ -722,6 +723,12 @@ def _kmv_overlap_sql() -> str:
     from pholcus_ray.pipelines.textdata import kmv_overlap_oracle_sql
 
     return kmv_overlap_oracle_sql()
+
+
+def _random_walks_sql() -> str:
+    from pholcus_ray.pipelines.graph import random_walks_oracle_sql
+
+    return random_walks_oracle_sql()
 
 
 def _score_calibration_sql() -> str:
@@ -1494,6 +1501,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             -- twin byte-for-byte over a multi-host corpus
             SELECT CAST(1 AS BIGINT) AS parity_ok
         """,
+        "random_walks": _random_walks_sql(),
         "mime_sniff_check": """
             -- assertion oracle: magic-byte MIME detection over the mixed
             -- real-container table (WAV/au/PPM/BMP/PNG/GIF + unknown) must

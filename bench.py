@@ -161,6 +161,9 @@ _BENCH_QUERIES = [
     "cdx_index_parity",
     # round-4: magic-byte MIME router over mixed real-container payloads
     "mime_sniff_check",
+    # round-4: hash-driven DeepWalk walk corpus (shuffle-free advance over
+    # plasma-pinned edge buckets; every hop SQL-value-verified)
+    "random_walks",
     # round-4 closing batch: HITS + bounded-round graph fixed points (share
     # the memoized edge buckets with pagerank), asymmetric containment
     # near-dup, positional phrase match, Hamilton token apportionment,

@@ -2279,3 +2279,120 @@ def cdx_index_parity(corpus_dir: str) -> pa.Table:
                 for d, o in zip(eng["digest"], eng["orig_urlkey"]))
     ok = eng.equals(ref) and len(eng) == n_pages and sound
     return pa.table({"parity_ok": pa.array([int(ok)], pa.int64())})
+
+
+# --------------------------------------------------------------------------
+# Random-walk corpus generation (DeepWalk/node2vec input: Perozzi et al.
+# 2014) — one hash-driven walk per node over the derived doc graph,
+# every step value-verified in SQL
+# --------------------------------------------------------------------------
+
+
+def random_walks(sf_dir: str, length: int = 4,
+                 n_buckets: int = 16) -> rd.Dataset:
+    """The walk-corpus generator skip-gram graph embeddings train on: one
+    deterministic ``length``-step walk starting at every node, next hop
+    at step s of walk w = the md5("rw:{w}:{s}") % degree-th smallest
+    out-neighbor — hash-derived, so the "random" walk is bit-reproducible
+    AND exactly replayable by the DuckDB oracle (each step is one
+    ranked-neighbor join CTE; the gate value-verifies every visited node,
+    not a statistic).
+
+    Scale shape — the walk loop is SHUFFLE-FREE, unlike the label fixed
+    points above that must exchange per round: walk states (walk_id,
+    node) advance embarrassingly parallel in whatever blocks they sit
+    in; each map task resolves neighbors from the plasma-pinned
+    key-sorted edge buckets (``ray.put`` once per bucket, zero-copy read
+    from every task — the broadcast-small-side discipline) via two
+    C-level searchsorted calls per (batch, bucket). Derived graph
+    out-degree is 1..3, so no walk ever stalls; per-step state is
+    materialized (L short chains, no recomputation) and the only
+    all-to-all in the whole operator is the final (walk_id, step)
+    presentation sort."""
+    from ..functions.hashing import md5_lower64_array
+
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    key_f = f"hitsF:{sf_dir}:{n_docs}:{n_buckets}"
+    refs_f = {b: _derived_kv_bucket.remote(n_docs, b, n_buckets, False)
+              for b in range(n_buckets)}
+    ray.wait(list(refs_f.values()), num_returns=n_buckets)
+    nb = np.int64(n_buckets)
+
+    def start(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "walk_id": pa.array(ids, pa.int64()),
+            "step": pa.array(np.zeros(len(ids), np.int64)),
+            "node": pa.array(ids, pa.int64()),
+        })
+
+    state = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id"])
+             .map_batches(start, batch_format="pyarrow")
+             .materialize())
+    steps = [state]
+    for s in range(length):
+        def advance(t: pa.Table, s=s) -> pa.Table:
+            wid = t["walk_id"].to_numpy(zero_copy_only=False)
+            cur = t["node"].to_numpy(zero_copy_only=False)
+            pick = md5_lower64_array([f"rw:{int(w)}:{s}" for w in wid])
+            nxt = np.empty(len(cur), np.int64)
+            part = (cur % nb).astype(np.int64)
+            for p in np.unique(part):
+                ekey, eoth, _ = _kv_arrays(key_f, int(p), refs_f)
+                rows = np.flatnonzero(part == p)
+                lo = np.searchsorted(ekey, cur[rows], side="left")
+                hi = np.searchsorted(ekey, cur[rows], side="right")
+                for r, a, b in zip(rows, lo, hi):
+                    nbrs = np.sort(eoth[a:b])  # rank by dst ASC (the
+                    # oracle's row_number ORDER BY dst contract)
+                    nxt[r] = nbrs[int(pick[r] % np.uint64(len(nbrs)))]
+            return pa.table({
+                "walk_id": pa.array(wid, pa.int64()),
+                "step": pa.array(np.full(len(wid), s + 1, np.int64)),
+                "node": pa.array(nxt, pa.int64()),
+            })
+
+        state = state.map_batches(advance,
+                                  batch_format="pyarrow").materialize()
+        steps.append(state)
+
+    out = steps[0]
+    for st in steps[1:]:
+        out = out.union(st)
+    return out.sort(["walk_id", "step"])
+
+
+def random_walks_oracle_sql(length: int = 4) -> str:
+    """Chained-CTE DuckDB replay of every hash-driven hop: neighbors
+    ranked by dst per src, pick rank = md5 % degree — value-identical to
+    the engine on every (walk_id, step, node) row."""
+    head = f"""
+WITH mults(i, m, a) AS (VALUES (0, {_MULTS[0]}, {_OFFS[0]}),
+                               (1, {_MULTS[1]}, {_OFFS[1]}),
+                               (2, {_MULTS[2]}, {_OFFS[2]})),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src, (d.doc_id * t.m + t.a) % nn.n AS dst
+  FROM documents d CROSS JOIN nn JOIN mults t ON t.i <= d.doc_id % 3
+),
+er AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rn,
+         count(*) OVER (PARTITION BY src) AS deg
+  FROM edges
+),
+w0 AS (SELECT doc_id AS walk_id, doc_id AS node FROM documents)"""
+    body = ""
+    for s in range(length):
+        body += f""",
+w{s + 1} AS (
+  SELECT w.walk_id, e.dst AS node
+  FROM w{s} w JOIN er e ON e.src = w.node
+  AND e.rn = CAST(md5_number_lower('rw:' || CAST(w.walk_id AS VARCHAR)
+                                   || ':{s}') AS HUGEINT) % e.deg)"""
+    selects = "\nUNION ALL\n".join(
+        f"SELECT walk_id, CAST({s} AS BIGINT) AS step, node FROM w{s}"
+        for s in range(length + 1))
+    return (f"{head}{body}\n{selects}\nORDER BY walk_id, step")

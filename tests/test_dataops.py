@@ -67,7 +67,8 @@ def ducksf():
      "kcore_peel", "ngram_containment", "phrase_search", "token_budget",
      "bloom_fpr_check", "score_calibration", "scc_certificate",
      "wordpiece_parity", "wordpiece_encode_parity", "nn_descent_recall",
-     "kmv_overlap", "cdx_index_parity", "mime_sniff_check"],
+     "kmv_overlap", "cdx_index_parity", "mime_sniff_check",
+     "random_walks"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E

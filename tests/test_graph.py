@@ -230,3 +230,31 @@ def test_cdx_index_parity_and_revisit_rule(ray_session, tmp_path):
     assert k[first_other] == (0, first_other)
     assert k["com,example,h2)/p/5"] == (1, first_other)
     assert k["com,example,h1)/p/4"][0] == 0
+
+
+def test_random_walks_structure_and_determinism(ray_session):
+    import numpy as np
+
+    from pholcus_ray.pipelines.graph import random_walks
+
+    sf = "/root/testdata/sf0.001"
+    a = random_walks(sf, length=3).to_pandas()
+    b = random_walks(sf, length=3).to_pandas()
+    assert a.equals(b)  # hash-driven: bit-stable across runs
+    n = a["walk_id"].nunique()
+    # every walk visits exactly length+1 nodes, steps 0..3, starts at home
+    assert len(a) == n * 4
+    g0 = a[a["step"] == 0]
+    assert (g0["walk_id"].values == g0["node"].values).all()
+    # each hop follows a real derived-graph edge
+    nxt = dict()
+    for _, r in a.iterrows():
+        nxt.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    from pholcus_ray.pipelines.graph import _MULTS, _OFFS
+    for w, path in list(nxt.items())[:50]:
+        for s in range(3):
+            u, v = path[s], path[s + 1]
+            deg = 1 + (u % 3)
+            nbrs = {(u * m + o) % n for m, o in
+                    list(zip(_MULTS, _OFFS))[:deg]}
+            assert v in nbrs
