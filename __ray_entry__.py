@@ -412,6 +412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative graph analysis (bucket-pinned edges, integer fixed
         # point, fully SQL-oracled via chained per-iteration CTEs)
         "pagerank": G.pagerank,
+        "opic": G.opic,
+        "recrawl_priority": G.recrawl_priority,
         "hits": G.hits,
         "bfs_distance": G.bfs_distance,
         "scc_certificate": G.scc_certificate,
@@ -603,6 +605,18 @@ def _pagerank_sql() -> str:
     from pholcus_ray.pipelines.graph import pagerank_oracle_sql
 
     return pagerank_oracle_sql(iters=5)
+
+
+def _opic_sql() -> str:
+    from pholcus_ray.pipelines.graph import opic_oracle_sql
+
+    return opic_oracle_sql(iters=5)
+
+
+def _recrawl_priority_sql() -> str:
+    from pholcus_ray.pipelines.graph import recrawl_priority_oracle_sql
+
+    return recrawl_priority_oracle_sql()
 
 
 def _hits_sql() -> str:
@@ -1478,6 +1492,8 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM w GROUP BY lang
         """,
         "pagerank": _pagerank_sql(),
+        "opic": _opic_sql(),
+        "recrawl_priority": _recrawl_priority_sql(),
         "hits": _hits_sql(),
         "bfs_distance": _bfs_distance_sql(),
         "scc_certificate": _scc_certificate_sql(),

@@ -83,6 +83,8 @@ _BENCH_QUERIES = [
     "inverted_index",
     "quantile_buckets",
     "pagerank",
+    "opic",
+    "recrawl_priority",
     "event_funnel",
     "time_band_join",
     "bm25_topk",

@@ -2396,3 +2396,421 @@ w{s + 1} AS (
         f"SELECT walk_id, CAST({s} AS BIGINT) AS step, node FROM w{s}"
         for s in range(length + 1))
     return (f"{head}{body}\n{selects}\nORDER BY walk_id, step")
+
+
+# --------------------------------------------------------------------------
+# OPIC — Adaptive On-line Page Importance Computation (Abiteboul, Preda,
+# Cobena, WWW 2003): the importance measure crawlers compute WHILE they
+# crawl, instead of batch PageRank. Every page holds "cash"; each round a
+# page distributes its cash equally to its out-neighbors plus one virtual
+# page (the ergodicity device of the paper), and banks what it held into
+# its "history". Importance after k rounds ~ history + cash. The
+# reference's scheduler ranks hosts by static priority (pholcus feeds
+# depth/priority queues); OPIC is the frontier-importance upgrade a
+# 10^10-URL crawl would schedule by.
+# --------------------------------------------------------------------------
+#
+# Integer discipline: share = cash // (outdeg + 1) per real out-edge; the
+# VIRTUAL page absorbs cash - outdeg * share (its own share PLUS the
+# floor-division residue), so total cash is conserved EXACTLY:
+# sum(cash) + virtual == (N + 1) * R0 after every round — an invariant
+# the unit test checks and the SQL oracle reproduces bit-for-bit. The
+# virtual page redistributes floor(v / N) to every page next round and
+# keeps its own remainder.
+
+_OPIC_VIRT = np.int64(-1)
+# row kinds crossing the per-round exchange
+_OPK_CONTRIB, _OPK_HIST, _OPK_GRANT, _OPK_SENT = 0, 1, 2, 3
+
+
+def opic(sf_dir: str, iters: int = 5, n_buckets: int = 32) -> rd.Dataset:
+    """OPIC cash/history fixed point over the derived doc link graph —
+    fully SQL-oracled (chained per-round CTEs state the identical integer
+    rule, including the virtual page's scalar cash line).
+
+    Scale shape — identical to :func:`pagerank_iterations`: edges live in
+    plasma-pinned src-sorted buckets (built once, zero-copy read by every
+    task), state is one slim int64 row per node, and each round is ONE
+    (dpart)-keyed exchange of combined (dst, contrib) partials + per-node
+    history carries. The virtual page is one extra row in a dedicated
+    bucket; its per-round grant reaches every bucket as n_buckets slim
+    rows, never a broadcast. At 10^10 nodes each round moves
+    O(nodes + distinct dst per batch) int64 rows — the same exchange
+    volume PageRank pays, with no extra barrier for the virtual page."""
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    if n_docs * max(_MULTS) >= 2 ** 63:
+        raise ValueError("derived graph: n_docs * max multiplier overflows "
+                         "int64 — regenerate with smaller constants")
+    graph_key = f"docgraph:{sf_dir}:{n_docs}:{n_buckets}"
+    refs = {b: _derived_edge_bucket.remote(n_docs, b, n_buckets)
+            for b in range(n_buckets)}
+    ray.wait(list(refs.values()), num_returns=len(refs))
+    nb = np.int64(n_buckets)
+    vpart = int(n_buckets)  # the virtual page's own (extra) bucket
+
+    def init(t: pa.Table) -> pa.Table:
+        node = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array(node % nb),
+            "node": pa.array(node, pa.int64()),
+            "cash": pa.array(np.full(len(node), R0, np.int64)),
+            "hist": pa.array(np.zeros(len(node), np.int64)),
+        })
+
+    state = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id"])
+             .map_batches(init, batch_format="pyarrow"))
+    # the virtual page starts with the same R0 stake as every real page
+    virt0 = rd.from_arrow(pa.table({
+        "part": pa.array([vpart], pa.int64()),
+        "node": pa.array([int(_OPIC_VIRT)], pa.int64()),
+        "cash": pa.array([R0], pa.int64()),
+        "hist": pa.array([0], pa.int64()),
+    }))
+    state = state.union(virt0)
+
+    def contribute(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        cash = t["cash"].to_numpy(zero_copy_only=False)
+        hist = t["hist"].to_numpy(zero_copy_only=False)
+        part = t["part"].to_numpy(zero_copy_only=False)
+        out_p, out_d, out_c, out_k = [], [], [], []
+
+        virt = node == _OPIC_VIRT
+        if virt.any():
+            v = int(cash[virt][0])
+            vh = int(hist[virt][0])
+            g = v // n_docs
+            # one grant row per real bucket: every node adds g in fold
+            out_p.append(np.arange(n_buckets, dtype=np.int64))
+            out_d.append(np.zeros(n_buckets, np.int64))
+            out_c.append(np.full(n_buckets, g, np.int64))
+            out_k.append(np.full(n_buckets, _OPK_GRANT, np.int8))
+            # virtual keeps its remainder; banks its cash into history
+            out_p.append(np.array([vpart, vpart], np.int64))
+            out_d.append(np.array([_OPIC_VIRT, _OPIC_VIRT], np.int64))
+            out_c.append(np.array([v - n_docs * g, vh + v], np.int64))
+            out_k.append(np.array([_OPK_CONTRIB, _OPK_HIST], np.int8))
+
+        real = ~virt
+        node_r, cash_r, hist_r = node[real], cash[real], hist[real]
+        part_r = part[real]
+        if len(node_r):
+            # history carry: every node banks the cash it held this round
+            out_p.append(part_r.astype(np.int64))
+            out_d.append(node_r)
+            out_c.append(hist_r + cash_r)
+            out_k.append(np.full(len(node_r), _OPK_HIST, np.int8))
+            # leftover after outdeg equal shares goes to the virtual page
+            outdeg = 1 + (node_r % 3)
+            share = cash_r // (outdeg + 1)
+            left = cash_r - outdeg * share
+            out_p.append(np.array([vpart], np.int64))
+            out_d.append(np.array([_OPIC_VIRT], np.int64))
+            out_c.append(np.array([int(left.sum())], np.int64))
+            out_k.append(np.array([_OPK_CONTRIB], np.int8))
+            order = np.argsort(node_r, kind="stable")
+            node_s, share_s = node_r[order], share[order]
+            for p in np.unique(part_r):
+                esrc, edst, _, edpart = _edge_arrays(graph_key, int(p), refs)
+                if len(esrc) == 0:
+                    continue
+                pos = np.searchsorted(node_s, esrc)
+                pos = np.minimum(pos, len(node_s) - 1)
+                ok = node_s[pos] == esrc
+                if not ok.any():
+                    continue
+                dst = edst[ok]
+                contrib = share_s[pos[ok]]
+                dparts = edpart[ok]
+                u, first, inv = np.unique(dst, return_index=True,
+                                          return_inverse=True)
+                acc = np.zeros(len(u), np.int64)
+                np.add.at(acc, inv, contrib)
+                out_p.append(dparts[first].astype(np.int64))
+                out_d.append(u)
+                out_c.append(acc)
+                out_k.append(np.full(len(u), _OPK_CONTRIB, np.int8))
+
+        # completeness sentinels: every bucket (incl. the virtual's) must
+        # reach the fold even with zero incoming rows
+        out_p.append(np.arange(n_buckets + 1, dtype=np.int64))
+        out_d.append(np.zeros(n_buckets + 1, np.int64))
+        out_c.append(np.zeros(n_buckets + 1, np.int64))
+        out_k.append(np.full(n_buckets + 1, _OPK_SENT, np.int8))
+        return pa.table({
+            "dpart": pa.array(np.concatenate(out_p)),
+            "dst": pa.array(np.concatenate(out_d)),
+            "contrib": pa.array(np.concatenate(out_c)),
+            "kind": pa.array(np.concatenate(out_k)),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"part": pd.Series([], dtype="int64"),
+                                 "node": pd.Series([], dtype="int64"),
+                                 "cash": pd.Series([], dtype="int64"),
+                                 "hist": pd.Series([], dtype="int64")})
+        p = int(g["dpart"].iloc[0])
+        if p == vpart:
+            contrib = g.loc[g["kind"] == _OPK_CONTRIB, "contrib"].sum()
+            vh = g.loc[g["kind"] == _OPK_HIST, "contrib"].sum()
+            return pd.DataFrame({
+                "part": np.array([vpart], np.int64),
+                "node": np.array([int(_OPIC_VIRT)], np.int64),
+                "cash": np.array([int(contrib)], np.int64),
+                "hist": np.array([int(vh)], np.int64),
+            })
+        nodes = np.arange(p, n_docs, n_buckets, dtype=np.int64)
+        grant = int(g.loc[g["kind"] == _OPK_GRANT, "contrib"].sum())
+        s = np.full(len(nodes), grant, np.int64)
+        real = g[g["kind"] == _OPK_CONTRIB]
+        if len(real):
+            folded = real.groupby("dst", sort=True)["contrib"].sum()
+            keys = folded.index.to_numpy()
+            pos = np.searchsorted(nodes, keys)
+            pos_c = np.minimum(pos, len(nodes) - 1)
+            valid = nodes[pos_c] == keys
+            s[pos_c[valid]] += folded.to_numpy()[valid]
+        h = np.zeros(len(nodes), np.int64)
+        hr = g[g["kind"] == _OPK_HIST]
+        if len(hr):
+            hpos = np.searchsorted(nodes, hr["dst"].to_numpy())
+            h[hpos] = hr["contrib"].to_numpy()
+        return pd.DataFrame({
+            "part": np.full(len(nodes), p, np.int64),
+            "node": nodes,
+            "cash": s,
+            "hist": h,
+        })
+
+    for _ in range(iters):
+        state = (state.map_batches(contribute, batch_format="pyarrow")
+                 .groupby("dpart").map_groups(fold, batch_format="pandas"))
+
+    def project(t: pa.Table) -> pa.Table:
+        keep = pa.compute.not_equal(t["node"], pa.scalar(int(_OPIC_VIRT)))
+        t = t.filter(keep)
+        cash = t["cash"].to_numpy(zero_copy_only=False)
+        hist = t["hist"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["node"],
+            "cash_q": pa.array(cash, pa.int64()),
+            "hist_q": pa.array(hist, pa.int64()),
+            "imp_q": pa.array(cash + hist, pa.int64()),
+        })
+
+    return state.map_batches(project, batch_format="pyarrow").sort("doc_id")
+
+
+def opic_reference(sf_dir: str, iters: int = 5) -> pa.Table:
+    """Sequential single-process twin (same integer rule, plain numpy)."""
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    src = np.arange(n_docs, dtype=np.int64)
+    deg = 1 + (src % 3)
+    es, ed = [], []
+    for i, (m, a) in enumerate(zip(_MULTS, _OFFS)):
+        sel = src[deg > i]
+        es.append(sel)
+        ed.append((sel * m + a) % n_docs)
+    es, ed = np.concatenate(es), np.concatenate(ed)
+    cash = np.full(n_docs, R0, np.int64)
+    hist = np.zeros(n_docs, np.int64)
+    v, vh = R0, 0
+    for _ in range(iters):
+        share = cash // (deg + 2 - 1)  # outdeg + 1 = (1 + n%3) + 1
+        new = np.zeros(n_docs, np.int64)
+        np.add.at(new, ed, share[es])
+        g = v // n_docs
+        hist = hist + cash
+        vh = vh + v
+        v_new = int((cash - deg * share).sum()) + (v - n_docs * g)
+        cash = new + g
+        v = v_new
+    return pa.table({
+        "doc_id": pa.array(src),
+        "cash_q": pa.array(cash),
+        "hist_q": pa.array(hist),
+        "imp_q": pa.array(cash + hist),
+    })
+
+
+def opic_oracle_sql(iters: int = 5) -> str:
+    """Chained-CTE DuckDB statement of the identical OPIC integer round,
+    virtual-page scalar included."""
+    head = f"""
+WITH mults(i, m, a) AS (VALUES (0, {_MULTS[0]}, {_OFFS[0]}),
+                               (1, {_MULTS[1]}, {_OFFS[1]}),
+                               (2, {_MULTS[2]}, {_OFFS[2]})),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src, (d.doc_id * t.m + t.a) % nn.n AS dst
+  FROM documents d CROSS JOIN nn JOIN mults t ON t.i <= d.doc_id % 3
+),
+c0 AS (SELECT doc_id AS node, CAST({R0} AS BIGINT) AS cash FROM documents),
+h0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS hist FROM documents),
+v0 AS (SELECT CAST({R0} AS BIGINT) AS vc)"""
+    body = ""
+    for k in range(1, iters + 1):
+        body += f""",
+sh{k} AS (SELECT node, cash, 1 + node % 3 AS outdeg,
+                 cash // (2 + node % 3) AS share FROM c{k - 1}),
+g{k} AS (SELECT v.vc // nn.n AS g, v.vc - nn.n * (v.vc // nn.n) AS rem
+         FROM v{k - 1} v CROSS JOIN nn),
+c{k} AS (
+  SELECT d.doc_id AS node,
+         CAST(COALESCE(i.m, 0) + g.g AS BIGINT) AS cash
+  FROM documents d CROSS JOIN g{k} g LEFT JOIN (
+     SELECT e.dst AS node, SUM(s.share) AS m
+     FROM edges e JOIN sh{k} s ON s.node = e.src GROUP BY e.dst) i
+  ON i.node = d.doc_id),
+v{k} AS (SELECT CAST((SELECT SUM(cash - outdeg * share) FROM sh{k})
+                     + (SELECT rem FROM g{k}) AS BIGINT) AS vc),
+h{k} AS (SELECT h.node, CAST(h.hist + c.cash AS BIGINT) AS hist
+         FROM h{k - 1} h JOIN c{k - 1} c USING (node))"""
+    return f"""{head}{body}
+SELECT c.node AS doc_id, c.cash AS cash_q, h.hist AS hist_q,
+       c.cash + h.hist AS imp_q
+FROM c{iters} c JOIN h{iters} h USING (node)
+ORDER BY doc_id"""
+
+
+# --------------------------------------------------------------------------
+# Recrawl scheduling — change-frequency estimation from a capture log
+# (Cho & Garcia-Molina, "Estimating Frequency of Change", ACM ToIT 2003):
+# the policy layer a 10^10-URL incremental crawler runs ABOVE the frontier
+# (the reference crawls once per run; a production pholcus deployment
+# re-visits, and revisit cadence should follow each page's observed
+# change rate, not a global timer — timer semantics: app/spider ticker).
+# --------------------------------------------------------------------------
+#
+# The capture log is hash-derived from the documents table (the
+# random_walks discipline: deterministic, bit-reproducible, replayable in
+# SQL with md5_number_lower): doc d has kc(d) = 4 + md5('rpk:d') % 5
+# captures; its content changes every p(d) = 1 + md5('rpp:d') % 4
+# captures, so capture i carries digest md5('rpd:d:' || i // p). The
+# ESTIMATOR pass never sees p — it recovers the change rate purely from
+# adjacent-digest inequality, exactly as it would over a real WARC
+# capture table (cdx_index above IS that table's shape).
+
+
+def recrawl_priority(sf_dir: str, n_buckets: int = 32) -> rd.Dataset:
+    """Per-URL change-rate estimate + revisit interval from the capture
+    log — fully SQL-oracled.
+
+    Estimator: with n observed intervals and X adjacent-capture changes,
+    the bias-corrected Cho/Garcia-Molina rate is
+    ``lambda = -ln((n - X + 0.5) / (n + 0.5))`` (changes per capture
+    period). Float discipline: lambda is quantized ONCE per doc to
+    integer nano-units via ``math.floor(x * 1e9 + 0.5)`` (libm log, the
+    dsir_importance contract), and the revisit interval is the exact
+    int64 division ``1e18 // lambda_nano`` (period nano-units), -1 when
+    no change was ever observed.
+
+    Scale shape: the capture log streams out of the documents read
+    (slim (doc_id, i, digest) int64 rows, ~6x the doc count); ONE
+    doc_id-bucketed exchange groups each URL's captures for the
+    lag-compare fold (coarse buckets, C-level sort + shift inside —
+    never per-doc map_groups). Output is one slim row per URL — the
+    recrawl frontier ordering is ``ORDER BY lambda_nano DESC``."""
+    from ..functions.hashing import md5_lower64_array
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+    nb = np.int64(n_buckets)
+
+    def caps(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        kc = (4 + md5_lower64_array([f"rpk:{int(d)}" for d in ids])
+              % np.uint64(5)).astype(np.int64)
+        p = (1 + md5_lower64_array([f"rpp:{int(d)}" for d in ids])
+             % np.uint64(4)).astype(np.int64)
+        did = np.repeat(ids, kc)
+        i = np.concatenate([np.arange(k, dtype=np.int64) for k in kc]) \
+            if len(kc) else np.empty(0, np.int64)
+        epoch = i // np.repeat(p, kc)
+        dig = md5_lower64_array(
+            [f"rpd:{int(d)}:{int(e)}" for d, e in zip(did, epoch)]
+        ).view(np.int64)
+        return pa.table({
+            "cpart": pa.array(did % nb),
+            "doc_id": pa.array(did, pa.int64()),
+            "i": pa.array(i, pa.int64()),
+            "dig": pa.array(dig, pa.int64()),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        g = g.sort_values(["doc_id", "i"], kind="mergesort")
+        same_doc = g["doc_id"].eq(g["doc_id"].shift())
+        changed = g["dig"].ne(g["dig"].shift()) & same_doc
+        agg = pd.DataFrame({
+            "doc_id": g["doc_id"].values,
+            "n_int": same_doc.astype("int64").values,
+            "n_chg": changed.astype("int64").values,
+        }).groupby("doc_id", sort=True).sum().reset_index()
+        n = agg["n_int"].to_numpy()
+        x = agg["n_chg"].to_numpy()
+        lam = np.array(
+            [math.floor(-math.log((ni - xi + 0.5) / (ni + 0.5)) * 1e9
+                        + 0.5)
+             for ni, xi in zip(n.tolist(), x.tolist())], dtype=np.int64)
+        interval = np.where(lam > 0, 10 ** 18 // np.maximum(lam, 1),
+                            np.int64(-1))
+        return pd.DataFrame({
+            "doc_id": agg["doc_id"].astype("int64").values,
+            "n_captures": (n + 1).astype("int64"),
+            "n_changes": x.astype("int64"),
+            "lambda_nano": lam,
+            "interval_nano": interval.astype("int64"),
+        })
+
+    return (docs.map_batches(caps, batch_format="pyarrow")
+            .groupby("cpart").map_groups(fold, batch_format="pandas")
+            .sort("doc_id"))
+
+
+def recrawl_priority_oracle_sql() -> str:
+    """Exact DuckDB replay: same hash-derived capture log
+    (md5_number_lower), same lag-compare counts, same nano-unit
+    quantization of the Cho/Garcia-Molina estimator."""
+    return """
+WITH k AS (
+  SELECT doc_id,
+         4 + CAST(md5_number_lower('rpk:' || CAST(doc_id AS VARCHAR))
+                  % 5 AS BIGINT) AS kc,
+         1 + CAST(md5_number_lower('rpp:' || CAST(doc_id AS VARCHAR))
+                  % 4 AS BIGINT) AS p
+  FROM documents),
+caps AS (
+  SELECT doc_id, u.i AS i,
+         md5_number_lower('rpd:' || CAST(doc_id AS VARCHAR) || ':'
+                          || CAST(u.i // p AS VARCHAR)) AS dig
+  FROM k, unnest(generate_series(0, kc - 1)) AS u(i)),
+lagged AS (
+  SELECT doc_id, i, dig,
+         lag(dig) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM caps),
+chg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) - 1 AS BIGINT) AS n_int,
+         CAST(COALESCE(SUM(CASE WHEN dig <> prev THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_chg
+  FROM lagged GROUP BY doc_id),
+lam AS (
+  SELECT doc_id, n_int, n_chg,
+         CAST(FLOOR(-ln((n_int - n_chg + 0.5) / (n_int + 0.5))
+                    * 1000000000 + 0.5) AS BIGINT) AS lambda_nano
+  FROM chg)
+SELECT doc_id,
+       n_int + 1 AS n_captures,
+       n_chg AS n_changes,
+       lambda_nano,
+       CASE WHEN lambda_nano > 0
+            THEN 1000000000000000000 // lambda_nano
+            ELSE CAST(-1 AS BIGINT) END AS interval_nano
+FROM lam
+ORDER BY doc_id"""

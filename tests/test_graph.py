@@ -258,3 +258,67 @@ def test_random_walks_structure_and_determinism(ray_session):
             nbrs = {(u * m + o) % n for m, o in
                     list(zip(_MULTS, _OFFS))[:deg]}
             assert v in nbrs
+
+
+def test_opic_twin_and_conservation(ray_session):
+    from pholcus_ray.pipelines.graph import R0, opic, opic_reference
+
+    eng = (opic(SF, iters=5, n_buckets=8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    ref = (opic_reference(SF, iters=5).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert eng.equals(ref)
+    # exact cash conservation: real pages + the virtual page's residue
+    # always sum to the initial stake (N + 1) * R0 — the integer-share
+    # construction's invariant (leftover goes to the virtual page)
+    n = len(eng)
+    virt = (n + 1) * R0 - int(eng["cash_q"].sum())
+    assert 0 <= virt <= (n + 1) * R0
+    # history accumulated: 5 rounds bank ~5x the total stake into hist
+    assert int(eng["hist_q"].sum()) > 3 * n * (R0 // 2)
+    assert (eng["imp_q"] == eng["cash_q"] + eng["hist_q"]).all()
+
+
+def test_opic_bucket_count_invariance(ray_session):
+    from pholcus_ray.pipelines.graph import opic
+
+    a = (opic(SF, iters=3, n_buckets=4).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (opic(SF, iters=3, n_buckets=16).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
+
+
+def test_recrawl_priority_estimator_properties(ray_session):
+    from pholcus_ray.pipelines.graph import recrawl_priority
+
+    df = (recrawl_priority(SF, n_buckets=8).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    n_docs = pq.read_table(f"{SF}/documents.parquet",
+                           columns=["doc_id"]).num_rows
+    assert len(df) == n_docs
+    # capture counts are 4..8 by construction; changes fit the intervals
+    assert df["n_captures"].between(4, 8).all()
+    assert (df["n_changes"] <= df["n_captures"] - 1).all()
+    # the estimator is monotone: more observed changes (at equal interval
+    # count) => strictly larger rate
+    g = df.groupby("n_captures")
+    for _, grp in g:
+        s = grp.sort_values("n_changes")
+        lam = s.groupby("n_changes")["lambda_nano"].first()
+        assert lam.is_monotonic_increasing
+    # interval: -1 exactly for never-changed pages, else positive and
+    # decreasing in the rate
+    never = df["n_changes"] == 0
+    assert (df.loc[never, "interval_nano"] == -1).all()
+    assert (df.loc[~never, "interval_nano"] > 0).all()
+
+
+def test_recrawl_priority_bucket_invariance(ray_session):
+    from pholcus_ray.pipelines.graph import recrawl_priority
+
+    a = (recrawl_priority(SF, n_buckets=4).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (recrawl_priority(SF, n_buckets=16).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
