@@ -530,6 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": T.pii_scrub,
         "chunk_docs": T.chunk_docs,
         "tfidf_topk": T.tfidf_topk,
+        "tfidf_cosine_topk": T.tfidf_cosine_topk,
         "source_quota": T.source_quota,
         "c4_filters": T.c4_filters,
         "blocklist_filter": T.blocklist_filter,
@@ -617,6 +618,12 @@ def _recrawl_priority_sql() -> str:
     from pholcus_ray.pipelines.graph import recrawl_priority_oracle_sql
 
     return recrawl_priority_oracle_sql()
+
+
+def _tfidf_cosine_sql() -> str:
+    from pholcus_ray.pipelines.textdata import tfidf_cosine_topk_oracle_sql
+
+    return tfidf_cosine_topk_oracle_sql()
 
 
 def _hits_sql() -> str:
@@ -2080,6 +2087,7 @@ def _oracle_sql_raw() -> dict[str, str]:
                                      WHEN 'es' THEN 25 ELSE 100 END
             ORDER BY doc_id
         """,
+        "tfidf_cosine_topk": _tfidf_cosine_sql(),
         "tfidf_topk": r"""
             -- per-doc top-5 terms by the exact integer tf-idf surrogate
             -- score_micro = tf * 1e6 // df; ties (score desc, token asc).

@@ -68,6 +68,7 @@ _BENCH_QUERIES = [
     "chunk_docs",
     "substring_dups",
     "tfidf_topk",
+    "tfidf_cosine_topk",
     "c4_filters",
     "source_quota",
     "stratified_sample",

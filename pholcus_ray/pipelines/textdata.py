@@ -3364,6 +3364,202 @@ def tfidf_topk(sf_dir: str, k: int = 5, num_parts: int = 32) -> rd.Dataset:
     )
 
 
+
+
+def tfidf_cosine_topk(sf_dir: str, k: int = 5, m: int = 8,
+                      df_cap: int = 256, num_parts: int = 32) -> rd.Dataset:
+    """Sparse tf-idf cosine top-k document-similarity join — the
+    all-pairs similarity search of Vernica/Carey/Li (SIGMOD 2010) run on
+    PRUNED tf-idf vectors, fully SQL-oracled. Each doc keeps its top-
+    ``m`` terms by integer tf-idf (the tfidf_topk rule: tf*1e6//df, tie
+    token asc, weight capped at 2^20), is quantized to an integer unit
+    vector (micro-units, norm from IEEE-exact sqrt — correctly rounded
+    per IEEE-754, so libm and DuckDB agree bit-for-bit; norm^2 <=
+    m * 2^40 < 2^53 keeps every double exact), and the pair dot products
+    run token-at-a-time over the inverted index of the pruned vectors.
+    ``sim_q`` is the cosine in 1e-12 units of the quantized vectors —
+    an exactly-defined integer both engines reproduce.
+
+    Scale shape: five slim exchanges, never text — (1) token-hash df
+    attach, (2) doc-hash top-m prune + unit quantize, (3) token-hash
+    pair partials over the inverted index (postings per token bounded
+    by the top-m prune, which drops high-df terms by construction, PLUS
+    the explicit ``df_cap`` postings guard both engines state), (4)
+    min-doc-hash pair-sum fold + symmetric mirror, (5) src-hash top-k
+    cut. Pair generation inside (3) is fully vectorized (triangular
+    index expansion, C-level outer products per posting list). At
+    10^9 docs the exchanges carry O(m * docs) int64 rows; the pair
+    volume is sum over tokens of |postings|^2 <= df_cap * m * docs."""
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+    nP = np.uint64(num_parts)
+    W_CAP = 1 << 20
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        ids, toks, tfs = [], [], []
+        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            c = Counter(_tokens(x))
+            ids.extend([did] * len(c))
+            toks.extend(c.keys())
+            tfs.extend(c.values())
+        part = (hash64_array(toks) % nP).astype(np.int32) if toks else \
+            np.empty(0, dtype=np.int32)
+        return pa.table({
+            "part": pa.array(part),
+            "doc_id": pa.array(ids, pa.int64()),
+            "token": pa.array(toks, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+        })
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("token")["doc_id"].transform("size").astype("int64")
+        w = np.minimum(g["tf"].astype("int64").values * 1_000_000
+                       // df.values, W_CAP)
+        return pd.DataFrame({
+            "dpart": (g["doc_id"].values.astype(np.uint64) % nP).astype(
+                np.int32),
+            "doc_id": g["doc_id"].astype("int64").values,
+            "token": g["token"].values,
+            "w": w,
+        })
+
+    def prune_unit(g: pd.DataFrame) -> pd.DataFrame:
+        import math
+        g = g.sort_values(["doc_id", "w", "token"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.loc[g.groupby("doc_id").cumcount().values < m]
+        w = g["w"].to_numpy()
+        n2 = g.groupby("doc_id", sort=False)["w"].transform(
+            lambda s: np.square(s.to_numpy()).sum()).to_numpy()
+        # IEEE sqrt is correctly rounded; n2 <= m * 2^40 < 2^53 so the
+        # int->double conversion is exact — u is bit-identical in DuckDB
+        rt = np.array([math.sqrt(float(v)) for v in n2.tolist()])
+        u = np.floor(w.astype(np.float64) * 1_000_000.0 / rt
+                     + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "tpart": (hash64_array(g["token"].to_numpy(dtype=object))
+                      % nP).astype(np.int32),
+            "doc_id": g["doc_id"].astype("int64").values,
+            "token": g["token"].values,
+            "u": u,
+        })
+
+    def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", "doc_id"], kind="mergesort")
+        # postings guard (stated identically in the oracle): tokens that
+        # survive the top-m prune in more than df_cap docs are dropped
+        sz = g.groupby("token", sort=False)["doc_id"].transform("size")
+        g = g.loc[sz.values <= df_cap]
+        if len(g) == 0:
+            return pd.DataFrame({
+                "ppart": pd.Series([], dtype="int32"),
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "partial": pd.Series([], dtype="int64")})
+        doc = g["doc_id"].to_numpy()
+        u = g["u"].to_numpy()
+        tok = g["token"].to_numpy(dtype=object)
+        # triangular all-(i<j)-pairs-within-group expansion, vectorized
+        change = np.flatnonzero(np.concatenate(
+            ([True], tok[1:] != tok[:-1])))
+        sizes = np.diff(np.concatenate((change, [len(tok)])))
+        starts = np.repeat(change, sizes)
+        idx = np.arange(len(tok)) - starts
+        left_cnt = np.repeat(sizes, sizes) - 1 - idx
+        total = int(left_cnt.sum())
+        if total == 0:
+            return pd.DataFrame({
+                "ppart": pd.Series([], dtype="int32"),
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "partial": pd.Series([], dtype="int64")})
+        L = np.repeat(np.arange(len(tok)), left_cnt)
+        csum = np.cumsum(left_cnt) - left_cnt
+        steps = np.arange(total) - np.repeat(csum, left_cnt) + 1
+        R = L + steps
+        a, b = doc[L], doc[R]
+        return pd.DataFrame({
+            "ppart": (a.astype(np.uint64) % nP).astype(np.int32),
+            "a": a,
+            "b": b,
+            "partial": u[L] * u[R],
+        })
+
+    def pair_fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby(["a", "b"], sort=False)["partial"].sum()
+             .reset_index())
+        src = np.concatenate((s["a"].values, s["b"].values))
+        dst = np.concatenate((s["b"].values, s["a"].values))
+        sim = np.concatenate((s["partial"].values, s["partial"].values))
+        return pd.DataFrame({
+            "spart": (src.astype(np.uint64) % nP).astype(np.int32),
+            "src": src.astype(np.int64),
+            "dst": dst.astype(np.int64),
+            "sim_q": sim.astype(np.int64),
+        })
+
+    def topk_cut(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["src", "sim_q", "dst"],
+                          ascending=[True, False, True], kind="mergesort")
+        keep = g.groupby("src").cumcount().values < k
+        return g.loc[keep, ["src", "dst", "sim_q"]]
+
+    return (
+        ds.map_batches(tf_rows, batch_format="pyarrow")
+        .groupby("part").map_groups(attach_df, batch_format="pandas")
+        .groupby("dpart").map_groups(prune_unit, batch_format="pandas")
+        .groupby("tpart").map_groups(pair_partials, batch_format="pandas")
+        .groupby("ppart").map_groups(pair_fold, batch_format="pandas")
+        .groupby("spart").map_groups(topk_cut, batch_format="pandas")
+        .sort(["src", "sim_q", "dst"], descending=[False, True, False])
+    )
+
+
+def tfidf_cosine_topk_oracle_sql(k: int = 5, m: int = 8,
+                                 df_cap: int = 256) -> str:
+    """Exact DuckDB replay of :func:`tfidf_cosine_topk`: same integer
+    tf-idf weights, same top-m prune tie-break, same IEEE-exact unit
+    quantization, same postings guard, same pair sums and top-k cut."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents),
+tf AS (
+  SELECT doc_id, u.tok AS token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok, unnest(toks) AS u(tok) GROUP BY doc_id, u.tok),
+dft AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+w AS (
+  SELECT t.doc_id, t.token,
+         LEAST(t.tf * 1000000 // d.df, {1 << 20}) AS w
+  FROM tf t JOIN dft d USING (token)),
+pruned AS (
+  SELECT doc_id, token, w FROM w
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY w DESC, token) <= {m}),
+nrm AS (
+  SELECT doc_id, SUM(w * w) AS n2 FROM pruned GROUP BY doc_id),
+unitv AS (
+  SELECT p.doc_id, p.token,
+         CAST(FLOOR(p.w * 1000000 / sqrt(n.n2) + 0.5) AS BIGINT) AS u
+  FROM pruned p JOIN nrm n USING (doc_id)),
+keeptok AS (
+  SELECT token FROM unitv GROUP BY token HAVING COUNT(*) <= {df_cap}),
+pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst,
+         CAST(SUM(a.u * b.u) AS BIGINT) AS sim_q
+  FROM unitv a
+  JOIN keeptok kt ON kt.token = a.token
+  JOIN unitv b ON b.token = a.token AND b.doc_id <> a.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT src, dst, sim_q FROM pairs
+QUALIFY row_number() OVER (PARTITION BY src
+                           ORDER BY sim_q DESC, dst) <= {k}
+ORDER BY src, sim_q DESC, dst"""
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog sketch (mergeable approximate count-distinct)
 # ---------------------------------------------------------------------------

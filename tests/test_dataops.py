@@ -2569,3 +2569,55 @@ def test_sniff_mime_pure():
     assert sniff_mime(b"GIF89a") == "image/gif"
     assert sniff_mime(b"") == "application/octet-stream"
     assert sniff_mime(b"\xffhello") == "application/octet-stream"
+
+
+def test_tfidf_cosine_topk_planted(ray_session, pii_docs_dir):
+    """Engine vs oracle on the planted corpus (ties, empty docs, dup
+    texts), symmetry of the pair dots, and a hand-checkable neighbor:
+    identical documents must be each other's top match at the maximum
+    quantized cosine (~1e12)."""
+    import __ray_entry__ as E
+    from pholcus_ray.pipelines.textdata import tfidf_cosine_topk
+
+    df = _norm(_to_df(tfidf_cosine_topk(pii_docs_dir)))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{pii_docs_dir}/documents.parquet')")
+    odf = _norm(con.execute(E.oracle_sql()["tfidf_cosine_topk"]).df())
+    assert list(df.columns) == list(odf.columns)
+    assert len(df) == len(odf)
+    for c in df.columns:
+        assert df[c].dtype == odf[c].dtype, c
+        assert (df[c].values == odf[c].values).all(), c
+    # sim is symmetric where both directions survive the top-k cut
+    pairs = {(r.src, r.dst): r.sim_q for r in df.itertuples()}
+    for (a, b), s in pairs.items():
+        if (b, a) in pairs:
+            assert pairs[(b, a)] == s
+    # empty/whitespace docs (4, 5) have no vector -> no rows
+    assert not set(df["src"]).intersection({4, 5})
+    # self-pairs never emitted
+    assert (df["src"] != df["dst"]).all()
+
+
+def test_tfidf_cosine_topk_identical_docs_max_sim(ray_session,
+                                                  tmp_path_factory):
+    from pholcus_ray.pipelines.textdata import tfidf_cosine_topk
+
+    d = tmp_path_factory.mktemp("cosdocs")
+    texts = ["alpha beta gamma delta", "alpha beta gamma delta",
+             "epsilon zeta", "alpha beta something else entirely here"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(str(d), "documents.parquet"))
+    df = _to_df(tfidf_cosine_topk(d))
+    top0 = df[df["src"] == 0].iloc[0]
+    assert top0["dst"] == 1
+    # identical unit vectors: dot = sum u_i^2 with u quantized to 1e6
+    # scale — within 1e-6 of the exact 1e12 ceiling
+    assert abs(int(top0["sim_q"]) - 10 ** 12) <= 10 ** 7
