@@ -225,6 +225,12 @@ def _q_warc_roundtrip(sf_dir: str):
     return warc_roundtrip(sf_dir)
 
 
+def _q_sitemap_roundtrip(sf_dir: str):
+    from pholcus_ray.sources.sitemap import sitemap_roundtrip
+
+    return sitemap_roundtrip(sf_dir)
+
+
 def _q_multimodal(sf_dir: str):
     from pholcus_ray.stages.multimodal import DecodeImage, synth_image_table
 
@@ -556,6 +562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (deterministic fake decode backends)
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "warc_roundtrip": _q_warc_roundtrip,
+        "sitemap_roundtrip": _q_sitemap_roundtrip,
         "multimodal_decode": _q_multimodal,
         "multimodal_audio": _q_multimodal_audio,
         "multimodal_frame_sample": _q_multimodal_frames,
@@ -1187,6 +1194,28 @@ def _oracle_sql_raw() -> dict[str, str]:
                         % 2305843009213693951 AS BIGINT) AS id_sum_mod,
                    CAST(SUM(CAST(md5_number_lower(text) AS HUGEINT))
                         % 2305843009213693951 AS BIGINT) AS text_hash_mod
+            FROM documents
+        """,
+        "sitemap_roundtrip": """
+            -- the engine computes these AFTER writing the documents as
+            -- genuine sitemaps.org urlset shards + sitemapindex and
+            -- streaming them back (date-only lastmod, decimal priority,
+            -- spec changefreq enum); index_listed_ok = n_urls states
+            -- every shard a row came from is listed in the index
+            SELECT COUNT(*) AS n_urls,
+                   CAST(SUM(CAST(doc_id AS HUGEINT))
+                        % 2305843009213693951 AS BIGINT) AS id_sum_mod,
+                   CAST(SUM(CAST((doc_id % 20000) * 86400000000 AS HUGEINT))
+                        % 2305843009213693951 AS BIGINT) AS lastmod_sum_mod,
+                   CAST(SUM(CAST(md5_number_lower(
+                            'smp:http://docs.example/d/'
+                            || CAST(doc_id AS VARCHAR)) % 1001 AS HUGEINT))
+                        % 2305843009213693951 AS BIGINT) AS prio_sum_mod,
+                   CAST(SUM(CAST(md5_number_lower(
+                            'smf:http://docs.example/d/'
+                            || CAST(doc_id AS VARCHAR)) % 7 AS HUGEINT))
+                        % 2305843009213693951 AS BIGINT) AS freq_sum_mod,
+                   COUNT(*) AS index_listed_ok
             FROM documents
         """,
         "warc_roundtrip": """
