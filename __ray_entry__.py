@@ -420,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": G.pagerank,
         "opic": G.opic,
         "recrawl_priority": G.recrawl_priority,
+        "shard_ring": G.shard_ring,
         "hits": G.hits,
         "bfs_distance": G.bfs_distance,
         "scc_certificate": G.scc_certificate,
@@ -625,6 +626,12 @@ def _recrawl_priority_sql() -> str:
     from pholcus_ray.pipelines.graph import recrawl_priority_oracle_sql
 
     return recrawl_priority_oracle_sql()
+
+
+def _shard_ring_sql() -> str:
+    from pholcus_ray.pipelines.graph import shard_ring_oracle_sql
+
+    return shard_ring_oracle_sql()
 
 
 def _tfidf_cosine_sql() -> str:
@@ -1530,6 +1537,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         "opic": _opic_sql(),
         "recrawl_priority": _recrawl_priority_sql(),
+        "shard_ring": _shard_ring_sql(),
         "hits": _hits_sql(),
         "bfs_distance": _bfs_distance_sql(),
         "scc_certificate": _scc_certificate_sql(),

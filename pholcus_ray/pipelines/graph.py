@@ -2814,3 +2814,83 @@ SELECT doc_id,
             ELSE CAST(-1 AS BIGINT) END AS interval_nano
 FROM lam
 ORDER BY doc_id"""
+
+
+# --------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) sharding — Thaler & Ravishankar 1998:
+# the placement primitive a fixed-size multi-node crawl cluster assigns
+# hosts/URLs to workers with (the reference pins spiders to one process;
+# the distributed deployment this repo is designed for routes every URL
+# to a worker by exactly this rule — state/seen.py shards by hash for the
+# same reason). HRW's minimal-disruption property is THE reason to prefer
+# it over mod-N: when a node leaves, ONLY the keys that chose it move.
+# --------------------------------------------------------------------------
+
+
+def shard_ring(sf_dir: str, n_nodes: int = 16) -> rd.Dataset:
+    """Assign every doc URL-key to its rendezvous node, plus the
+    assignment after node ``n_nodes - 1`` leaves — and the moved flag.
+    Minimal disruption is checkable row-by-row: a doc moves IFF its
+    first choice was the departed node, in which case it lands on its
+    second choice; everything else is pinned. Fully SQL-oracled
+    (md5_number_lower scores, argmax with the stated (score desc, node
+    asc) tie-break).
+
+    Scale shape: SHUFFLE-FREE — one map_batches computes the n_nodes
+    scores per key with vectorized md5 + argmax inside the block; at
+    10^10 keys the operator is pure data-parallel scan (this is the
+    property that makes HRW the frontier-routing rule: any worker can
+    route any URL with no directory service, no exchange)."""
+    from ..functions.hashing import md5_lower64_array
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        # score matrix: n docs x n_nodes, argmax per row; ties (which md5
+        # cannot produce across distinct node strings, but the rule is
+        # still stated) break to the smaller node id
+        scores = np.empty((n, n_nodes), dtype=np.uint64)
+        for j in range(n_nodes):
+            scores[:, j] = md5_lower64_array(
+                [f"hrw:{j}:{int(d)}" for d in ids])
+        full = scores.argmax(axis=1).astype(np.int64)
+        second = np.where(
+            full == n_nodes - 1,
+            scores[:, :n_nodes - 1].argmax(axis=1),
+            full).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "node": pa.array(full),
+            "node_after_leave": pa.array(second),
+            "moved": pa.array((full != second).astype(np.int64)),
+        })
+
+    return docs.map_batches(assign, batch_format="pyarrow").sort("doc_id")
+
+
+def shard_ring_oracle_sql(n_nodes: int = 16) -> str:
+    """Exact DuckDB replay: same per-(doc, node) md5 scores, same argmax
+    tie-break, same leave-one-node reassignment."""
+    return f"""
+WITH nodes AS (SELECT unnest(generate_series(0, {n_nodes - 1})) AS j),
+scores AS (
+  SELECT d.doc_id, n.j,
+         md5_number_lower('hrw:' || CAST(n.j AS VARCHAR) || ':'
+                          || CAST(d.doc_id AS VARCHAR)) AS s
+  FROM documents d CROSS JOIN nodes n),
+full_pick AS (
+  SELECT doc_id, j AS node FROM scores
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY s DESC, j) = 1),
+after_pick AS (
+  SELECT doc_id, j AS node_after_leave FROM scores
+  WHERE j < {n_nodes - 1}
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY s DESC, j) = 1)
+SELECT f.doc_id, f.node, a.node_after_leave,
+       CAST(f.node <> a.node_after_leave AS BIGINT) AS moved
+FROM full_pick f JOIN after_pick a USING (doc_id)
+ORDER BY f.doc_id"""

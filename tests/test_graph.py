@@ -322,3 +322,27 @@ def test_recrawl_priority_bucket_invariance(ray_session):
     b = (recrawl_priority(SF, n_buckets=16).to_pandas()
          .sort_values("doc_id").reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_shard_ring_minimal_disruption(ray_session):
+    from pholcus_ray.pipelines.graph import shard_ring
+
+    df = (shard_ring(SF, n_nodes=8).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    n_docs = pq.read_table(f"{SF}/documents.parquet",
+                           columns=["doc_id"]).num_rows
+    assert len(df) == n_docs
+    assert df["node"].between(0, 7).all()
+    assert df["node_after_leave"].between(0, 6).all()
+    # the HRW guarantee: a key moves IFF its first choice was the
+    # departed node — nothing else is disturbed
+    assert ((df["moved"] == 1) == (df["node"] == 7)).all()
+    pinned = df[df["moved"] == 0]
+    assert (pinned["node"] == pinned["node_after_leave"]).all()
+    # departed keys spread across remaining nodes, roughly uniformly:
+    # each node holds some of them (500 keys / 8 nodes / 7 targets)
+    movers = df[df["moved"] == 1]
+    assert movers["node_after_leave"].nunique() >= 5
+    # load is roughly balanced: no node holds > 3x the fair share
+    counts = df["node"].value_counts()
+    assert counts.max() <= 3 * (n_docs // 8)
