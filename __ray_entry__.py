@@ -538,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": T.chunk_docs,
         "tfidf_topk": T.tfidf_topk,
         "tfidf_cosine_topk": T.tfidf_cosine_topk,
+        "postings_codec": T.postings_codec,
         "source_quota": T.source_quota,
         "c4_filters": T.c4_filters,
         "blocklist_filter": T.blocklist_filter,
@@ -638,6 +639,12 @@ def _tfidf_cosine_sql() -> str:
     from pholcus_ray.pipelines.textdata import tfidf_cosine_topk_oracle_sql
 
     return tfidf_cosine_topk_oracle_sql()
+
+
+def _postings_codec_sql() -> str:
+    from pholcus_ray.pipelines.textdata import postings_codec_oracle_sql
+
+    return postings_codec_oracle_sql()
 
 
 def _hits_sql() -> str:
@@ -2125,6 +2132,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "tfidf_cosine_topk": _tfidf_cosine_sql(),
+        "postings_codec": _postings_codec_sql(),
         "tfidf_topk": r"""
             -- per-doc top-5 terms by the exact integer tf-idf surrogate
             -- score_micro = tf * 1e6 // df; ties (score desc, token asc).

@@ -69,6 +69,7 @@ _BENCH_QUERIES = [
     "substring_dups",
     "tfidf_topk",
     "tfidf_cosine_topk",
+    "postings_codec",
     "c4_filters",
     "source_quota",
     "stratified_sample",

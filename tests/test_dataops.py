@@ -6,6 +6,8 @@ import os
 
 import duckdb
 import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -2621,3 +2623,62 @@ def test_tfidf_cosine_topk_identical_docs_max_sim(ray_session,
     # identical unit vectors: dot = sum u_i^2 with u quantized to 1e6
     # scale — within 1e-6 of the exact 1e12 ceiling
     assert abs(int(top0["sim_q"]) - 10 ** 12) <= 10 ** 7
+
+
+def test_varint_codec_vectorized_roundtrip():
+    from pholcus_ray.pipelines.textdata import (_varint_decode,
+                                                _varint_encode)
+
+    vals = np.array([0, 1, 127, 128, 129, 16383, 16384, 2097151, 2097152,
+                     268435455, 268435456, 34359738367, 34359738368,
+                     562949953421311, 562949953421312,
+                     (1 << 56) - 1], dtype=np.int64)
+    buf, nbytes = _varint_encode(vals)
+    # canonical LEB128 sizes
+    assert nbytes.tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4, 5, 5, 6,
+                               7, 8, 8]
+    assert len(buf) == int(nbytes.sum())
+    dec = _varint_decode(buf)
+    assert (dec == vals).all()
+    # continuation bits: last byte of each value has high bit clear
+    ends = np.cumsum(nbytes) - 1
+    assert ((buf[ends] & 0x80) == 0).all()
+    mid = np.setdiff1d(np.arange(len(buf)), ends)
+    assert ((buf[mid] & 0x80) == 0x80).all()
+    # single-byte spot check: 300 = 0xAC 0x02 (the canonical example)
+    b2, _ = _varint_encode(np.array([300], dtype=np.int64))
+    assert b2.tolist() == [0xAC, 0x02]
+
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 56) - 1),
+                min_size=0, max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_varint_codec_property(vals):
+    from pholcus_ray.pipelines.textdata import (_varint_decode,
+                                                _varint_encode)
+
+    arr = np.array(vals, dtype=np.int64)
+    buf, nbytes = _varint_encode(arr)
+    assert (_varint_decode(buf) == arr).all()
+    assert len(buf) == int(nbytes.sum())
+
+
+def test_postings_codec_planted(ray_session, pii_docs_dir):
+    import __ray_entry__ as E
+    from pholcus_ray.pipelines.textdata import postings_codec
+
+    df = _norm(_to_df(postings_codec(pii_docs_dir)))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{pii_docs_dir}/documents.parquet')")
+    odf = _norm(con.execute(E.oracle_sql()["postings_codec"]).df())
+    assert list(df.columns) == list(odf.columns)
+    assert len(df) == len(odf)
+    for c in df.columns:
+        assert df[c].dtype == odf[c].dtype, c
+        assert (df[c].values == odf[c].values).all(), c
+    assert (df["roundtrip_ok"] == 1).all()
+    # "spam" appears only in doc 2: df=1, first-raw gap 2 -> 1 byte
+    spam = df[df["token"] == "spam"].iloc[0]
+    assert spam["df"] == 1 and spam["bytes_compressed"] == 1
+    assert spam["doc_xor"] == 2
