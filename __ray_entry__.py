@@ -539,6 +539,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": T.tfidf_topk,
         "tfidf_cosine_topk": T.tfidf_cosine_topk,
         "postings_codec": T.postings_codec,
+        "pack_bins_ffd": T.pack_bins_ffd,
+        "pack_bins_parity": T.pack_bins_parity,
         "source_quota": T.source_quota,
         "c4_filters": T.c4_filters,
         "blocklist_filter": T.blocklist_filter,
@@ -645,6 +647,12 @@ def _postings_codec_sql() -> str:
     from pholcus_ray.pipelines.textdata import postings_codec_oracle_sql
 
     return postings_codec_oracle_sql()
+
+
+def _pack_bins_parity_sql() -> str:
+    from pholcus_ray.pipelines.textdata import pack_bins_parity_oracle_sql
+
+    return pack_bins_parity_oracle_sql()
 
 
 def _hits_sql() -> str:
@@ -2133,6 +2141,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         """,
         "tfidf_cosine_topk": _tfidf_cosine_sql(),
         "postings_codec": _postings_codec_sql(),
+        "pack_bins_parity": _pack_bins_parity_sql(),
         "tfidf_topk": r"""
             -- per-doc top-5 terms by the exact integer tf-idf surrogate
             -- score_micro = tf * 1e6 // df; ties (score desc, token asc).

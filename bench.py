@@ -70,6 +70,7 @@ _BENCH_QUERIES = [
     "tfidf_topk",
     "tfidf_cosine_topk",
     "postings_codec",
+    "pack_bins_parity",
     "c4_filters",
     "source_quota",
     "stratified_sample",

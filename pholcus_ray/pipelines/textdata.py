@@ -3703,6 +3703,179 @@ SELECT token,
 FROM gaps GROUP BY token ORDER BY token"""
 
 
+
+
+def pack_bins_ffd(sf_dir: str, seq_len: int = 128,
+                  num_parts: int = 16) -> rd.Dataset:
+    """Truncation-free sequence packing: first-fit-decreasing bin packing
+    of whole documents into ``seq_len``-token training bins ("Fewer
+    Truncations Improve Language Modeling", Ding et al. 2024 — the
+    alternative to pack_sequences' concat-and-chunk, which splits docs at
+    window boundaries). Docs longer than ``seq_len`` are marked oversize
+    (status=2, the stream a chunker would take); empty docs status=0;
+    packed docs status=1 with their bin.
+
+    Distributed semantics (stated, deterministic): docs partition by
+    ``doc_id % num_parts``; FFD runs per partition over (n_tokens desc,
+    doc_id asc); bins never cross partitions and get the collision-free
+    global id ``local_bin * num_parts + part``. This is the standard
+    scale shape for packing (bin state is sequential by nature — each
+    partition's packer is an independent task; the -0.5%-utilization
+    price of partitioned FFD vs global FFD is the parallelism trade
+    documented by the paper's own sharded packing). The per-partition
+    packer is the only loop in the operator and is bounded by its
+    partition's doc count; everything else is C-level.
+
+    Verified by :func:`pack_bins_parity` (bit-equality vs the sequential
+    twin + SQL-recomputed token accounting + the no-overflow/no-split
+    invariants)."""
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+    nP = np.uint64(num_parts)
+
+    def lengths(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = np.array([len(_tokens(x)) for x in t["text"].to_pylist()],
+                     dtype=np.int64)
+        return pa.table({
+            "part": pa.array((ids.astype(np.uint64) % nP).astype(
+                np.int64)),
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n, pa.int64()),
+        })
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        p = int(g["part"].iloc[0])
+        g = g.sort_values(["n_tokens", "doc_id"],
+                          ascending=[False, True], kind="mergesort")
+        doc = g["doc_id"].to_numpy()
+        n = g["n_tokens"].to_numpy()
+        local = np.full(len(g), -1, np.int64)
+        status = np.ones(len(g), np.int64)
+        status[n == 0] = 0
+        status[n > seq_len] = 2
+        residual = np.empty(0, np.int64)  # residual capacity per bin
+        for i in np.flatnonzero(status == 1):
+            need = n[i]
+            fit = np.flatnonzero(residual >= need)
+            if len(fit):
+                b = int(fit[0])
+            else:
+                b = len(residual)
+                residual = np.append(residual, seq_len)
+            residual[b] -= need
+            local[i] = b
+        bin_fill = np.full(len(g), -1, np.int64)
+        packed = local >= 0
+        if packed.any():
+            fill = seq_len - residual
+            bin_fill[packed] = fill[local[packed]]
+        return pd.DataFrame({
+            "doc_id": doc,
+            "n_tokens": n,
+            "status": status,
+            "bin_id": np.where(packed, local * num_parts + p,
+                               np.int64(-1)),
+            "bin_fill": bin_fill,
+        })
+
+    return (ds.map_batches(lengths, batch_format="pyarrow")
+            .groupby("part").map_groups(pack, batch_format="pandas")
+            .sort("doc_id"))
+
+
+def pack_bins_reference(sf_dir: str, seq_len: int = 128,
+                        num_parts: int = 16) -> pa.Table:
+    """Sequential single-process twin: plain-Python FFD per partition,
+    same order, same bin-id rule."""
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    rows = []
+    byp: dict[int, list] = {}
+    for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        byp.setdefault(did % num_parts, []).append(
+            (did, len(_tokens(x))))
+    for p, docs in byp.items():
+        docs.sort(key=lambda d: (-d[1], d[0]))
+        bins: list[int] = []  # residuals
+        fills: list[int] = []
+        assign = []
+        for did, n in docs:
+            if n == 0:
+                rows.append((did, n, 0, -1, -1)); continue
+            if n > seq_len:
+                rows.append((did, n, 2, -1, -1)); continue
+            for b, r in enumerate(bins):
+                if r >= n:
+                    break
+            else:
+                b = len(bins); bins.append(seq_len); fills.append(0)
+            bins[b] -= n
+            fills[b] += n
+            assign.append((did, n, b))
+        for did, n, b in assign:
+            rows.append((did, n, 1, b * num_parts + p, fills[b]))
+    rows.sort()
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_tokens": pa.array([r[1] for r in rows], pa.int64()),
+        "status": pa.array([r[2] for r in rows], pa.int64()),
+        "bin_id": pa.array([r[3] for r in rows], pa.int64()),
+        "bin_fill": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+def pack_bins_parity(sf_dir: str, seq_len: int = 128,
+                     num_parts: int = 16) -> pa.Table:
+    """Gate verdict: engine == twin byte-for-byte, every bin within
+    capacity, every packed doc whole (no splits by construction — one
+    row per doc), and the token accounting the SQL oracle recomputes
+    from the raw view (packable/oversize/empty doc counts and the total
+    packed token mass)."""
+    eng = pack_bins_ffd(sf_dir, seq_len, num_parts).to_pandas()         .reset_index(drop=True)
+    ref = pack_bins_reference(sf_dir, seq_len, num_parts).to_pandas()
+    parity = eng.equals(ref) and len(eng) > 0
+    packed = eng[eng["status"] == 1]
+    fills = packed.groupby("bin_id")["n_tokens"].sum()
+    no_overflow = bool((fills <= seq_len).all()) and         bool((packed.groupby("bin_id")["bin_fill"].first()
+              == fills).all())
+    return pa.table({
+        "parity_ok": pa.array([int(parity and no_overflow)], pa.int64()),
+        "n_docs": pa.array([len(eng)], pa.int64()),
+        "n_packed": pa.array([int((eng["status"] == 1).sum())],
+                             pa.int64()),
+        "n_oversize": pa.array([int((eng["status"] == 2).sum())],
+                               pa.int64()),
+        "n_empty": pa.array([int((eng["status"] == 0).sum())],
+                            pa.int64()),
+        "packed_tokens": pa.array([int(packed["n_tokens"].sum())],
+                                  pa.int64()),
+    })
+
+
+def pack_bins_parity_oracle_sql(seq_len: int = 128) -> str:
+    """The SQL-recomputable half of the packing verdict: doc counts by
+    packability class and the packed token mass; parity_ok = 1 asserts
+    the engine-vs-twin bit equality and the capacity invariant."""
+    return f"""
+WITH n AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+              END AS n_tokens
+  FROM documents)
+SELECT CAST(1 AS BIGINT) AS parity_ok,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_tokens > 0 AND n_tokens <= {seq_len}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_packed,
+       CAST(SUM(CASE WHEN n_tokens > {seq_len} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_oversize,
+       CAST(SUM(CASE WHEN n_tokens = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_empty,
+       CAST(SUM(CASE WHEN n_tokens > 0 AND n_tokens <= {seq_len}
+                THEN n_tokens ELSE 0 END) AS BIGINT) AS packed_tokens
+FROM n"""
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog sketch (mergeable approximate count-distinct)
 # ---------------------------------------------------------------------------

@@ -2682,3 +2682,64 @@ def test_postings_codec_planted(ray_session, pii_docs_dir):
     spam = df[df["token"] == "spam"].iloc[0]
     assert spam["df"] == 1 and spam["bytes_compressed"] == 1
     assert spam["doc_xor"] == 2
+
+
+def test_pack_bins_ffd_invariants_and_parity(ray_session, tmp_path_factory):
+    from pholcus_ray.pipelines.textdata import (pack_bins_ffd,
+                                                pack_bins_parity,
+                                                pack_bins_reference)
+
+    d = tmp_path_factory.mktemp("packdocs")
+    # lengths chosen to exercise: exact fit, first-fit skipping a too-
+    # full bin, oversize, empty
+    texts = ["w " * 100, "w " * 60, "w " * 40, "w " * 28, "w " * 28,
+             "w " * 200, "", "w " * 128, "w " * 1]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array([x.strip() for x in texts], pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(str(d), "documents.parquet"))
+    # single partition so the FFD order is the global decreasing order
+    eng = _to_df(pack_bins_ffd(str(d), seq_len=128, num_parts=1)) \
+        .sort_values("doc_id").reset_index(drop=True)
+    ref = pack_bins_reference(str(d), seq_len=128, num_parts=1) \
+        .to_pandas()
+    assert eng.equals(ref)
+    by = eng.set_index("doc_id")
+    assert by.loc[5, "status"] == 2 and by.loc[5, "bin_id"] == -1  # 200w
+    assert by.loc[6, "status"] == 0                                # empty
+    # FFD order: 128 -> bin0 full; 100 -> bin1; 60 -> bin2; 40 -> bin2
+    # (100+40 > 128 skips bin1? no: bin1 has 100, residual 28 < 40 ->
+    # bin2 with 60, residual 68 >= 40 fits); 28 -> bin1 (first fit!);
+    # 28 -> bin2 (68-40=28 fits exactly); 1 -> bin2? residual 0 -> bin3
+    assert by.loc[7, "bin_id"] == 0 and by.loc[7, "bin_fill"] == 128
+    assert by.loc[0, "bin_id"] == 1
+    assert by.loc[1, "bin_id"] == 2
+    assert by.loc[2, "bin_id"] == 2
+    assert by.loc[3, "bin_id"] == 1 and by.loc[3, "bin_fill"] == 128
+    assert by.loc[4, "bin_id"] == 2 and by.loc[4, "bin_fill"] == 128
+    assert by.loc[8, "bin_id"] == 3 and by.loc[8, "bin_fill"] == 1
+    # capacity + whole-doc invariants via the parity verdict
+    v = pack_bins_parity(str(d), seq_len=128, num_parts=1).to_pandas()
+    assert v["parity_ok"].iloc[0] == 1
+    assert v["n_packed"].iloc[0] == 7
+    assert v["n_oversize"].iloc[0] == 1 and v["n_empty"].iloc[0] == 1
+
+
+def test_pack_bins_ffd_partitioned_determinism(ray_session):
+    from pholcus_ray.pipelines.textdata import (pack_bins_ffd,
+                                                pack_bins_reference)
+
+    sf = "/root/testdata/sf0.001"
+    eng = _to_df(pack_bins_ffd(sf)).sort_values("doc_id") \
+        .reset_index(drop=True)
+    ref = pack_bins_reference(sf).to_pandas()
+    assert eng.equals(ref)
+    packed = eng[eng["status"] == 1]
+    fills = packed.groupby("bin_id")["n_tokens"].sum()
+    assert (fills <= 128).all()
+    # decent utilization on the sf corpus: mean fill >= 60% of capacity
+    assert fills.mean() >= 0.6 * 128
