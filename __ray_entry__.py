@@ -541,6 +541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_codec": T.postings_codec,
         "pack_bins_ffd": T.pack_bins_ffd,
         "pack_bins_parity": T.pack_bins_parity,
+        "weighted_sample": T.weighted_sample,
         "source_quota": T.source_quota,
         "c4_filters": T.c4_filters,
         "blocklist_filter": T.blocklist_filter,
@@ -653,6 +654,12 @@ def _pack_bins_parity_sql() -> str:
     from pholcus_ray.pipelines.textdata import pack_bins_parity_oracle_sql
 
     return pack_bins_parity_oracle_sql()
+
+
+def _weighted_sample_sql() -> str:
+    from pholcus_ray.pipelines.textdata import weighted_sample_oracle_sql
+
+    return weighted_sample_oracle_sql()
 
 
 def _hits_sql() -> str:
@@ -2142,6 +2149,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "tfidf_cosine_topk": _tfidf_cosine_sql(),
         "postings_codec": _postings_codec_sql(),
         "pack_bins_parity": _pack_bins_parity_sql(),
+        "weighted_sample": _weighted_sample_sql(),
         "tfidf_topk": r"""
             -- per-doc top-5 terms by the exact integer tf-idf surrogate
             -- score_micro = tf * 1e6 // df; ties (score desc, token asc).

@@ -71,6 +71,7 @@ _BENCH_QUERIES = [
     "tfidf_cosine_topk",
     "postings_codec",
     "pack_bins_parity",
+    "weighted_sample",
     "c4_filters",
     "source_quota",
     "stratified_sample",

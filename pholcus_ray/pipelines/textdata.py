@@ -3876,6 +3876,69 @@ SELECT CAST(1 AS BIGINT) AS parity_ok,
 FROM n"""
 
 
+
+
+def weighted_sample(sf_dir: str, k: int = 50) -> rd.Dataset:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006, the A-ES scheme every distributed engine implements
+    for weighted reservoir sampling): doc i draws u_i and ranks by
+    key_i = u_i^(1/w_i); the global top-k IS a weighted sample without
+    replacement. Weights are n_chars (sample long docs preferentially —
+    the temperature_mix companion); u_i is hash-derandomized
+    (md5('ws:'||doc_id) mapped to the exact-double lattice
+    (h % 2^53 + 1)/2^53), so the whole draw replays in SQL.
+
+    Float discipline: rank by ln(u)/w (monotone in the key), quantized
+    ONCE per doc to femto-units — libm ln over exact doubles, the dsir
+    contract — so the top-k cut is pure int64 ordering with doc_id
+    tie-break on both engines. Zero-weight (empty) docs are excluded,
+    the A-ES domain rule.
+
+    Scale shape: shuffle-free scoring (one vectorized map over the
+    documents read), then the engine's distributed sort-limit top-k —
+    at 10^10 docs the only exchange is the k-row cut."""
+    import math
+
+    from ..functions.hashing import md5_lower64_array
+
+    docs = _read_documents(sf_dir, columns=["doc_id", "n_chars"])
+    TWO53 = float(1 << 53)
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        w = t["n_chars"].to_numpy(zero_copy_only=False)
+        keep = w > 0
+        ids, w = ids[keep], w[keep]
+        h = md5_lower64_array([f"ws:{int(d)}" for d in ids])
+        u = ((h % np.uint64(1 << 53)).astype(np.float64) + 1.0) / TWO53
+        key = np.array(
+            [math.floor(math.log(ui) / wi * 1e15 + 0.5)
+             for ui, wi in zip(u.tolist(), w.tolist())], dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_chars": pa.array(w, pa.int64()),
+            "key_femto": pa.array(key, pa.int64()),
+        })
+
+    return (docs.map_batches(score, batch_format="pyarrow")
+            .sort(["key_femto", "doc_id"], descending=[True, False])
+            .limit(k))
+
+
+def weighted_sample_oracle_sql(k: int = 50) -> str:
+    """Exact DuckDB replay of the A-ES draw: same md5-lattice uniform,
+    same ln/w femto quantization, same (key desc, doc_id) top-k."""
+    return f"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         CAST(FLOOR(ln((md5_number_lower('ws:' || CAST(doc_id AS VARCHAR))
+                        % {1 << 53} + 1.0) / {float(1 << 53)})
+                    / n_chars * 1e15 + 0.5) AS BIGINT) AS key_femto
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, n_chars, key_femto
+FROM s ORDER BY key_femto DESC, doc_id LIMIT {k}"""
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog sketch (mergeable approximate count-distinct)
 # ---------------------------------------------------------------------------

@@ -2743,3 +2743,21 @@ def test_pack_bins_ffd_partitioned_determinism(ray_session):
     assert (fills <= 128).all()
     # decent utilization on the sf corpus: mean fill >= 60% of capacity
     assert fills.mean() >= 0.6 * 128
+
+
+def test_weighted_sample_bias_and_determinism(ray_session):
+    from pholcus_ray.pipelines.textdata import weighted_sample
+
+    sf = "/root/testdata/sf0.001"
+    a = _to_df(weighted_sample(sf, k=50)).reset_index(drop=True)
+    b = _to_df(weighted_sample(sf, k=50)).reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) == 50
+    # keys strictly ordered desc (md5-derived ties are ~impossible but
+    # the doc_id tie-break keeps even those deterministic)
+    assert (a["key_femto"].diff().dropna() <= 0).all()
+    # weighted bias: the sample's mean doc length exceeds the corpus
+    # mean (long docs are preferentially drawn under w = n_chars)
+    corpus = pq.read_table(f"{sf}/documents.parquet",
+                           columns=["n_chars"]).to_pandas()
+    assert a["n_chars"].mean() > corpus["n_chars"].mean()
