@@ -542,6 +542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_bins_ffd": T.pack_bins_ffd,
         "pack_bins_parity": T.pack_bins_parity,
         "weighted_sample": T.weighted_sample,
+        "mirror_hosts": T.mirror_hosts,
         "source_quota": T.source_quota,
         "c4_filters": T.c4_filters,
         "blocklist_filter": T.blocklist_filter,
@@ -660,6 +661,12 @@ def _weighted_sample_sql() -> str:
     from pholcus_ray.pipelines.textdata import weighted_sample_oracle_sql
 
     return weighted_sample_oracle_sql()
+
+
+def _mirror_hosts_sql() -> str:
+    from pholcus_ray.pipelines.textdata import mirror_hosts_oracle_sql
+
+    return mirror_hosts_oracle_sql()
 
 
 def _hits_sql() -> str:
@@ -2150,6 +2157,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "postings_codec": _postings_codec_sql(),
         "pack_bins_parity": _pack_bins_parity_sql(),
         "weighted_sample": _weighted_sample_sql(),
+        "mirror_hosts": _mirror_hosts_sql(),
         "tfidf_topk": r"""
             -- per-doc top-5 terms by the exact integer tf-idf surrogate
             -- score_micro = tf * 1e6 // df; ties (score desc, token asc).

@@ -72,6 +72,7 @@ _BENCH_QUERIES = [
     "postings_codec",
     "pack_bins_parity",
     "weighted_sample",
+    "mirror_hosts",
     "c4_filters",
     "source_quota",
     "stratified_sample",

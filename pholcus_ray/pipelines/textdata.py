@@ -3939,6 +3939,150 @@ SELECT doc_id, n_chars, key_femto
 FROM s ORDER BY key_femto DESC, doc_id LIMIT {k}"""
 
 
+
+
+def mirror_hosts(sf_dir: str, shingle: int = 3, mirror_milli: int = 500,
+                 num_parts: int = 32) -> rd.Dataset:
+    """Host-mirror detection (Bharat & Broder 1999, "A technique for
+    measuring the relative size and overlap of public Web search
+    engines" lineage; the crawl-dedup problem of two hosts serving the
+    same site): exact pairwise Jaccard between each SOURCE's set of
+    word ``shingle``-grams. A pair at or above ``mirror_milli``/1000
+    is flagged a mirror — the signal a frontier uses to collapse
+    duplicate hosts before spending fetch budget on both.
+
+    Scale shape (the group-level set-similarity join): the distinct
+    (shingle-hash, source) incidence shuffles ONCE by shingle hash;
+    each partition folds per-source size partials and per-shingle
+    source-pair partials (sources sharing a shingle — pairs bounded by
+    source cardinality, not doc count); the final fold is G^2-bounded
+    (G = #sources), so at 10^10 pages only the incidence exchange
+    scales with data. Shingle hash is md5-lower64 — the construction
+    replays exactly in SQL."""
+    docs = _read_documents(sf_dir, columns=["text", "source"])
+    nP = np.uint64(num_parts)
+
+    def incidence(t: pa.Table) -> pa.Table:
+        hs, srcs = [], []
+        for src, x in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            toks = _tokens(x)
+            grams = {" ".join(toks[i:i + shingle])
+                     for i in range(len(toks) - shingle + 1)}
+            if not grams:
+                continue
+            g = list(grams)
+            hs.append(md5_lower64_array(g))
+            srcs.extend([src] * len(g))
+        h = (np.concatenate(hs) if hs else np.empty(0, np.uint64))
+        return pa.table({
+            "part": pa.array((h % nP).astype(np.int32)),
+            "h": pa.array(h.view(np.int64), pa.int64()),
+            "source": pa.array(srcs, pa.string()),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["h", "source"])
+        sz = g.groupby("source", sort=True)["h"].nunique()
+        g = g.sort_values(["h", "source"], kind="mergesort")
+        h = g["h"].to_numpy()
+        src = g["source"].to_numpy(dtype=object)
+        starts = np.flatnonzero(np.concatenate(([True], h[1:] != h[:-1])))
+        sizes = np.diff(np.concatenate((starts, [len(h)])))
+        rows_a, rows_b, rows_n = [], [], []
+        # pairs within each shingle group — bounded by source count
+        off = np.arange(len(h)) - np.repeat(starts, sizes)
+        left_cnt = np.repeat(sizes, sizes) - 1 - off
+        total = int(left_cnt.sum())
+        if total:
+            L = np.repeat(np.arange(len(h)), left_cnt)
+            csum = np.cumsum(left_cnt) - left_cnt
+            steps = np.arange(total) - np.repeat(csum, left_cnt) + 1
+            R = L + steps
+            pair = pd.DataFrame({"a": src[L], "b": src[R]})
+            pc = pair.groupby(["a", "b"], sort=True).size()
+            rows_a = [a for a, _ in pc.index]
+            rows_b = [b for _, b in pc.index]
+            rows_n = pc.to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "kind": np.concatenate((np.zeros(len(sz), np.int8),
+                                    np.ones(len(rows_a), np.int8))),
+            "a": np.concatenate((sz.index.to_numpy(dtype=object),
+                                 np.asarray(rows_a, dtype=object))),
+            "b": np.concatenate((sz.index.to_numpy(dtype=object),
+                                 np.asarray(rows_b, dtype=object))),
+            "n": np.concatenate((sz.to_numpy(dtype=np.int64),
+                                 np.asarray(rows_n, dtype=np.int64))),
+        })
+
+    def verdict(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = (g[g["kind"] == 0].groupby("a", sort=True)["n"].sum()
+                 .to_dict())
+        pairs = (g[g["kind"] == 1].groupby(["a", "b"], sort=True)["n"]
+                 .sum().reset_index())
+        na = pairs["a"].map(sizes).astype("int64")
+        nb = pairs["b"].map(sizes).astype("int64")
+        common = pairs["n"].astype("int64")
+        union = na + nb - common
+        jac = (common * 1_000_000 // union).astype("int64")
+        return pd.DataFrame({
+            "source_a": pairs["a"].values,
+            "source_b": pairs["b"].values,
+            "n_common": common.values,
+            "n_a": na.values,
+            "n_b": nb.values,
+            "jaccard_micro": jac.values,
+            "is_mirror": (jac >= mirror_milli * 1000).astype("int64")
+            .values,
+        })
+
+    folded = (docs.map_batches(incidence, batch_format="pyarrow")
+              .groupby("part").map_groups(fold, batch_format="pandas"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("one", pa.array(
+            np.zeros(t.num_rows, np.int64)))
+
+    return (folded.map_batches(tag, batch_format="pyarrow")
+            .groupby("one").map_groups(verdict, batch_format="pandas")
+            .sort(["source_a", "source_b"]))
+
+
+def mirror_hosts_oracle_sql(shingle: int = 3,
+                            mirror_milli: int = 500) -> str:
+    """Exact DuckDB replay: same md5-lower64 shingle sets per source,
+    same pair counts, same integer-micro Jaccard and mirror flag."""
+    return f"""
+WITH tok AS (
+  SELECT source,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents),
+sh AS (
+  SELECT DISTINCT source,
+         md5_number_lower(array_to_string(
+             toks[CAST(i AS INTEGER):CAST(i + {shingle} - 1 AS INTEGER)],
+             ' ')) AS h
+  FROM (SELECT source, toks,
+               unnest(generate_series(1, len(toks) - {shingle} + 1)) AS i
+        FROM tok)),
+sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh
+       GROUP BY source),
+pr AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT p.source_a, p.source_b, p.n_common,
+       x.n AS n_a, y.n AS n_b,
+       p.n_common * 1000000 // (x.n + y.n - p.n_common)
+           AS jaccard_micro,
+       CAST(p.n_common * 1000000 // (x.n + y.n - p.n_common)
+            >= {mirror_milli * 1000} AS BIGINT) AS is_mirror
+FROM pr p JOIN sz x ON x.source = p.source_a
+          JOIN sz y ON y.source = p.source_b
+ORDER BY p.source_a, p.source_b"""
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog sketch (mergeable approximate count-distinct)
 # ---------------------------------------------------------------------------

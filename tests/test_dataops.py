@@ -2761,3 +2761,32 @@ def test_weighted_sample_bias_and_determinism(ray_session):
     corpus = pq.read_table(f"{sf}/documents.parquet",
                            columns=["n_chars"]).to_pandas()
     assert a["n_chars"].mean() > corpus["n_chars"].mean()
+
+
+def test_mirror_hosts_planted_mirror_pair(ray_session, tmp_path_factory):
+    from pholcus_ray.pipelines.textdata import mirror_hosts
+
+    d = tmp_path_factory.mktemp("mirrordocs")
+    # hostA and hostB serve the same site (different doc split, same
+    # shingle set); hostC is unrelated; hostD half-overlaps A
+    texts = [("hostA", "the quick brown fox jumps over the lazy dog"),
+             ("hostB", "the quick brown fox jumps over the lazy dog"),
+             ("hostC", "completely different content lives here now"),
+             ("hostD", "the quick brown fox eats something else today")]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array([x for _, x in texts], pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array([s for s, _ in texts], pa.string()),
+        "n_chars": pa.array([len(x) for _, x in texts], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(str(d), "documents.parquet"))
+    df = _to_df(mirror_hosts(str(d))).set_index(["source_a", "source_b"])
+    ab = df.loc[("hostA", "hostB")]
+    assert ab["jaccard_micro"] == 1_000_000 and ab["is_mirror"] == 1
+    assert ab["n_common"] == ab["n_a"] == ab["n_b"]
+    ad = df.loc[("hostA", "hostD")]
+    assert 0 < ad["jaccard_micro"] < 500_000 and ad["is_mirror"] == 0
+    # disjoint pair never appears (no shared shingle)
+    assert ("hostB", "hostC") not in df.index \
+        and ("hostA", "hostC") not in df.index
