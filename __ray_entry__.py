@@ -157,6 +157,18 @@ def _q_url_templates_parity(sf_dir: str):
     return url_templates_parity(_corpus_for(sf_dir))
 
 
+def _q_crawl_traps(sf_dir: str):
+    from pholcus_ray.pipelines.graph import crawl_traps
+
+    return crawl_traps(_corpus_for(sf_dir))
+
+
+def _q_crawl_traps_parity(sf_dir: str):
+    from pholcus_ray.pipelines.graph import crawl_traps_parity
+
+    return crawl_traps_parity(_corpus_for(sf_dir))
+
+
 def _q_cdx_index(sf_dir: str):
     from pholcus_ray.pipelines.graph import cdx_index
 
@@ -438,6 +450,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text_parity": _q_anchor_text_parity,
         "url_templates": _q_url_templates,
         "url_templates_parity": _q_url_templates_parity,
+        "crawl_traps": _q_crawl_traps,
+        "crawl_traps_parity": _q_crawl_traps_parity,
         "cdx_index": _q_cdx_index,
         "cdx_index_parity": _q_cdx_index_parity,
         # gate-visible recall/completeness/parity twins for the
@@ -1597,6 +1611,13 @@ def _oracle_sql_raw() -> dict[str, str]:
             -- classify every payload to the generator's ground truth
             SELECT CAST(7 AS BIGINT) AS n_mimes,
                    CAST(1 AS BIGINT) AS sniff_ok
+        """,
+        "crawl_traps_parity": """
+            -- assertion oracle: the distributed (host, template) trap
+            -- table (page counts, distinct digests, diversity ratio,
+            -- trap verdict) must equal the sequential twin byte-for-byte
+            -- and cover every corpus page exactly once
+            SELECT CAST(1 AS BIGINT) AS parity_ok
         """,
         "cdx_index_parity": """
             -- assertion oracle: the distributed SURT-keyed CDX capture

@@ -2894,3 +2894,118 @@ SELECT f.doc_id, f.node, a.node_after_leave,
        CAST(f.node <> a.node_after_leave AS BIGINT) AS moved
 FROM full_pick f JOIN after_pick a USING (doc_id)
 ORDER BY f.doc_id"""
+
+
+# --------------------------------------------------------------------------
+# Crawl-trap detection — the URL-pattern-explosion guard (calendar pages,
+# session-id permutations, faceted-search grids: infinite URL spaces
+# serving near-constant content). A frontier that keeps following such
+# templates burns its fetch budget; the standard detector is exactly
+# "many URLs, few distinct payloads" per (host, url-template).
+# --------------------------------------------------------------------------
+
+
+def crawl_traps(corpus_dir: str, min_pages: int = 8,
+                max_diversity_milli: int = 500,
+                n_buckets: int = 8) -> rd.Dataset:
+    """Per (host, template): page count, distinct content digests, the
+    diversity ratio (distinct/pages, micro units) and the trap verdict —
+    ``n_pages >= min_pages`` and diversity at or below
+    ``max_diversity_milli``/1000 flags the template a trap (the rule a
+    scheduler would use to cap further enqueues for matching URLs).
+
+    Scale shape: html is digested INSIDE the block (md5-lower64 — bytes
+    never shuffle, the cdx_index discipline); slim (host, template,
+    digest) rows take ONE template-hash exchange; distinct-digest counts
+    are C-level nunique per partition. Verified byte-for-byte against
+    the sequential twin by :func:`crawl_traps_parity`."""
+    from ..functions.hashing import hash64_array, md5_lower64_array
+
+    ds = rd.read_parquet(os.path.join(corpus_dir, "pages"),
+                         columns=["url", "html"])
+    nb = np.uint64(n_buckets)
+
+    def rows(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        ht = [_url_template(u) for u in urls]
+        html = t["html"].to_pylist()
+        dig = md5_lower64_array([h.hex() for h in html]).view(np.int64)
+        keys = [h + "\x00" + tp for h, tp in ht]
+        return pa.table({
+            "part": pa.array((hash64_array(keys) % nb).astype(np.int64)),
+            "host": pa.array([h for h, _ in ht], pa.string()),
+            "template": pa.array([tp for _, tp in ht], pa.string()),
+            "digest": pa.array(dig, pa.int64()),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(["host", "template"], sort=True)["digest"]
+               .agg(["size", "nunique"]).reset_index())
+        n = agg["size"].astype("int64")
+        u = agg["nunique"].astype("int64")
+        div = (u * 1_000_000 // n).astype("int64")
+        return pd.DataFrame({
+            "host": agg["host"].values,
+            "template": agg["template"].values,
+            "n_pages": n.values,
+            "n_distinct": u.values,
+            "diversity_micro": div.values,
+            "is_trap": ((n.values >= min_pages)
+                        & (div.values <= max_diversity_milli * 1000))
+            .astype("int64"),
+        })
+
+    return (ds.map_batches(rows, batch_format="pyarrow")
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .sort(["host", "template"]))
+
+
+def crawl_traps_reference(corpus_dir: str, min_pages: int = 8,
+                          max_diversity_milli: int = 500) -> pa.Table:
+    """Sequential single-process twin — same pure functions, one pass."""
+    from ..functions.hashing import md5_lower64_array
+
+    t = pq.read_table(os.path.join(corpus_dir, "pages"),
+                      columns=["url", "html"])
+    ht = [_url_template(u) for u in t["url"].to_pylist()]
+    dig = md5_lower64_array(
+        [h.hex() for h in t["html"].to_pylist()]).view(np.int64)
+    df = pd.DataFrame({
+        "host": [h for h, _ in ht],
+        "template": [tp for _, tp in ht],
+        "digest": dig,
+    })
+    agg = (df.groupby(["host", "template"], sort=True)["digest"]
+           .agg(["size", "nunique"]).reset_index())
+    n = agg["size"].astype("int64")
+    u = agg["nunique"].astype("int64")
+    div = (u * 1_000_000 // n).astype("int64")
+    out = pd.DataFrame({
+        "host": agg["host"].values,
+        "template": agg["template"].values,
+        "n_pages": n.values,
+        "n_distinct": u.values,
+        "diversity_micro": div.values,
+        "is_trap": ((n.values >= min_pages)
+                    & (div.values <= max_diversity_milli * 1000))
+        .astype("int64"),
+    }).sort_values(["host", "template"], kind="mergesort") \
+        .reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def crawl_traps_parity(corpus_dir: str) -> pa.Table:
+    """Gate verdict: distributed trap table equals the sequential twin
+    byte-for-byte, covers every corpus page, and the verdict rule is
+    internally sound on every row."""
+    eng = crawl_traps(corpus_dir).to_pandas().reset_index(drop=True)
+    ref = crawl_traps_reference(corpus_dir).to_pandas()
+    n_pages = pq.read_table(os.path.join(corpus_dir, "pages"),
+                            columns=["url"]).num_rows
+    sound = bool(((eng["n_distinct"] <= eng["n_pages"])
+                  & (eng["diversity_micro"]
+                     == eng["n_distinct"] * 1_000_000 // eng["n_pages"])
+                  ).all())
+    ok = (eng.equals(ref) and int(eng["n_pages"].sum()) == n_pages
+          and sound)
+    return pa.table({"parity_ok": pa.array([int(ok)], pa.int64())})

@@ -346,3 +346,49 @@ def test_shard_ring_minimal_disruption(ray_session):
     # load is roughly balanced: no node holds > 3x the fair share
     counts = df["node"].value_counts()
     assert counts.max() <= 3 * (n_docs // 8)
+
+
+def test_crawl_traps_planted_trap(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pholcus_ray.pipelines.graph import (crawl_traps,
+                                             crawl_traps_parity,
+                                             crawl_traps_reference)
+    from pholcus_ray.sources.pages import cached_corpus
+
+    # real corpus: parity + page-coverage invariant
+    corpus = cached_corpus(n_pages=200, n_hosts=5)
+    assert int(crawl_traps_parity(corpus).to_pandas().iloc[0, 0]) == 1
+
+    # planted trap: a calendar template serving one payload under 10
+    # urls; a healthy template with 10 distinct payloads; a small
+    # template under the min_pages floor
+    d = tmp_path / "pages"
+    d.mkdir()
+    urls, html = [], []
+    for i in range(10):
+        urls.append(f"http://t.example.com/cal/2024/{i}")
+        html.append(b"<html>same calendar grid</html>")
+    for i in range(10):
+        urls.append(f"http://t.example.com/post/{i}")
+        html.append(f"<html>article {i}</html>".encode())
+    for i in range(3):
+        urls.append(f"http://t.example.com/tag/{i}")
+        html.append(b"<html>tag page</html>")
+    ts = pa.array(np.arange(len(urls)) * 1_000_000, pa.timestamp("us"))
+    pq.write_table(pa.table({"url": pa.array(urls), "warc_ts": ts,
+                             "html": pa.array(html, pa.binary())}),
+                   str(d / "part.parquet"))
+    eng = crawl_traps(str(tmp_path)).to_pandas()
+    ref = crawl_traps_reference(str(tmp_path)).to_pandas()
+    assert eng.equals(ref)
+    by = eng.set_index("template")
+    cal = by.loc["/cal/#/#"]
+    assert cal["n_pages"] == 10 and cal["n_distinct"] == 1
+    assert cal["is_trap"] == 1 and cal["diversity_micro"] == 100_000
+    post = by.loc["/post/#"]
+    assert post["is_trap"] == 0 and post["diversity_micro"] == 1_000_000
+    tag = by.loc["/tag/#"]  # low diversity but under the page floor
+    assert tag["is_trap"] == 0
