@@ -74,6 +74,12 @@ def _q_crawl_log(sf_dir: str):
     return crawl_log_table(_crawl_workdir(sf_dir))
 
 
+def _q_crawl_lineage(sf_dir: str):
+    from pholcus_ray.pipelines.crawl import crawl_lineage
+
+    return crawl_lineage(_crawl_workdir(sf_dir))
+
+
 def _q_crawl_items(sf_dir: str):
     from pholcus_ray.pipelines.crawl import items_table
 
@@ -538,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": S.embedding_centroids,
         # the crawl engine itself (non-SQL: rows-only checks)
         "crawl_log": _q_crawl_log,
+        "crawl_lineage": _q_crawl_lineage,
         "crawl_items": _q_crawl_items,
         "crawl_url_seen": _q_crawl_url_seen,
         "extract_text_identity": _q_extract_identity,

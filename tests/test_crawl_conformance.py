@@ -213,3 +213,41 @@ def test_frontier_blocks_parallel_granularity(ray_session):
     assert len(got) == n and (got["seq"].values == range(n)).all()
     # empty frontier stays a valid (single empty block) dataset
     assert _frontier_blocks(t.slice(0, 0)).count() == 0
+
+
+def test_crawl_lineage_audit_green_and_tamper_detected(ray_session,
+                                                       tmp_path):
+    """The lineage audit passes on a real crawl workdir, and detects a
+    tampered manifest (the failure mode resume must never silently
+    accept)."""
+    import json
+    import os
+    import shutil
+
+    from pholcus_ray.pipelines.crawl import (CrawlConfig, crawl_lineage,
+                                             run_crawl)
+    from pholcus_ray.sources.pages import cached_corpus
+
+    corpus = cached_corpus(n_pages=120, n_hosts=4)
+    wd = str(tmp_path / "wd")
+    run_crawl(CrawlConfig(corpus_dir=corpus, workdir=wd,
+                          round_virtual_sec=64.0, fetch_concurrency=2,
+                          num_shards=4))
+    t = crawl_lineage(wd).to_pandas()
+    assert len(t) > 1
+    assert (t["counts_ok"] == 1).all()
+    assert (t["chain_ok"] == 1).all()
+    assert (t["final_ok"] == 1).all()
+    assert (t["ok"] + t["fail"] == t["scheduled"]).all()
+
+    # tamper: inflate one round's ok count -> counts_ok and chain_ok on
+    # the NEXT round must flag it
+    rdir = sorted(os.listdir(os.path.join(wd, "rounds")))[1]
+    mpath = os.path.join(wd, "rounds", rdir, "_COMPLETE.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m["ok"] += 1
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    t2 = crawl_lineage(wd).to_pandas()
+    assert (t2["counts_ok"] == 0).any() or (t2["chain_ok"] == 0).any()
