@@ -91,6 +91,7 @@ _BENCH_QUERIES = [
     "pagerank",
     "opic",
     "recrawl_priority",
+    "shard_ring",
     "event_funnel",
     "time_band_join",
     "bm25_topk",
