@@ -439,6 +439,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "opic": G.opic,
         "recrawl_priority": G.recrawl_priority,
         "shard_ring": G.shard_ring,
+        # round-4 session-2 additions, front-loaded for gate sampling
+        "tfidf_cosine_topk": T.tfidf_cosine_topk,
+        "postings_codec": T.postings_codec,
+        "pack_bins_ffd": T.pack_bins_ffd,
+        "pack_bins_parity": T.pack_bins_parity,
+        "weighted_sample": T.weighted_sample,
+        "mirror_hosts": T.mirror_hosts,
         "hits": G.hits,
         "bfs_distance": G.bfs_distance,
         "scc_certificate": G.scc_certificate,
@@ -558,12 +565,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": T.pii_scrub,
         "chunk_docs": T.chunk_docs,
         "tfidf_topk": T.tfidf_topk,
-        "tfidf_cosine_topk": T.tfidf_cosine_topk,
-        "postings_codec": T.postings_codec,
-        "pack_bins_ffd": T.pack_bins_ffd,
-        "pack_bins_parity": T.pack_bins_parity,
-        "weighted_sample": T.weighted_sample,
-        "mirror_hosts": T.mirror_hosts,
         "source_quota": T.source_quota,
         "c4_filters": T.c4_filters,
         "blocklist_filter": T.blocklist_filter,
