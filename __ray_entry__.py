@@ -446,6 +446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_bins_parity": T.pack_bins_parity,
         "weighted_sample": T.weighted_sample,
         "mirror_hosts": T.mirror_hosts,
+        "retrieval_eval": T.retrieval_eval,
         "hits": G.hits,
         "bfs_distance": G.bfs_distance,
         "scc_certificate": G.scc_certificate,
@@ -689,6 +690,12 @@ def _mirror_hosts_sql() -> str:
     from pholcus_ray.pipelines.textdata import mirror_hosts_oracle_sql
 
     return mirror_hosts_oracle_sql()
+
+
+def _retrieval_eval_sql() -> str:
+    from pholcus_ray.pipelines.textdata import retrieval_eval_oracle_sql
+
+    return retrieval_eval_oracle_sql()
 
 
 def _hits_sql() -> str:
@@ -2187,6 +2194,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "pack_bins_parity": _pack_bins_parity_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "mirror_hosts": _mirror_hosts_sql(),
+        "retrieval_eval": _retrieval_eval_sql(),
         "tfidf_topk": r"""
             -- per-doc top-5 terms by the exact integer tf-idf surrogate
             -- score_micro = tf * 1e6 // df; ties (score desc, token asc).

@@ -73,6 +73,7 @@ _BENCH_QUERIES = [
     "pack_bins_parity",
     "weighted_sample",
     "mirror_hosts",
+    "retrieval_eval",
     "crawl_traps_parity",
     "c4_filters",
     "source_quota",

@@ -6031,6 +6031,197 @@ def bm25_topk(sf_dir: str, n_query_terms: int = 5, top_k: int = 10,
     )
 
 
+
+
+def retrieval_eval(sf_dir: str, n_queries: int = 10,
+                   scale: int = 1_000_000) -> rd.Dataset:
+    """Known-item retrieval evaluation over the BM25 stack (the eval
+    harness a search/dedup pipeline sanity-checks its index with): for
+    each of the first ``n_queries`` docs, the query is that doc's top-1
+    exact-tf-idf term (the tfidf_topk rule, k=1) and the system under
+    test is single-term BM25 over the whole corpus (the bm25_topk
+    integer rational, no top-k cut). Reported per query: candidate-set
+    size (the term's df), the query doc's own rank (score desc, doc_id
+    tie-break) and its reciprocal rank in micro units — known-item MRR
+    is their mean. Every number is integer-exact and the whole chain
+    (tfidf top-1 -> BM25 scores -> rank -> RR) replays in SQL.
+
+    Scale shape: the corpus aggregate pass is the bm25_topk vocab-sized
+    exchange (df + the T/N scalars); the query derivation touches ONLY
+    the n_queries docs (predicate-pushdown read) and their tokens' df
+    rows — bounded driver state, the bm25 qterms discipline; the scoring
+    pass ships slim (token, doc, tf, dl) rows for the query terms alone
+    (top tf-idf terms are rare by construction, so candidate sets are
+    small), one per-term coarse rank. Nothing scales with corpus size
+    except the two slim exchanges."""
+    from collections import Counter
+
+    import pyarrow.compute as pac
+
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    # pass A: global df + (T, N) scalars — the bm25_topk aggregate
+    def df_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        total = 0
+        ndoc = 0
+        for x in t["text"].to_pylist():
+            toks = _tokens(x)
+            if not toks:
+                continue
+            total += len(toks)
+            ndoc += 1
+            c.update(set(toks))
+        toks_col = list(c.keys()) + ["\x00total", "\x00ndocs"]
+        vals_col = list(c.values()) + [total, ndoc]
+        return pa.table({"token": pa.array(toks_col, pa.string()),
+                         "df_part": pa.array(vals_col, pa.int64())})
+
+    agg = (ds.map_batches(df_partial, batch_format="pyarrow")
+           .groupby("token")
+           .aggregate(Sum("df_part", alias_name="df"))
+           .materialize())
+    def _scalar_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pac.starts_with(t["token"], "\x00"))
+
+    scal = {r["token"]: int(r["df"])
+            for r in agg.map_batches(_scalar_rows,
+                                     batch_format="pyarrow").take_all()}
+    t_total, n_docs = scal["\x00total"], scal["\x00ndocs"]
+
+    # query derivation: top-1 tfidf term of each query doc (pushdown
+    # read; df looked up from the aggregate, bounded by Q docs' vocab)
+    qdocs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=(pac.field("doc_id") < n_queries)).take_all()
+    qtoks: dict[int, Counter] = {
+        int(r["doc_id"]): Counter(_tokens(r["text"])) for r in qdocs}
+    need = set().union(*[set(c) for c in qtoks.values()]) or {""}
+    need_arr = pa.array(sorted(need), pa.string())
+    dfmap = {r["token"]: int(r["df"]) for r in agg.map_batches(
+        lambda t: t.filter(pac.is_in(t["token"], value_set=need_arr)),
+        batch_format="pyarrow").take_all()}
+    query_of: dict[str, list[int]] = {}
+    for did, c in sorted(qtoks.items()):
+        if not c:
+            continue
+        # the tfidf_topk rule: score = tf*1e6 // df, tie (score desc,
+        # token asc) — two-pass argmax then lexicographic min
+        best_score = max(v * 1_000_000 // dfmap[k] for k, v in c.items())
+        tok = min(k for k, v in c.items()
+                  if v * 1_000_000 // dfmap[k] == best_score)
+        query_of.setdefault(tok, []).append(did)
+    qset = set(query_of)
+    qref = ray.put(query_of)
+
+    # pass B: slim candidate rows for the query terms, per-term rank
+    def tf_rows(t: pa.Table) -> pa.Table:
+        out_tok, out_doc, out_tf, out_dl = [], [], [], []
+        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _tokens(x)
+            if not toks:
+                continue
+            c = Counter(tok for tok in toks if tok in qset)
+            for tok, tf in c.items():
+                out_tok.append(tok)
+                out_doc.append(did)
+                out_tf.append(tf)
+                out_dl.append(len(toks))
+        return pa.table({
+            "token": pa.array(out_tok, pa.string()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "tf": pa.array(out_tf, pa.int64()),
+            "dl": pa.array(out_dl, pa.int64()),
+        })
+
+    def rank_term(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "query_doc": pd.Series([], dtype="int64"),
+                "token": pd.Series([], dtype="object"),
+                "n_candidates": pd.Series([], dtype="int64"),
+                "self_rank": pd.Series([], dtype="int64"),
+                "rr_micro": pd.Series([], dtype="int64")})
+        qmap = ray.get(qref)
+        tok = str(g["token"].iloc[0])
+        scores = [
+            (22 * int(tf) * t_total * scale)
+            // (10 * int(tf) * t_total + 3 * t_total
+                + 9 * int(dl) * n_docs)
+            for tf, dl in zip(g["tf"], g["dl"])
+        ]
+        g = g.assign(score_q=pd.Series(scores, index=g.index,
+                                       dtype="int64"))
+        g = g.sort_values(["score_q", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+        rows = []
+        for qd in qmap.get(tok, ()):
+            pos = g.index[g["doc_id"] == qd]
+            rank = int(pos[0]) + 1
+            rows.append((qd, tok, len(g), rank, 1_000_000 // rank))
+        return pd.DataFrame({
+            "query_doc": pd.Series([r[0] for r in rows], dtype="int64"),
+            "token": pd.Series([r[1] for r in rows], dtype="object"),
+            "n_candidates": pd.Series([r[2] for r in rows],
+                                      dtype="int64"),
+            "self_rank": pd.Series([r[3] for r in rows], dtype="int64"),
+            "rr_micro": pd.Series([r[4] for r in rows], dtype="int64"),
+        })
+
+    return (ds.map_batches(tf_rows, batch_format="pyarrow")
+            .groupby("token").map_groups(rank_term, batch_format="pandas")
+            .sort("query_doc"))
+
+
+def retrieval_eval_oracle_sql(n_queries: int = 10,
+                              scale: int = 1_000_000) -> str:
+    """Exact DuckDB replay of the whole eval chain: tfidf top-1 query
+    derivation, integer BM25 scores, per-term rank, reciprocal rank."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(trim(text), '\\s+')
+                END) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+dft AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+        GROUP BY token),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks
+       GROUP BY 1),
+tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+q AS (
+  SELECT doc_id AS query_doc, token FROM (
+    SELECT tf.doc_id, tf.token,
+           row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY tf.tf * 1000000 // d.df DESC, tf.token) AS rn
+    FROM tf JOIN dft d USING (token)
+    WHERE tf.doc_id < {n_queries})
+  WHERE rn = 1),
+cand AS (
+  SELECT tf.token, tf.doc_id,
+         CAST((22 * tf.tf * tot.t * {scale})
+              // (10 * tf.tf * tot.t + 3 * tot.t
+                  + 9 * dl.dl * tot.n) AS BIGINT) AS score_q
+  FROM tf JOIN (SELECT DISTINCT token FROM q) qq USING (token)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot),
+ranked AS (
+  SELECT token, doc_id,
+         row_number() OVER (PARTITION BY token
+                            ORDER BY score_q DESC, doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY token) AS n_candidates
+  FROM cand)
+SELECT q.query_doc, q.token,
+       CAST(r.n_candidates AS BIGINT) AS n_candidates,
+       CAST(r.rnk AS BIGINT) AS self_rank,
+       CAST(1000000 // r.rnk AS BIGINT) AS rr_micro
+FROM q JOIN ranked r ON r.token = q.token AND r.doc_id = q.query_doc
+ORDER BY q.query_doc"""
+
+
 # ---------------------------------------------------------------------------
 # LM-coverage quality signal (CCNet-flavored, log-free)
 # ---------------------------------------------------------------------------

@@ -2790,3 +2790,39 @@ def test_mirror_hosts_planted_mirror_pair(ray_session, tmp_path_factory):
     # disjoint pair never appears (no shared shingle)
     assert ("hostB", "hostC") not in df.index \
         and ("hostA", "hostC") not in df.index
+
+
+def test_retrieval_eval_known_item(ray_session, tmp_path_factory):
+    """A doc whose salient (tf-dominant, rare) term is unique must
+    retrieve itself at rank 1; two docs sharing a dominant term split
+    ranks 1 and 2 under the BM25 saturation."""
+    from pholcus_ray.pipelines.textdata import retrieval_eval
+
+    d = tmp_path_factory.mktemp("irdocs")
+    texts = [
+        "zebra zebra alpha beta",
+        "quokka quokka filler words here",
+        "shared shared tail",
+        "shared shared shared shared padding tokens making this one "
+        "much longer than the short shared doc indeed",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(str(d), "documents.parquet"))
+    df = _to_df(retrieval_eval(str(d), n_queries=4)) \
+        .set_index("query_doc")
+    assert df.loc[0, "token"] == "zebra"
+    assert df.loc[0, "self_rank"] == 1 and df.loc[0, "rr_micro"] == 1_000_000
+    assert df.loc[1, "token"] == "quokka" and df.loc[1, "self_rank"] == 1
+    # docs 2 and 3 both query 'shared' (tf-dominant in each); candidate
+    # set is exactly the two of them; ranks are a permutation of {1, 2}
+    assert df.loc[2, "token"] == "shared" == df.loc[3, "token"]
+    assert df.loc[2, "n_candidates"] == 2 == df.loc[3, "n_candidates"]
+    assert sorted([df.loc[2, "self_rank"], df.loc[3, "self_rank"]]) == [1, 2]
+    for q in (2, 3):
+        assert df.loc[q, "rr_micro"] == 1_000_000 // df.loc[q, "self_rank"]
