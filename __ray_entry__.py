@@ -447,6 +447,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": T.weighted_sample,
         "mirror_hosts": T.mirror_hosts,
         "retrieval_eval": T.retrieval_eval,
+        "quality_ablation": T.quality_ablation,
+        "snapshot_diff": G.snapshot_diff,
         "hits": G.hits,
         "bfs_distance": G.bfs_distance,
         "scc_certificate": G.scc_certificate,
@@ -696,6 +698,18 @@ def _retrieval_eval_sql() -> str:
     from pholcus_ray.pipelines.textdata import retrieval_eval_oracle_sql
 
     return retrieval_eval_oracle_sql()
+
+
+def _quality_ablation_sql() -> str:
+    from pholcus_ray.pipelines.textdata import quality_ablation_oracle_sql
+
+    return quality_ablation_oracle_sql()
+
+
+def _snapshot_diff_sql() -> str:
+    from pholcus_ray.pipelines.graph import snapshot_diff_oracle_sql
+
+    return snapshot_diff_oracle_sql()
 
 
 def _hits_sql() -> str:
@@ -2195,6 +2209,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "weighted_sample": _weighted_sample_sql(),
         "mirror_hosts": _mirror_hosts_sql(),
         "retrieval_eval": _retrieval_eval_sql(),
+        "quality_ablation": _quality_ablation_sql(),
+        "snapshot_diff": _snapshot_diff_sql(),
         "tfidf_topk": r"""
             -- per-doc top-5 terms by the exact integer tf-idf surrogate
             -- score_micro = tf * 1e6 // df; ties (score desc, token asc).

@@ -74,6 +74,8 @@ _BENCH_QUERIES = [
     "weighted_sample",
     "mirror_hosts",
     "retrieval_eval",
+    "quality_ablation",
+    "snapshot_diff",
     "crawl_traps_parity",
     "c4_filters",
     "source_quota",

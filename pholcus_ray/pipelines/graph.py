@@ -3009,3 +3009,136 @@ def crawl_traps_parity(corpus_dir: str) -> pa.Table:
     ok = (eng.equals(ref) and int(eng["n_pages"].sum()) == n_pages
           and sound)
     return pa.table({"parity_ok": pa.array([int(ok)], pa.int64())})
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff — the incremental-crawl delta (what changed between two
+# crawls of the same corpus: the CDX index answers "when did THIS url's
+# content change"; this answers the set question "which urls were added /
+# removed / rewritten between snapshot A and snapshot B"). Snapshot B is
+# hash-derived from A (the random_walks discipline — deterministic and
+# SQL-replayable): md5('sd:'||id) % 10 routes each doc to removed (0) /
+# changed (1) / unchanged (else), and floor(N/10) new ids N..N+N/10-1
+# are added with fresh digests.
+# --------------------------------------------------------------------------
+
+
+def snapshot_diff(sf_dir: str, n_buckets: int = 32) -> rd.Dataset:
+    """Classify every URL across two crawl snapshots: status 0 =
+    unchanged, 1 = changed (present in both, digest differs), 2 =
+    removed (A only), 3 = added (B only). Fully SQL-oracled (the oracle
+    derives the identical snapshot B and states the diff as a FULL
+    OUTER JOIN).
+
+    Scale shape: the diff IS the id-bucketed outer join — both sides
+    emit slim (id, digest, side) rows (digests computed in-block, text
+    never shuffles; the added range streams from ``rd.range``, not the
+    driver), ONE exchange co-locates each id's rows, and the per-
+    partition classify is a C-level two-side merge. At 10^10 urls the
+    operator moves 2 slim rows per url — the minimum any exact
+    snapshot diff pays."""
+    from ..functions.hashing import md5_lower64_array
+
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    n_added = n_docs // 10
+    nb = np.int64(n_buckets)
+
+    def a_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        dig = md5_lower64_array(t["text"].to_pylist()).view(np.int64)
+        r = md5_lower64_array([f"sd:{int(i)}" for i in ids]) \
+            % np.uint64(10)
+        keep_b = r != 0
+        chg = r == 1
+        dig_b = dig.copy()
+        if chg.any():
+            dig_b[chg] = md5_lower64_array(
+                [f"sdv:{int(i)}" for i in ids[chg]]).view(np.int64)
+        out_id = np.concatenate((ids, ids[keep_b]))
+        out_dig = np.concatenate((dig, dig_b[keep_b]))
+        out_side = np.concatenate((np.zeros(len(ids), np.int8),
+                                   np.ones(int(keep_b.sum()), np.int8)))
+        return pa.table({
+            "part": pa.array(out_id % nb),
+            "doc_id": pa.array(out_id, pa.int64()),
+            "dig": pa.array(out_dig, pa.int64()),
+            "side": pa.array(out_side),
+        })
+
+    def added_rows(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False) + n_docs
+        dig = md5_lower64_array(
+            [f"sdv:{int(i)}" for i in ids]).view(np.int64)
+        return pa.table({
+            "part": pa.array(ids % nb),
+            "doc_id": pa.array(ids, pa.int64()),
+            "dig": pa.array(dig, pa.int64()),
+            "side": pa.array(np.ones(len(ids), np.int8)),
+        })
+
+    a = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+         .map_batches(a_rows, batch_format="pyarrow"))
+    b_added = rd.range(n_added).map_batches(added_rows,
+                                            batch_format="pyarrow")
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        # nullable Int64 keeps absent-side digests exact — a plain outer
+        # merge would coerce int64 digests to float64, whose 53-bit
+        # mantissa can alias two DISTINCT 64-bit digests into "equal"
+        av = g[g["side"] == 0][["doc_id", "dig"]].astype({"dig": "Int64"})
+        bv = g[g["side"] == 1][["doc_id", "dig"]].astype({"dig": "Int64"})
+        m = av.merge(bv, on="doc_id", how="outer",
+                     suffixes=("_a", "_b"), sort=True)
+        ia = m["dig_a"].notna()
+        ib = m["dig_b"].notna()
+        eq = (m["dig_a"] == m["dig_b"]).fillna(False) \
+            .to_numpy(dtype=bool)
+        status = np.where(
+            ia & ib, np.where(eq, 0, 1),
+            np.where(ia, 2, 3)).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": m["doc_id"].astype("int64").values,
+            "in_a": ia.astype("int64").values,
+            "in_b": ib.astype("int64").values,
+            "status": status,
+        })
+
+    return (a.union(b_added)
+            .groupby("part").map_groups(classify, batch_format="pandas")
+            .sort("doc_id"))
+
+
+def snapshot_diff_oracle_sql() -> str:
+    """Exact DuckDB replay: same hash-derived snapshot B, same FULL
+    OUTER JOIN classification."""
+    return """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+a AS (SELECT doc_id, CAST(md5_number_lower(text) AS HUGEINT) AS dig
+      FROM documents),
+b AS (
+  SELECT a.doc_id,
+         CASE WHEN md5_number_lower('sd:' || CAST(a.doc_id AS VARCHAR))
+                   % 10 = 1
+              THEN CAST(md5_number_lower(
+                       'sdv:' || CAST(a.doc_id AS VARCHAR)) AS HUGEINT)
+              ELSE a.dig END AS dig
+  FROM a
+  WHERE md5_number_lower('sd:' || CAST(a.doc_id AS VARCHAR)) % 10 <> 0
+  UNION ALL
+  SELECT nn.n + u.i AS doc_id,
+         CAST(md5_number_lower('sdv:' || CAST(nn.n + u.i AS VARCHAR))
+              AS HUGEINT) AS dig
+  FROM nn, unnest(generate_series(0, nn.n // 10 - 1)) AS u(i))
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CAST(a.doc_id IS NOT NULL AS BIGINT) AS in_a,
+       CAST(b.doc_id IS NOT NULL AS BIGINT) AS in_b,
+       CAST(CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+                      AND a.dig = b.dig THEN 0
+                 WHEN a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+                      THEN 1
+                 WHEN a.doc_id IS NOT NULL THEN 2
+                 ELSE 3 END AS BIGINT) AS status
+FROM a FULL JOIN b ON a.doc_id = b.doc_id
+ORDER BY doc_id"""

@@ -6222,6 +6222,91 @@ FROM q JOIN ranked r ON r.token = q.token AND r.doc_id = q.query_doc
 ORDER BY q.query_doc"""
 
 
+
+
+def quality_ablation(sf_dir: str, num_parts: int = 16) -> rd.Dataset:
+    """Filter-interaction ablation table — the pipeline-design question
+    "which quality filters overlap, which bite alone?" answered as one
+    pass: every doc is scored against four cheap deterministic filters
+    and counted into its 16-cell pass/fail bitmask histogram (the
+    factorial table a data curator reads before ordering/cutting
+    filters; Dodge et al. 2021's C4 analysis is this table at corpus
+    scale). Bits (1 = pass): b0 len >= 10 tokens; b1 mean token length
+    <= 8 chars (n_chars <= 8*n_tokens, integer form); b2 lang = 'en';
+    b3 longest token <= 20 chars (the lorem/url-blob guard).
+
+    Scale shape: per-block np.bincount over the 16 masks (C-level, no
+    text leaves the block), one FIXED-SIZE (16-row) exchange — constant
+    cost at any corpus size, the dsir histogram discipline."""
+    docs = _read_documents(sf_dir,
+                           columns=["doc_id", "text", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        masks = np.zeros(16, np.int64)
+        for x, lang, nc in zip(t["text"].to_pylist(),
+                               t["lang"].to_pylist(),
+                               t["n_chars"].to_pylist()):
+            toks = _tokens(x)
+            nt = len(toks)
+            m = 0
+            if nt >= 10:
+                m |= 1
+            if nt > 0 and nc <= 8 * nt:
+                m |= 2
+            if lang == "en":
+                m |= 4
+            if nt > 0 and max(len(tok) for tok in toks) <= 20:
+                m |= 8
+            masks[m] += 1
+        nz = np.flatnonzero(masks)
+        return pa.table({
+            "mask": pa.array(nz.astype(np.int64)),
+            "n_docs": pa.array(masks[nz]),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("mask", sort=True)["n_docs"].sum().reset_index()
+        out["pass_all"] = (out["mask"] == 15).astype("int64")
+        return out.astype({"mask": "int64", "n_docs": "int64"})
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("one", pa.array(
+            np.zeros(t.num_rows, np.int64)))
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("one").map_groups(fold, batch_format="pandas")
+            .sort("mask"))
+
+
+def quality_ablation_oracle_sql() -> str:
+    """Exact DuckDB replay of the four filter bits and the mask
+    histogram."""
+    return """
+WITH f AS (
+  SELECT doc_id, lang, n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+              END AS nt,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE list_max(list_transform(
+                    regexp_split_to_array(trim(text), '\\s+'),
+                    x -> length(x)))
+              END AS maxtok
+  FROM documents),
+m AS (
+  SELECT (CASE WHEN nt >= 10 THEN 1 ELSE 0 END
+          + CASE WHEN nt > 0 AND n_chars <= 8 * nt THEN 2 ELSE 0 END
+          + CASE WHEN lang = 'en' THEN 4 ELSE 0 END
+          + CASE WHEN nt > 0 AND maxtok <= 20 THEN 8 ELSE 0 END)
+         AS mask
+  FROM f)
+SELECT CAST(mask AS BIGINT) AS mask,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(mask = 15 AS BIGINT) AS pass_all
+FROM m GROUP BY mask ORDER BY mask"""
+
+
 # ---------------------------------------------------------------------------
 # LM-coverage quality signal (CCNet-flavored, log-free)
 # ---------------------------------------------------------------------------

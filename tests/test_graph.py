@@ -392,3 +392,37 @@ def test_crawl_traps_planted_trap(ray_session, tmp_path):
     assert post["is_trap"] == 0 and post["diversity_micro"] == 1_000_000
     tag = by.loc["/tag/#"]  # low diversity but under the page floor
     assert tag["is_trap"] == 0
+
+
+def test_snapshot_diff_classes(ray_session):
+    from pholcus_ray.pipelines.graph import snapshot_diff
+
+    df = (snapshot_diff(SF, n_buckets=8).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    n_docs = pq.read_table(f"{SF}/documents.parquet",
+                           columns=["doc_id"]).num_rows
+    assert len(df) == n_docs + n_docs // 10
+    # added rows are exactly the ids beyond the A range, all status 3
+    added = df[df["doc_id"] >= n_docs]
+    assert len(added) == n_docs // 10
+    assert (added["status"] == 3).all()
+    assert (added["in_a"] == 0).all() and (added["in_b"] == 1).all()
+    # A-range statuses: unchanged/changed/removed partition the range
+    arange = df[df["doc_id"] < n_docs]
+    assert (arange["in_a"] == 1).all()
+    assert set(arange["status"]) <= {0, 1, 2}
+    assert ((arange["status"] == 2) == (arange["in_b"] == 0)).all()
+    # ~10% removed, ~10% changed (hash-routed; allow wide slack)
+    assert 0.03 < (arange["status"] == 2).mean() < 0.25
+    assert 0.03 < (arange["status"] == 1).mean() < 0.25
+    assert (arange["status"] == 0).mean() > 0.5
+
+
+def test_snapshot_diff_bucket_invariance(ray_session):
+    from pholcus_ray.pipelines.graph import snapshot_diff
+
+    a = (snapshot_diff(SF, n_buckets=4).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (snapshot_diff(SF, n_buckets=16).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
