@@ -449,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retrieval_eval": T.retrieval_eval,
         "quality_ablation": T.quality_ablation,
         "snapshot_diff": G.snapshot_diff,
+        "ngram_novelty": T.ngram_novelty,
         "hits": G.hits,
         "bfs_distance": G.bfs_distance,
         "scc_certificate": G.scc_certificate,
@@ -710,6 +711,12 @@ def _snapshot_diff_sql() -> str:
     from pholcus_ray.pipelines.graph import snapshot_diff_oracle_sql
 
     return snapshot_diff_oracle_sql()
+
+
+def _ngram_novelty_sql() -> str:
+    from pholcus_ray.pipelines.textdata import ngram_novelty_oracle_sql
+
+    return ngram_novelty_oracle_sql()
 
 
 def _hits_sql() -> str:
@@ -2211,6 +2218,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "retrieval_eval": _retrieval_eval_sql(),
         "quality_ablation": _quality_ablation_sql(),
         "snapshot_diff": _snapshot_diff_sql(),
+        "ngram_novelty": _ngram_novelty_sql(),
         "tfidf_topk": r"""
             -- per-doc top-5 terms by the exact integer tf-idf surrogate
             -- score_micro = tf * 1e6 // df; ties (score desc, token asc).

@@ -76,6 +76,7 @@ _BENCH_QUERIES = [
     "retrieval_eval",
     "quality_ablation",
     "snapshot_diff",
+    "ngram_novelty",
     "crawl_traps_parity",
     "c4_filters",
     "source_quota",

@@ -6307,6 +6307,120 @@ SELECT CAST(mask AS BIGINT) AS mask,
 FROM m GROUP BY mask ORDER BY mask"""
 
 
+
+
+def ngram_novelty(sf_dir: str, n: int = 3, num_parts: int = 32) -> rd.Dataset:
+    """Per-document novelty profile: the fraction of a doc's word
+    ``n``-gram instances whose globally FIRST occurrence (minimum doc_id
+    over the corpus) is this document — the forward-novelty signal
+    dedup-aware curriculum and memorization studies read (a doc of
+    already-seen n-grams is recombination; a doc of first-occurrence
+    n-grams is new text entering the corpus). Integer-exact:
+    novelty_micro = novel_instances * 1e6 // total_instances.
+
+    Scale shape (two slim exchanges, the tfidf discipline): (1) the
+    per-doc gram incidence — Counter-compressed, md5-lower64 gram keys
+    so SQL replays — shuffles by gram hash; each partition holds every
+    occurrence of its grams, so the global first-owner is one C-level
+    transform('min'); (2) per-doc partials shuffle back by doc hash for
+    the ratio fold. Text never crosses a stage boundary."""
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+    nP = np.uint64(num_parts)
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        ids, hs, ks = [], [], []
+        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _tokens(x)
+            c = Counter(" ".join(toks[i:i + n])
+                        for i in range(len(toks) - n + 1))
+            if not c:
+                # presence row so gramless docs still report 0/0
+                ids.append(did); hs.append(np.uint64(0)); ks.append(0)
+                continue
+            g = list(c.keys())
+            hh = md5_lower64_array(g)
+            ids.extend([did] * len(g))
+            hs.extend(hh.tolist())
+            ks.extend(c[k] for k in g)
+        h = np.asarray(hs, dtype=np.uint64)
+        return pa.table({
+            "part": pa.array((h % nP).astype(np.int32)),
+            "doc_id": pa.array(ids, pa.int64()),
+            "h": pa.array(h.view(np.int64), pa.int64()),
+            "k": pa.array(ks, pa.int64()),
+        })
+
+    def first_owner(g: pd.DataFrame) -> pd.DataFrame:
+        real = g["k"] > 0
+        first = g.loc[real].groupby("h")["doc_id"].transform("min")
+        novel = np.zeros(len(g), np.int64)
+        novel[real.to_numpy()] = (
+            g.loc[real, "doc_id"].to_numpy() == first.to_numpy()
+        ).astype(np.int64) * g.loc[real, "k"].to_numpy()
+        return pd.DataFrame({
+            "dpart": (g["doc_id"].values.astype(np.uint64) % nP)
+            .astype(np.int32),
+            "doc_id": g["doc_id"].astype("int64").values,
+            "total": g["k"].astype("int64").values,
+            "novel": novel,
+        })
+
+    def ratio(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.drop(columns=["dpart"])
+               .groupby("doc_id", sort=True).sum().reset_index())
+        tot = out["total"].to_numpy()
+        nov = out["novel"].to_numpy()
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].astype("int64").values,
+            "n_grams": tot.astype(np.int64),
+            "n_novel": nov.astype(np.int64),
+            "novelty_micro": np.where(
+                tot > 0, nov * 1_000_000 // np.maximum(tot, 1),
+                np.int64(0)).astype(np.int64),
+        })
+
+    return (docs.map_batches(gram_rows, batch_format="pyarrow")
+            .groupby("part").map_groups(first_owner,
+                                        batch_format="pandas")
+            .groupby("dpart").map_groups(ratio, batch_format="pandas")
+            .sort("doc_id"))
+
+
+def ngram_novelty_oracle_sql(n: int = 3) -> str:
+    """Exact DuckDB replay: same md5-lower64 gram keys, same min-doc_id
+    first-owner rule, same integer ratio."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents),
+inst AS (
+  SELECT doc_id,
+         md5_number_lower(array_to_string(
+             toks[CAST(i AS INTEGER):CAST(i + {n} - 1 AS INTEGER)],
+             ' ')) AS h
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {n} + 1)) AS i
+        FROM tok)),
+gk AS (SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS k
+       FROM inst GROUP BY doc_id, h),
+own AS (SELECT h, MIN(doc_id) AS first_doc FROM gk GROUP BY h),
+per AS (
+  SELECT g.doc_id, SUM(g.k) AS total,
+         SUM(CASE WHEN g.doc_id = o.first_doc THEN g.k ELSE 0 END)
+             AS novel
+  FROM gk g JOIN own o USING (h) GROUP BY g.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(p.total, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.novel, 0) AS BIGINT) AS n_novel,
+       CAST(COALESCE(p.novel * 1000000 // p.total, 0) AS BIGINT)
+           AS novelty_micro
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id"""
+
+
 # ---------------------------------------------------------------------------
 # LM-coverage quality signal (CCNet-flavored, log-free)
 # ---------------------------------------------------------------------------

@@ -2826,3 +2826,31 @@ def test_retrieval_eval_known_item(ray_session, tmp_path_factory):
     assert sorted([df.loc[2, "self_rank"], df.loc[3, "self_rank"]]) == [1, 2]
     for q in (2, 3):
         assert df.loc[q, "rr_micro"] == 1_000_000 // df.loc[q, "self_rank"]
+
+
+def test_ngram_novelty_ordering_rule(ray_session, tmp_path_factory):
+    """doc 0 is always fully novel; an exact copy later is fully
+    non-novel; a half-overlapping doc scores in between."""
+    from pholcus_ray.pipelines.textdata import ngram_novelty
+
+    d = tmp_path_factory.mktemp("novdocs")
+    texts = [
+        "a b c d e f",          # 4 trigrams, all first
+        "a b c d e f",          # exact copy: 0 novel
+        "a b c x y z w",        # 'a b c' seen; 4 of 5 novel
+        "",                     # gramless
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(str(d), "documents.parquet"))
+    df = _to_df(ngram_novelty(str(d))).set_index("doc_id")
+    assert df.loc[0, "novelty_micro"] == 1_000_000
+    assert df.loc[1, "n_novel"] == 0 and df.loc[1, "novelty_micro"] == 0
+    assert df.loc[2, "n_grams"] == 5 and df.loc[2, "n_novel"] == 4
+    assert df.loc[2, "novelty_micro"] == 800_000
+    assert df.loc[3, "n_grams"] == 0 and df.loc[3, "novelty_micro"] == 0
