@@ -74,6 +74,12 @@ def _q_crawl_log(sf_dir: str):
     return crawl_log_table(_crawl_workdir(sf_dir))
 
 
+def _q_crawl_to_corpus_parity(sf_dir: str):
+    from pholcus_ray.pipelines.corpus import crawl_to_corpus_parity
+
+    return crawl_to_corpus_parity(_crawl_workdir(sf_dir))
+
+
 def _q_crawl_lineage(sf_dir: str):
     from pholcus_ray.pipelines.crawl import crawl_lineage
 
@@ -556,6 +562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the crawl engine itself (non-SQL: rows-only checks)
         "crawl_log": _q_crawl_log,
         "crawl_lineage": _q_crawl_lineage,
+        "crawl_to_corpus_parity": _q_crawl_to_corpus_parity,
         "crawl_items": _q_crawl_items,
         "crawl_url_seen": _q_crawl_url_seen,
         "extract_text_identity": _q_extract_identity,
@@ -1647,6 +1654,13 @@ def _oracle_sql_raw() -> dict[str, str]:
             -- classify every payload to the generator's ground truth
             SELECT CAST(7 AS BIGINT) AS n_mimes,
                    CAST(1 AS BIGINT) AS sniff_ok
+        """,
+        "crawl_to_corpus_parity": """
+            -- assertion oracle: the distributed crawl->corpus chain
+            -- (streamed items -> quality gate -> md5-bucketed exact
+            -- dedup keeping first url -> mod-p61 content checksum) must
+            -- equal the sequential twin on every count and checksum
+            SELECT CAST(1 AS BIGINT) AS parity_ok
         """,
         "crawl_traps_parity": """
             -- assertion oracle: the distributed (host, template) trap

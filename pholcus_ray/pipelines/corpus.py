@@ -709,3 +709,112 @@ def packed_token_shards_oracle_sql(seq_len: int = 256) -> str:
              CAST(1 AS BIGINT) AS count_ok,
              CAST(1 AS BIGINT) AS parity_ok
     """
+
+
+# ---------------------------------------------------------------------------
+# Crawl -> corpus bridge capstone: the engine's OWN crawl output fed
+# through the training-data gauntlet. Every other capstone starts from
+# the documents table; this one closes the loop the whole repo exists
+# for — pages fetched by the frontier (items_dataset, streaming) become
+# a cleaned, deduplicated corpus, and the distributed chain is verified
+# byte-for-byte against a sequential twin over the identical items.
+# ---------------------------------------------------------------------------
+
+
+def _crawl_corpus_chain(url, text, min_tokens: int = 5):
+    """Shared pure per-item rule: (keep_quality, text_md5_mod). Quality =
+    at least ``min_tokens`` whitespace tokens (the corpus gate rule);
+    identity for exact dedup = md5-lower64 of the extracted text mod
+    p61; dedup keeps the lexicographically-first url per digest."""
+    from ..functions.hashing import md5_lower64_array
+
+    toks = [len(_tokens(x)) for x in text]
+    h = (md5_lower64_array(text) % np.uint64((1 << 61) - 1)) \
+        .astype(np.int64)
+    keep = np.array([t >= min_tokens for t in toks], dtype=bool)
+    return keep, h
+
+
+def crawl_to_corpus_parity(workdir: str, min_tokens: int = 5,
+                           num_parts: int = 16) -> pa.Table:
+    """Gate verdict: the distributed crawl->corpus chain (streamed items
+    -> quality gate -> md5-bucketed exact dedup keeping the first url
+    -> mod-p61 content checksum) equals the sequential twin on every
+    count AND on the surviving-content checksum, over a non-trivial
+    item set.
+
+    Scale shape: items stream from the round partitions (items_dataset,
+    never the driver); the only exchange is the digest-bucketed dedup;
+    the verdict fold is one p61 sum per partition. The twin runs the
+    same pure rule single-process over items_table."""
+    from .crawl import items_dataset, items_table
+
+    _P61 = (1 << 61) - 1
+    nP = np.uint64(num_parts)
+
+    def rows(t: pa.Table) -> pa.Table:
+        import json
+
+        urls = t["url"].to_pylist()
+        texts = [json.loads(d).get("text", "")
+                 for d in t["data"].to_pylist()]
+        keep, h = _crawl_corpus_chain(urls, texts, min_tokens)
+        return pa.table({
+            "part": pa.array((h[keep].astype(np.uint64) % nP)
+                             .astype(np.int32)),
+            "h": pa.array(h[keep], pa.int64()),
+            "url": pa.array([u for u, k in zip(urls, keep) if k],
+                            pa.string()),
+            "n_in": pa.array(np.full(int(keep.sum()), 0, np.int64)),
+        })
+
+    def dedup_fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "url"], kind="mergesort")
+        first = ~g["h"].duplicated()
+        surv = g.loc[first]
+        # python-int fold: a numpy int64 sum of p61-sized values wraps
+        # silently long before the mod
+        h_sum = 0
+        for v in surv["h"].to_numpy():
+            h_sum = (h_sum + int(v)) % _P61
+        return pd.DataFrame({
+            "n_kept": [len(g)],
+            "n_unique": [len(surv)],
+            "h_sum": [h_sum],
+        })
+
+    ds = items_dataset(workdir)
+    n_items = ds.count()
+    parts = (ds.map_batches(rows, batch_format="pyarrow")
+             .groupby("part").map_groups(dedup_fold,
+                                         batch_format="pandas")
+             .take_all())
+    n_kept = sum(int(r["n_kept"]) for r in parts)
+    n_unique = sum(int(r["n_unique"]) for r in parts)
+    h_sum = 0
+    for r in parts:
+        h_sum = (h_sum + int(r["h_sum"])) % _P61
+
+    # sequential twin over the identical items
+    import json
+
+    t = items_table(workdir)
+    urls = t["url"].to_pylist()
+    texts = [json.loads(d).get("text", "") for d in t["data"].to_pylist()]
+    keep, h = _crawl_corpus_chain(urls, texts, min_tokens)
+    seen: dict[int, str] = {}
+    for u, k, hh in zip(urls, keep, h):
+        if not k:
+            continue
+        cur = seen.get(int(hh))
+        if cur is None or u < cur:
+            seen[int(hh)] = u
+    ref_kept = int(keep.sum())
+    ref_unique = len(seen)
+    ref_sum = sum(seen.keys()) % _P61
+
+    ok = (n_items == t.num_rows and n_kept == ref_kept
+          and n_unique == ref_unique and h_sum == ref_sum
+          and n_unique > 0 and n_kept >= n_unique)
+    return pa.table({"parity_ok": pa.array([int(ok)], pa.int64())})
+
