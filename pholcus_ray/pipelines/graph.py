@@ -2344,10 +2344,20 @@ def random_walks(sf_dir: str, length: int = 4,
                 rows = np.flatnonzero(part == p)
                 lo = np.searchsorted(ekey, cur[rows], side="left")
                 hi = np.searchsorted(ekey, cur[rows], side="right")
-                for r, a, b in zip(rows, lo, hi):
-                    nbrs = np.sort(eoth[a:b])  # rank by dst ASC (the
-                    # oracle's row_number ORDER BY dst contract)
-                    nxt[r] = nbrs[int(pick[r] % np.uint64(len(nbrs)))]
+                # derived out-degree is 1..3: gather each row's (up to 3)
+                # neighbors into a padded matrix, rank by dst ASC with a
+                # +inf pad (the oracle's row_number ORDER BY dst
+                # contract), pick column md5 % degree — no per-row loop
+                deg = hi - lo
+                width = int(deg.max())
+                m = np.full((len(rows), width), np.iinfo(np.int64).max,
+                            np.int64)
+                for c in range(width):
+                    sel = deg > c
+                    m[sel, c] = eoth[lo[sel] + c]
+                m.sort(axis=1)
+                col = (pick[rows] % deg.astype(np.uint64)).astype(np.int64)
+                nxt[rows] = m[np.arange(len(rows)), col]
             return pa.table({
                 "walk_id": pa.array(wid, pa.int64()),
                 "step": pa.array(np.full(len(wid), s + 1, np.int64)),
