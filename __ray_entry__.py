@@ -74,6 +74,12 @@ def _q_crawl_log(sf_dir: str):
     return crawl_log_table(_crawl_workdir(sf_dir))
 
 
+def _q_politeness_audit(sf_dir: str):
+    from pholcus_ray.pipelines.crawl import politeness_audit
+
+    return politeness_audit(_crawl_workdir(sf_dir), _corpus_for(sf_dir))
+
+
 def _q_crawl_to_corpus_parity(sf_dir: str):
     from pholcus_ray.pipelines.corpus import crawl_to_corpus_parity
 
@@ -563,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_log": _q_crawl_log,
         "crawl_lineage": _q_crawl_lineage,
         "crawl_to_corpus_parity": _q_crawl_to_corpus_parity,
+        "politeness_audit": _q_politeness_audit,
         "crawl_items": _q_crawl_items,
         "crawl_url_seen": _q_crawl_url_seen,
         "extract_text_identity": _q_extract_identity,
@@ -1654,6 +1661,14 @@ def _oracle_sql_raw() -> dict[str, str]:
             -- classify every payload to the generator's ground truth
             SELECT CAST(7 AS BIGINT) AS n_mimes,
                    CAST(1 AS BIGINT) AS sniff_ok
+        """,
+        "politeness_audit": """
+            -- assertion oracle: replaying the robots disallow rules and
+            -- the per-(round, host) budget cap against every result row
+            -- of the engine's own crawl must find zero violations
+            SELECT CAST(0 AS BIGINT) AS n_over_cap,
+                   CAST(0 AS BIGINT) AS n_disallowed,
+                   CAST(1 AS BIGINT) AS audit_ok
         """,
         "crawl_to_corpus_parity": """
             -- assertion oracle: the distributed crawl->corpus chain

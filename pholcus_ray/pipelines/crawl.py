@@ -1222,3 +1222,92 @@ def crawl_lineage(workdir: str) -> pa.Table:
                   for n, c in zip(names, cols)})
     return t.append_column(
         "final_ok", pa.array([final_ok] * t.num_rows, pa.int64()))
+
+
+def politeness_audit(workdir: str, corpus_dir: str) -> pa.Table:
+    """Politeness-compliance audit over the engine's OWN crawl output:
+    re-derives every host's robots policy (disallow prefixes +
+    crawl-delay cap) straight from the corpus robots bodies and replays
+    the two rules against every result row of every round —
+
+    - budget: per (round, host) attempts <= cap = max(1,
+      floor(round_virtual_sec / crawl_delay)) (the HostBudgetShard
+      admission rule, state/hostbudget.py);
+    - robots: every fetched url's path allowed under its host's
+      disallow prefixes.
+
+    Emits the statically-assertable verdict row (n_over_cap = 0,
+    n_disallowed = 0, audit_ok = 1), so a budget or robots regression
+    fails CORRECTNESS, not just the conformance suite.
+
+    Scale shape: result partitions stream (slim url/host columns,
+    footer-pruned); the policy is a broadcast ray.put (robots bodies
+    are host-bounded); per-batch partials fold to (round, host) counts
+    — the exchange is bounded by rounds x hosts, not pages."""
+    from urllib.parse import urlsplit
+
+    from ..state.hostpolicy import HostPolicy
+
+    rvs, _t0 = _run_clock(workdir)
+    policy = HostPolicy.from_robots_parquet(
+        os.path.join(corpus_dir, "robots.parquet"))
+    pol_ref = ray.put(policy)
+
+    dss = []
+    for r, d in _round_dirs(workdir):
+        res_dir = os.path.join(d, "result")
+        if _has_files(res_dir):
+            dss.append(rd.read_parquet(res_dir, columns=["url", "host"])
+                       .map_batches(
+                lambda t, _r=r: t.append_column(
+                    "round", pa.array(np.full(t.num_rows, _r, np.int64))),
+                batch_format="pyarrow"))
+    if not dss:
+        return pa.table({"n_over_cap": pa.array([0], pa.int64()),
+                         "n_disallowed": pa.array([0], pa.int64()),
+                         "audit_ok": pa.array([0], pa.int64())})
+    ds = dss[0]
+    for other in dss[1:]:
+        ds = ds.union(other)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        pol: HostPolicy = ray.get(pol_ref)
+        hosts = t["host"].to_pylist()
+        urls = t["url"].to_pylist()
+        rounds = t["round"].to_numpy(zero_copy_only=False)
+        bad = sum(0 if pol.allowed(h, urlsplit(u).path or "/") else 1
+                  for h, u in zip(hosts, urls))
+        df = pd.DataFrame({"round": rounds, "host": hosts})
+        cnt = (df.groupby(["round", "host"], sort=False).size()
+               .reset_index(name="n"))
+        return pa.table({
+            "round": pa.array(cnt["round"].astype("int64")),
+            "host": pa.array(cnt["host"], pa.string()),
+            "n": pa.array(cnt["n"].astype("int64")),
+            "bad": pa.array(
+                np.full(len(cnt), 0, np.int64)),
+            "bad_total": pa.array(
+                [bad] + [0] * (len(cnt) - 1) if len(cnt) else [],
+                pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    agg: dict[tuple, int] = {}
+    n_disallowed = 0
+    for row in parts:
+        agg[(int(row["round"]), row["host"])] = \
+            agg.get((int(row["round"]), row["host"]), 0) + int(row["n"])
+        n_disallowed += int(row["bad_total"])
+    n_over = 0
+    for (r, h), n in agg.items():
+        cap = max(1, int(rvs / policy.delay(h)))
+        if n > cap:
+            n_over += 1
+    ok = int(n_over == 0 and n_disallowed == 0 and len(agg) > 0)
+    return pa.table({
+        "n_over_cap": pa.array([n_over], pa.int64()),
+        "n_disallowed": pa.array([n_disallowed], pa.int64()),
+        "audit_ok": pa.array([ok], pa.int64()),
+    })

@@ -251,3 +251,44 @@ def test_crawl_lineage_audit_green_and_tamper_detected(ray_session,
         json.dump(m, f)
     t2 = crawl_lineage(wd).to_pandas()
     assert (t2["counts_ok"] == 0).any() or (t2["chain_ok"] == 0).any()
+
+
+def test_politeness_audit_detects_violation(ray_session, tmp_path):
+    """The audit is green on a real crawl, and a planted over-budget
+    round (result rows forged beyond the host cap) flips it red."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pholcus_ray.pipelines.crawl import (CrawlConfig,
+                                             politeness_audit, run_crawl)
+    from pholcus_ray.sources.pages import cached_corpus
+
+    corpus = cached_corpus(n_pages=120, n_hosts=4)
+    wd = str(tmp_path / "wd")
+    run_crawl(CrawlConfig(corpus_dir=corpus, workdir=wd,
+                          round_virtual_sec=64.0, fetch_concurrency=2,
+                          num_shards=4))
+    t = politeness_audit(wd, corpus).to_pandas()
+    assert t["audit_ok"].iloc[0] == 1
+    assert t["n_over_cap"].iloc[0] == 0 and t["n_disallowed"].iloc[0] == 0
+
+    # forge: append 1000 extra fetches of one host into round 0's result
+    rdir = sorted(os.listdir(os.path.join(wd, "rounds")))[0]
+    res = os.path.join(wd, "rounds", rdir, "result")
+    src = next(f for f in os.listdir(res) if f.endswith(".parquet"))
+    base = pq.read_table(os.path.join(res, src))
+    host = base["host"][0].as_py()
+    forged = base.schema.empty_table()
+    cols = {}
+    for name in base.schema.names:
+        col = base[name]
+        cols[name] = pa.concat_arrays(
+            [col.chunk(0)[:1]] * 1000) if col.num_chunks else col
+    forged = pa.table({n: cols[n] for n in base.schema.names})
+    pq.write_table(forged, os.path.join(res, "forged.parquet"))
+    t2 = politeness_audit(wd, corpus).to_pandas()
+    assert t2["audit_ok"].iloc[0] == 0
+    assert t2["n_over_cap"].iloc[0] >= 1
