@@ -255,6 +255,12 @@ def _q_warc_roundtrip(sf_dir: str):
     return warc_roundtrip(sf_dir)
 
 
+def _q_wet_roundtrip(sf_dir: str):
+    from pholcus_ray.sources.warc import wet_roundtrip
+
+    return wet_roundtrip(_corpus_for(sf_dir))
+
+
 def _q_sitemap_roundtrip(sf_dir: str):
     from pholcus_ray.sources.sitemap import sitemap_roundtrip
 
@@ -609,6 +615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "warc_roundtrip": _q_warc_roundtrip,
         "sitemap_roundtrip": _q_sitemap_roundtrip,
+        "wet_roundtrip": _q_wet_roundtrip,
         "multimodal_decode": _q_multimodal,
         "multimodal_audio": _q_multimodal_audio,
         "multimodal_frame_sample": _q_multimodal_frames,
@@ -1295,6 +1302,14 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CAST(SUM(CAST(md5_number_lower(text) AS HUGEINT))
                         % 2305843009213693951 AS BIGINT) AS text_hash_mod
             FROM documents
+        """,
+        "wet_roundtrip": """
+            -- assertion oracle: crawl pages -> WARC response shards ->
+            -- WET conversion shards (real extract_text per payload) ->
+            -- read-back must be byte-identical to the corpus ground
+            -- truth text per url with every conversion digest verified
+            SELECT CAST(1 AS BIGINT) AS extraction_identical_ok,
+                   CAST(0 AS BIGINT) AS n_digest_bad
         """,
         "sitemap_roundtrip": """
             -- the engine computes these AFTER writing the documents as

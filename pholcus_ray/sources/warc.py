@@ -207,6 +207,7 @@ def parse_warc_stream(data: bytes) -> Iterator[dict]:
         rec = {"warc_type": headers.get("warc-type", ""),
                "url": headers.get("warc-target-uri", ""),
                "date": headers.get("warc-date", ""),
+               "refers_to": headers.get("warc-refers-to", ""),
                "declared_digest": headers.get("warc-payload-digest", "")}
         if rec["warc_type"] == "response":
             # strip the HTTP response envelope back off the payload
@@ -309,4 +310,196 @@ def warc_roundtrip(sf_dir: str) -> pa.Table:
         "id_sum_mod": pa.array([ids], pa.int64()),
         "text_hash_mod": pa.array([hs], pa.int64()),
         "digests_ok": pa.array([ok], pa.int64()),
+    })
+
+
+# --- WET (extracted-text conversion records) --------------------------------
+# The second half of the Common Crawl archive pair: for every WARC
+# response record, a WET file carries a ``conversion`` record whose
+# payload is the page's extracted plain text (ISO 28500 §6.8; Common
+# Crawl's *.warc.wet.gz). The converter below is the real thing: it
+# STREAMS the response shards back, runs the repo's own DOM extractor
+# (functions.textops.extract_text — the byte-identity-tested M3
+# function), and writes conversion shards with the same deterministic
+# framing discipline as the response writer.
+
+
+def build_conversion_record(url: str, text: bytes, date: str,
+                            refers_to: str) -> bytes:
+    """One WARC/1.0 ``conversion`` record (the WET record form):
+    text/plain payload, WARC-Refers-To naming the source response."""
+    digest = _payload_digest(text)
+    headers = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: conversion" + _CRLF
+        + f"WARC-Record-ID: {_record_id(digest, url)}".encode() + _CRLF
+        + f"WARC-Refers-To: {refers_to}".encode() + _CRLF
+        + f"WARC-Date: {date}".encode() + _CRLF
+        + f"WARC-Target-URI: {url}".encode() + _CRLF
+        + f"WARC-Payload-Digest: {digest}".encode() + _CRLF
+        + b"Content-Type: text/plain" + _CRLF
+        + f"Content-Length: {len(text)}".encode() + _CRLF
+    )
+    return headers + _CRLF + text + _CRLF + _CRLF
+
+
+def wet_from_warc(warc_dir: str, wet_dir: str,
+                  compress: bool = True) -> pa.Table:
+    """WARC -> WET conversion: stream every response shard, extract text
+    from the html payload (the M3 extractor), write one conversion
+    shard per batch. Returns the WET shard manifest."""
+    from ..functions.textops import extract_text
+
+    os.makedirs(wet_dir, exist_ok=True)
+
+    def convert(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"shard": pa.array([], pa.string()),
+                             "n_records": pa.array([], pa.int64())})
+        urls = t["url"].to_pylist()
+        dates = t["warc_date"].to_pylist()
+        payloads = t["payload"].to_pylist()
+        chunks = []
+        for url, date, payload in zip(urls, dates, payloads):
+            text = extract_text(payload).encode("utf-8")
+            refers = _record_id(_payload_digest(payload), url)
+            chunks.append(build_conversion_record(url, text, date,
+                                                  refers))
+        tag = hashlib.md5(urls[0].encode()).hexdigest()[:12]
+        ext = ".warc.wet.gz" if compress else ".warc.wet"
+        name = f"shard-{tag}-{len(urls)}{ext}"
+        tmp = os.path.join(wet_dir, name + ".tmp")
+        with open(tmp, "wb") as f:
+            if compress:
+                for c in chunks:
+                    f.write(_gzip_member(c))
+            else:
+                for c in chunks:
+                    f.write(c)
+        os.replace(tmp, os.path.join(wet_dir, name))
+        return pa.table({"shard": pa.array([name], pa.string()),
+                         "n_records": pa.array([len(urls)], pa.int64())})
+
+    rows = (read_warc(warc_dir).map_batches(convert,
+                                            batch_format="pyarrow")
+            .sort("shard").take_all())
+    return pa.Table.from_pylist(rows, schema=pa.schema([
+        ("shard", pa.string()), ("n_records", pa.int64())]))
+
+
+def read_wet(wet_dir: str) -> rd.Dataset:
+    """Stream WET shards back as (url, warc_date, text, digest_ok,
+    has_refers_to) rows."""
+
+    def parse(t: pa.Table) -> pa.Table:
+        urls, dates, texts, ok, refs = [], [], [], [], []
+        for raw in t["bytes"].to_pylist():
+            data = gzip.decompress(raw) if raw[:2] == b"\x1f\x8b" else raw
+            for rec in parse_warc_stream(data):
+                if rec["warc_type"] != "conversion":
+                    continue
+                urls.append(rec["url"])
+                dates.append(rec["date"])
+                texts.append(rec["payload"].decode("utf-8"))
+                ok.append(_payload_digest(rec["payload"])
+                          == rec["declared_digest"])
+                refs.append(bool(rec.get("refers_to", "")))
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_date": pa.array(dates, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "digest_ok": pa.array(ok, pa.bool_()),
+            "has_refers_to": pa.array(refs, pa.bool_()),
+        })
+
+    files = rd.read_binary_files(wet_dir, include_paths=True)
+    return files.map_batches(parse, batch_format="pyarrow", batch_size=1)
+
+
+def wet_roundtrip(corpus_dir: str) -> pa.Table:
+    """Gate query: crawl corpus pages -> WARC response shards -> WET
+    conversion shards (REAL extract_text on every payload) -> read back
+    -> per-url byte-identity of the extracted text against the corpus's
+    ground-truth ``text`` column (the north rule's own invariant), plus
+    the conversion-record digest checks.
+
+    The verdict columns are statically assertable: every record's
+    recomputed digest matches, every url's extracted text is
+    byte-identical to ground truth, counts agree."""
+    from ..functions.hashing import md5_lower64_array
+
+    pages = rd.read_parquet(os.path.join(corpus_dir, "pages"),
+                            columns=["url", "warc_ts", "html", "text"])
+    warc_out = tempfile.mkdtemp(prefix="pholcus_warc_")
+    wet_out = tempfile.mkdtemp(prefix="pholcus_wet_")
+    try:
+        write_warc(pages, warc_out, url_col="url", payload_col="html",
+                   ts_col="warc_ts")
+        wet_from_warc(warc_out, wet_out)
+
+        nP = np.uint64(8)
+
+        def truth_rows(t: pa.Table) -> pa.Table:
+            h = md5_lower64_array(t["text"].to_pylist()).view(np.int64)
+            urls = t["url"].to_pylist()
+            return pa.table({
+                "part": pa.array((md5_lower64_array(urls) % nP)
+                                 .astype(np.int64)),
+                "url": pa.array(urls, pa.string()),
+                "h": pa.array(h, pa.int64()),
+                "side": pa.array(np.zeros(t.num_rows, np.int8)),
+                "dig_ok": pa.array(np.ones(t.num_rows, np.int8)),
+            })
+
+        def wet_rows(t: pa.Table) -> pa.Table:
+            h = md5_lower64_array(t["text"].to_pylist()).view(np.int64)
+            urls = t["url"].to_pylist()
+            return pa.table({
+                "part": pa.array((md5_lower64_array(urls) % nP)
+                                 .astype(np.int64)),
+                "url": pa.array(urls, pa.string()),
+                "h": pa.array(h, pa.int64()),
+                "side": pa.array(np.ones(t.num_rows, np.int8)),
+                "dig_ok": pa.array(
+                    np.asarray(t["digest_ok"]).astype(np.int8)),
+            })
+
+        import pandas as pd
+
+        def match(g: "pd.DataFrame") -> "pd.DataFrame":
+            a = g[g["side"] == 0][["url", "h"]]
+            b = g[g["side"] == 1][["url", "h"]]
+            m = a.merge(b, on="url", how="outer", suffixes=("_t", "_w"),
+                        indicator=True)
+            both = m["_merge"] == "both"
+            eq = (m.loc[both, "h_t"].to_numpy()
+                  == m.loc[both, "h_w"].to_numpy())
+            return pd.DataFrame({
+                "n_truth": [len(a)],
+                "n_wet": [len(b)],
+                "n_matched": [int(both.sum())],
+                "n_identical": [int(eq.sum())],
+                "n_dig_bad": [int((g.loc[g["side"] == 1, "dig_ok"] == 0)
+                                  .sum())],
+            })
+
+        truth = pages.map_batches(truth_rows, batch_format="pyarrow")
+        wet = read_wet(wet_out).map_batches(wet_rows,
+                                            batch_format="pyarrow")
+        parts = (truth.union(wet)
+                 .groupby("part").map_groups(match, batch_format="pandas")
+                 .take_all())
+        n_truth = sum(int(r["n_truth"]) for r in parts)
+        n_wet = sum(int(r["n_wet"]) for r in parts)
+        n_match = sum(int(r["n_matched"]) for r in parts)
+        n_ident = sum(int(r["n_identical"]) for r in parts)
+        n_bad = sum(int(r["n_dig_bad"]) for r in parts)
+    finally:
+        shutil.rmtree(warc_out, ignore_errors=True)
+        shutil.rmtree(wet_out, ignore_errors=True)
+    ok = int(n_truth == n_wet == n_match == n_ident and n_bad == 0
+             and n_truth > 0)
+    return pa.table({
+        "extraction_identical_ok": pa.array([ok], pa.int64()),
+        "n_digest_bad": pa.array([n_bad], pa.int64()),
     })
