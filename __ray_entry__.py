@@ -585,6 +585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": T.text_quality,
         "text_quality_stats": T.text_quality_stats,
         "lang_id": T.lang_id,
+        "langid_eval": T.langid_eval,
         "split_by_hash": T.split_by_hash,
         "pii_scrub": T.pii_scrub,
         "chunk_docs": T.chunk_docs,
@@ -662,6 +663,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the sf corpora have no edge whitespace). Every oracle's trim is
 # rewritten to the whitespace-set form in ONE documented place instead
 # of 24 hand-edited call sites.
+# the deterministic language-ID construction (textdata.langid_predict)
+# stated once, shared by the lang_id histogram oracle and the
+# langid_eval confusion-matrix oracle: '' -> und; CJK char ratio > 0.05
+# -> zh; else argmax stopword hit-rate over (en,es,de,fr) with
+# first-in-order tie-breaking; all-zero scores -> en
+_LANGID_PRED_CTE = r"""
+            WITH t AS (
+              SELECT lang, text,
+                     length(text) AS L,
+                     length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE list_transform(
+                              regexp_split_to_array(trim(text), '\s+'),
+                              w -> lower(w)) END AS toks
+              FROM documents
+            ), s AS (
+              SELECT lang, text, L, cjk,
+                     len(list_filter(toks, w -> w IN ('the','and','of','to','a','in','is','that','it','for'))) * 1.0 / greatest(1, len(toks)) AS se,
+                     len(list_filter(toks, w -> w IN ('el','la','de','que','y','en','un','una','los','las'))) * 1.0 / greatest(1, len(toks)) AS ss,
+                     len(list_filter(toks, w -> w IN ('der','die','das','und','ist','nicht','ein','mit','für','auf'))) * 1.0 / greatest(1, len(toks)) AS sd,
+                     len(list_filter(toks, w -> w IN ('le','la','les','de','des','et','est','une','dans','pour'))) * 1.0 / greatest(1, len(toks)) AS sf
+              FROM t
+            ), p AS (
+              SELECT lang, CASE
+                WHEN text = '' THEN 'und'
+                WHEN cjk * 1.0 / greatest(1, L) > 0.05 THEN 'zh'
+                WHEN sf > se AND sf > ss AND sf > sd THEN 'fr'
+                WHEN sd > se AND sd > ss THEN 'de'
+                WHEN ss > se THEN 'es'
+                ELSE 'en' END AS lang_pred
+              FROM s
+            )
+"""
+
+
 def _pagerank_sql() -> str:
     from pholcus_ray.pipelines.graph import pagerank_oracle_sql
 
@@ -1116,39 +1152,13 @@ def _oracle_sql_raw() -> dict[str, str]:
                          * 1000000 + 0.5) / 1000000.0 AS quality
             FROM r ORDER BY doc_id
         """,
-        "lang_id": r"""
-            -- the engine's exact deterministic heuristic (textdata.
-            -- langid_predict): '' -> und; CJK char ratio > 0.05 -> zh; else
-            -- argmax stopword hit-rate over (en,es,de,fr) with first-in-
-            -- order tie-breaking (a later lang wins only with a STRICTLY
-            -- greater score); all-zero scores -> en
-            WITH t AS (
-              SELECT text,
-                     length(text) AS L,
-                     length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
-                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                          ELSE list_transform(
-                              regexp_split_to_array(trim(text), '\s+'),
-                              w -> lower(w)) END AS toks
-              FROM documents
-            ), s AS (
-              SELECT text, L, cjk,
-                     len(list_filter(toks, w -> w IN ('the','and','of','to','a','in','is','that','it','for'))) * 1.0 / greatest(1, len(toks)) AS se,
-                     len(list_filter(toks, w -> w IN ('el','la','de','que','y','en','un','una','los','las'))) * 1.0 / greatest(1, len(toks)) AS ss,
-                     len(list_filter(toks, w -> w IN ('der','die','das','und','ist','nicht','ein','mit','für','auf'))) * 1.0 / greatest(1, len(toks)) AS sd,
-                     len(list_filter(toks, w -> w IN ('le','la','les','de','des','et','est','une','dans','pour'))) * 1.0 / greatest(1, len(toks)) AS sf
-              FROM t
-            ), p AS (
-              SELECT CASE
-                WHEN text = '' THEN 'und'
-                WHEN cjk * 1.0 / greatest(1, L) > 0.05 THEN 'zh'
-                WHEN sf > se AND sf > ss AND sf > sd THEN 'fr'
-                WHEN sd > se AND sd > ss THEN 'de'
-                WHEN ss > se THEN 'es'
-                ELSE 'en' END AS lang_pred
-              FROM s
-            )
+        "lang_id": _LANGID_PRED_CTE + r"""
             SELECT lang_pred, COUNT(*) AS n FROM p GROUP BY 1 ORDER BY 1
+        """,
+        "langid_eval": _LANGID_PRED_CTE + r"""
+            SELECT lang AS lang_true, lang_pred,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "ann_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe

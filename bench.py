@@ -75,6 +75,7 @@ _BENCH_QUERIES = [
     "mirror_hosts",
     "retrieval_eval",
     "quality_ablation",
+    "langid_eval",
     "snapshot_diff",
     "ngram_novelty",
     "crawl_traps_parity",

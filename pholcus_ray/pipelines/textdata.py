@@ -1828,6 +1828,33 @@ def lang_id(sf_dir: str) -> rd.Dataset:
     )
 
 
+def langid_eval(sf_dir: str) -> rd.Dataset:
+    """Language-ID evaluation: the confusion matrix of the deterministic
+    heuristic (langid_predict) against the corpus's ground-truth lang
+    column — the quality-control table a pipeline reads before trusting
+    a language filter. One fixed-size exchange (|langs|^2-bounded pair
+    counts folded from per-block Counters); SQL-exact via the shared
+    prediction CTE."""
+    ds = _read_documents(sf_dir, columns=["text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        pred = langid_predict(t["text"].to_pylist())
+        c = Counter(zip(t["lang"].to_pylist(), pred))
+        keys = sorted(c)
+        return pa.table({
+            "lang_true": pa.array([k[0] for k in keys], pa.string()),
+            "lang_pred": pa.array([k[1] for k in keys], pa.string()),
+            "n_part": pa.array([c[k] for k in keys], pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang_true", "lang_pred"])
+            .aggregate(Sum("n_part", alias_name="n"))
+            .sort(["lang_true", "lang_pred"]))
+
+
 def doc_fingerprint(sf_dir: str) -> rd.Dataset:
     """Normalized content fingerprint per doc: md5 of lower-cased,
     whitespace-collapsed text (DuckDB-matchable)."""
