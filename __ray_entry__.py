@@ -586,6 +586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality_stats": T.text_quality_stats,
         "lang_id": T.lang_id,
         "langid_eval": T.langid_eval,
+        "compression_quality": T.compression_quality,
         "split_by_hash": T.split_by_hash,
         "pii_scrub": T.pii_scrub,
         "chunk_docs": T.chunk_docs,

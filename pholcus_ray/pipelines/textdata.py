@@ -1855,6 +1855,54 @@ def langid_eval(sf_dir: str) -> rd.Dataset:
             .sort(["lang_true", "lang_pred"]))
 
 
+def compression_quality(sf_dir: str, min_ratio_milli: int = 250,
+                        max_ratio_milli: int = 800) -> rd.Dataset:
+    """Compression-ratio quality filter (the Gopher/ccnet signal the
+    repetition rules approximate from the other side): zlib-compress
+    each document (level 6, the corpus-processing default) and keep docs
+    whose compressed/raw ratio sits in the natural-text band (~0.3-0.7
+    for prose) — pathologically repetitive text compresses far below
+    it; encoded/high-entropy blobs (base85-ish payloads masquerading as
+    text) land above ~0.8. Integer discipline: ratio_micro =
+    zlib_bytes * 1e6 // raw_bytes; empty docs are dropped (no bytes to
+    judge, stated).
+
+    No SQL oracle (DuckDB has no zlib surface) — gated rows-only plus
+    planted unit tests pinning both failure modes; deterministic within
+    an environment (fixed zlib level/strategy).
+
+    Scale shape: shuffle-free — one map over the documents read; the
+    compressor is C-level per doc and the only output is slim stat
+    rows."""
+    import zlib
+
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, raws, comps = [], [], []
+        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            b = x.encode("utf-8")
+            if not b:
+                continue
+            ids.append(did)
+            raws.append(len(b))
+            comps.append(len(zlib.compress(b, 6)))
+        raw = np.asarray(raws, dtype=np.int64)
+        comp = np.asarray(comps, dtype=np.int64)
+        ratio = comp * 1_000_000 // np.maximum(raw, 1)
+        keep = ((ratio >= min_ratio_milli * 1000)
+                & (ratio <= max_ratio_milli * 1000))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "raw_bytes": pa.array(raw),
+            "zlib_bytes": pa.array(comp),
+            "ratio_micro": pa.array(ratio.astype(np.int64)),
+            "keep": pa.array(keep.astype(np.int64)),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
 def doc_fingerprint(sf_dir: str) -> rd.Dataset:
     """Normalized content fingerprint per doc: md5 of lower-cased,
     whitespace-collapsed text (DuckDB-matchable)."""

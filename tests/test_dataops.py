@@ -2854,3 +2854,44 @@ def test_ngram_novelty_ordering_rule(ray_session, tmp_path_factory):
     assert df.loc[2, "n_grams"] == 5 and df.loc[2, "n_novel"] == 4
     assert df.loc[2, "novelty_micro"] == 800_000
     assert df.loc[3, "n_grams"] == 0 and df.loc[3, "novelty_micro"] == 0
+
+
+def test_compression_quality_failure_modes(ray_session, tmp_path_factory):
+    """Repetitive text compresses below the keep band; random-ish blobs
+    sit above natural text; normal prose lands inside."""
+    from pholcus_ray.pipelines.textdata import compression_quality
+
+    d = tmp_path_factory.mktemp("zqdocs")
+    import base64
+    import hashlib
+    blob = base64.b85encode(b"".join(
+        hashlib.sha256(str(i).encode()).digest()
+        for i in range(64))).decode()
+    texts = [
+        ("spam " * 400).strip(),                       # hyper-repetitive
+        "The quick brown fox jumps over the lazy dog. "
+        "It was the best of times, it was the worst of times; "
+        "a tale of two cities follows many threads through history "
+        "and revolution with long natural sentences and varied words.",
+        blob,                                           # high-entropy hex
+        "",                                             # empty -> dropped
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(str(d), "documents.parquet"))
+    df = _to_df(compression_quality(str(d))).set_index("doc_id")
+    assert 3 not in df.index                     # empty dropped
+    assert df.loc[0, "ratio_micro"] < 250_000    # repetition
+    assert df.loc[0, "keep"] == 0
+    assert 250_000 <= df.loc[1, "ratio_micro"] <= 800_000
+    assert df.loc[1, "keep"] == 1
+    assert df.loc[2, "ratio_micro"] > 800_000   # high-entropy blob
+    assert df.loc[2, "keep"] == 0
+    # ratio arithmetic is the stated integer form
+    assert (df["ratio_micro"]
+            == df["zlib_bytes"] * 1_000_000 // df["raw_bytes"]).all()
