@@ -668,26 +668,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # stated once, shared by the lang_id histogram oracle and the
 # langid_eval confusion-matrix oracle: '' -> und; CJK char ratio > 0.05
 # -> zh; else argmax stopword hit-rate over (en,es,de,fr) with
-# first-in-order tie-breaking; all-zero scores -> en
-_LANGID_PRED_CTE = r"""
+# first-in-order tie-breaking; all-zero scores -> en. with_lang carries
+# the ground-truth column through (langid_eval needs it; lang_id's
+# adversarial-parity fixture registers a documents table WITHOUT lang,
+# so the histogram variant must not reference it).
+def _langid_pred_cte(with_lang: bool) -> str:
+    lang_col = "lang, " if with_lang else ""
+    return rf"""
             WITH t AS (
-              SELECT lang, text,
+              SELECT {lang_col}text,
                      length(text) AS L,
-                     length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+                     length(regexp_replace(text, '[^\x{{4e00}}-\x{{9fff}}]', '', 'g')) AS cjk,
                      CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
                           ELSE list_transform(
                               regexp_split_to_array(trim(text), '\s+'),
                               w -> lower(w)) END AS toks
               FROM documents
             ), s AS (
-              SELECT lang, text, L, cjk,
+              SELECT {lang_col}text, L, cjk,
                      len(list_filter(toks, w -> w IN ('the','and','of','to','a','in','is','that','it','for'))) * 1.0 / greatest(1, len(toks)) AS se,
                      len(list_filter(toks, w -> w IN ('el','la','de','que','y','en','un','una','los','las'))) * 1.0 / greatest(1, len(toks)) AS ss,
                      len(list_filter(toks, w -> w IN ('der','die','das','und','ist','nicht','ein','mit','für','auf'))) * 1.0 / greatest(1, len(toks)) AS sd,
                      len(list_filter(toks, w -> w IN ('le','la','les','de','des','et','est','une','dans','pour'))) * 1.0 / greatest(1, len(toks)) AS sf
               FROM t
             ), p AS (
-              SELECT lang, CASE
+              SELECT {lang_col}CASE
                 WHEN text = '' THEN 'und'
                 WHEN cjk * 1.0 / greatest(1, L) > 0.05 THEN 'zh'
                 WHEN sf > se AND sf > ss AND sf > sd THEN 'fr'
@@ -1153,10 +1158,10 @@ def _oracle_sql_raw() -> dict[str, str]:
                          * 1000000 + 0.5) / 1000000.0 AS quality
             FROM r ORDER BY doc_id
         """,
-        "lang_id": _LANGID_PRED_CTE + r"""
+        "lang_id": _langid_pred_cte(False) + r"""
             SELECT lang_pred, COUNT(*) AS n FROM p GROUP BY 1 ORDER BY 1
         """,
-        "langid_eval": _LANGID_PRED_CTE + r"""
+        "langid_eval": _langid_pred_cte(True) + r"""
             SELECT lang AS lang_true, lang_pred,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM p GROUP BY 1, 2 ORDER BY 1, 2
