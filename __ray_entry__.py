@@ -74,6 +74,12 @@ def _q_crawl_log(sf_dir: str):
     return crawl_log_table(_crawl_workdir(sf_dir))
 
 
+def _q_cuckoo_fpr_check(sf_dir: str):
+    from pholcus_ray.pipelines.crawl import cuckoo_fpr_check
+
+    return cuckoo_fpr_check(sf_dir)
+
+
 def _q_politeness_audit(sf_dir: str):
     from pholcus_ray.pipelines.crawl import politeness_audit
 
@@ -576,6 +582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_lineage": _q_crawl_lineage,
         "crawl_to_corpus_parity": _q_crawl_to_corpus_parity,
         "politeness_audit": _q_politeness_audit,
+        "cuckoo_fpr_check": _q_cuckoo_fpr_check,
         "crawl_items": _q_crawl_items,
         "crawl_url_seen": _q_crawl_url_seen,
         "extract_text_identity": _q_extract_identity,
@@ -1692,6 +1699,14 @@ def _oracle_sql_raw() -> dict[str, str]:
             -- classify every payload to the generator's ground truth
             SELECT CAST(7 AS BIGINT) AS n_mimes,
                    CAST(1 AS BIGINT) AS sniff_ok
+        """,
+        "cuckoo_fpr_check": """
+            -- assertion oracle: the sharded cuckoo seen-set must never
+            -- false-negative or double-claim, and its probe FPR must sit
+            -- within 4x the Fan et al. 2b/2^f expectation
+            SELECT CAST(0 AS BIGINT) AS member_miss,
+                   CAST(0 AS BIGINT) AS dup_claim,
+                   CAST(1 AS BIGINT) AS bound_ok
         """,
         "politeness_audit": """
             -- assertion oracle: replaying the robots disallow rules and

@@ -76,6 +76,7 @@ _BENCH_QUERIES = [
     "retrieval_eval",
     "quality_ablation",
     "langid_eval",
+    "cuckoo_fpr_check",
     "snapshot_diff",
     "ngram_novelty",
     "crawl_traps_parity",

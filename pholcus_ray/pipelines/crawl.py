@@ -1311,3 +1311,57 @@ def politeness_audit(workdir: str, corpus_dir: str) -> pa.Table:
         "n_disallowed": pa.array([n_disallowed], pa.int64()),
         "audit_ok": pa.array([ok], pa.int64()),
     })
+
+
+def cuckoo_fpr_check(sf_dir: str, num_shards: int = 4,
+                     n_keys: int = 200_000,
+                     probes: int = 262_144) -> pa.Table:
+    """Accuracy gate on the frontier's OWN approximate seen-set — the
+    cuckoo-filter twin of textdata.bloom_fpr_check, run through the real
+    ``ShardedSeen`` actor pool (mode='cuckoo', the 10^10-frontier memory
+    path, state/cuckoo.py):
+
+    - ``member_miss`` must be 0: a cuckoo filter never false-negatives
+      (the kick chain conserves occupancy and exhausted chains stash the
+      victim, cuckoo.py:52-58) — checked over every inserted key;
+    - ``dup_claim`` must be 0: re-inserting an inserted key must never
+      report was_new (the dedup soundness the crawl relies on);
+    - ``bound_ok``: false positives on ``probes`` disjoint keys within
+      4x the Fan et al. expectation 2b/2^f (b = 4 slots, f = 16-bit
+      fingerprints), in exact integer arithmetic:
+      fp_count * 2^16 <= 4 * probes * 8.
+
+    Scale derives n_keys synthetic url-identity keys with the engine's
+    own C-level hasher (hash64_array over "cu:{i}"), inserted in
+    frontier-sized batches across the shard actor pool — the exact
+    insert/contains RPC path the crawl uses."""
+    from ..functions.hashing import hash64_array
+
+    del sf_dir  # scale-independent: the filter, not the corpus, is under test
+    seen = ShardedSeen(num_shards=num_shards, mode="cuckoo",
+                       capacity_per_shard=max(1 << 14,
+                                              n_keys // num_shards * 2))
+    keys = hash64_array([f"cu:{i}" for i in range(n_keys)])
+    dup_claim = 0
+    for lo in range(0, n_keys, 65_536):
+        batch = keys[lo:lo + 65_536]
+        seen.insert_if_absent(batch)
+        again = seen.insert_if_absent(batch)
+        dup_claim += int(again.sum())
+    member_miss = 0
+    for lo in range(0, n_keys, 65_536):
+        member_miss += int((~seen.contains(keys[lo:lo + 65_536])).sum())
+    probe_keys = hash64_array([f"pr:{j}" for j in range(probes)])
+    # the probe space may collide with member keys in hash space (both
+    # are uint64 draws); count only probes whose key is NOT a member key
+    member_set = set(keys.tolist())
+    mask = np.array([k not in member_set for k in probe_keys.tolist()])
+    hits = seen.contains(probe_keys)
+    fp_count = int((hits & mask).sum())
+    n_probes = int(mask.sum())
+    bound_ok = int(fp_count * (1 << 16) <= 4 * n_probes * 8)
+    return pa.table({
+        "member_miss": pa.array([member_miss], pa.int64()),
+        "dup_claim": pa.array([dup_claim], pa.int64()),
+        "bound_ok": pa.array([bound_ok], pa.int64()),
+    })
