@@ -470,6 +470,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_bins_parity": T.pack_bins_parity,
         "weighted_sample": T.weighted_sample,
         "mirror_hosts": T.mirror_hosts,
+        "langid_eval": T.langid_eval,
+        "compression_quality": T.compression_quality,
+        "crawl_lineage": _q_crawl_lineage,
+        "crawl_to_corpus_parity": _q_crawl_to_corpus_parity,
+        "politeness_audit": _q_politeness_audit,
+        "cuckoo_fpr_check": _q_cuckoo_fpr_check,
+        "sitemap_roundtrip": _q_sitemap_roundtrip,
+        "wet_roundtrip": _q_wet_roundtrip,
         "retrieval_eval": T.retrieval_eval,
         "quality_ablation": T.quality_ablation,
         "snapshot_diff": G.snapshot_diff,
@@ -579,10 +587,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": S.embedding_centroids,
         # the crawl engine itself (non-SQL: rows-only checks)
         "crawl_log": _q_crawl_log,
-        "crawl_lineage": _q_crawl_lineage,
-        "crawl_to_corpus_parity": _q_crawl_to_corpus_parity,
-        "politeness_audit": _q_politeness_audit,
-        "cuckoo_fpr_check": _q_cuckoo_fpr_check,
         "crawl_items": _q_crawl_items,
         "crawl_url_seen": _q_crawl_url_seen,
         "extract_text_identity": _q_extract_identity,
@@ -592,8 +596,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": T.text_quality,
         "text_quality_stats": T.text_quality_stats,
         "lang_id": T.lang_id,
-        "langid_eval": T.langid_eval,
-        "compression_quality": T.compression_quality,
         "split_by_hash": T.split_by_hash,
         "pii_scrub": T.pii_scrub,
         "chunk_docs": T.chunk_docs,
@@ -623,8 +625,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (deterministic fake decode backends)
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "warc_roundtrip": _q_warc_roundtrip,
-        "sitemap_roundtrip": _q_sitemap_roundtrip,
-        "wet_roundtrip": _q_wet_roundtrip,
         "multimodal_decode": _q_multimodal,
         "multimodal_audio": _q_multimodal_audio,
         "multimodal_frame_sample": _q_multimodal_frames,
