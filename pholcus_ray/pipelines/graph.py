@@ -3090,8 +3090,14 @@ def snapshot_diff(sf_dir: str, n_buckets: int = 32) -> rd.Dataset:
     a = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
          .map_batches(a_rows, batch_format="pyarrow"))
-    b_added = rd.range(n_added).map_batches(added_rows,
-                                            batch_format="pyarrow")
+    # compute-matched block count: Ray's range heuristic splits even a
+    # few-thousand-row added range into ~2x-cpus blocks, and the bucket
+    # exchange then pays per-block fixed costs (the _read_documents
+    # rationale, textdata.py)
+    b_added = rd.range(
+        n_added,
+        override_num_blocks=max(1, min(n_added // 2000 + 1, 32)),
+    ).map_batches(added_rows, batch_format="pyarrow")
 
     def classify(g: pd.DataFrame) -> pd.DataFrame:
         # nullable Int64 keeps absent-side digests exact — a plain outer
