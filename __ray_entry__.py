@@ -461,6 +461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # point, fully SQL-oracled via chained per-iteration CTEs)
         "pagerank": G.pagerank,
         "opic": G.opic,
+        "trustrank": G.trustrank,
         "recrawl_priority": G.recrawl_priority,
         "shard_ring": G.shard_ring,
         # round-4 session-2 additions, front-loaded for gate sampling
@@ -721,6 +722,12 @@ def _opic_sql() -> str:
     from pholcus_ray.pipelines.graph import opic_oracle_sql
 
     return opic_oracle_sql(iters=5)
+
+
+def _trustrank_sql() -> str:
+    from pholcus_ray.pipelines.graph import trustrank_oracle_sql
+
+    return trustrank_oracle_sql(iters=5)
 
 
 def _recrawl_priority_sql() -> str:
@@ -1667,6 +1674,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(),
         "opic": _opic_sql(),
+        "trustrank": _trustrank_sql(),
         "recrawl_priority": _recrawl_priority_sql(),
         "shard_ring": _shard_ring_sql(),
         "hits": _hits_sql(),

@@ -96,6 +96,7 @@ _BENCH_QUERIES = [
     "quantile_buckets",
     "pagerank",
     "opic",
+    "trustrank",
     "recrawl_priority",
     "shard_ring",
     "event_funnel",

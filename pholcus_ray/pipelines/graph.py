@@ -3158,3 +3158,186 @@ SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
                  ELSE 3 END AS BIGINT) AS status
 FROM a FULL JOIN b ON a.doc_id = b.doc_id
 ORDER BY doc_id"""
+
+
+# --------------------------------------------------------------------------
+# TrustRank — personalized PageRank from a trusted seed set (Gyongyi,
+# Garcia-Molina, Pedersen, VLDB 2004: "Combating Web Spam with
+# TrustRank"): the link-spam demotion measure a crawl scheduler pairs
+# with OPIC/PageRank — importance says WHERE the mass is, trust says how
+# much of it flows from vetted pages. Same integer fixed point as
+# pagerank, with teleport mass restricted to the seed set.
+# --------------------------------------------------------------------------
+
+
+def trustrank(sf_dir: str, iters: int = 5, n_buckets: int = 32,
+              seed_mod: int = 17) -> rd.Dataset:
+    """Integer TrustRank over the derived doc graph — fully SQL-oracled.
+    Seeds are ``doc_id % seed_mod == 0`` (deterministic, SQL-replayable;
+    a real deployment feeds a curated list). Per round:
+    ``trust = seed * BASE_T + 85% * incoming`` where ``BASE_T`` splits
+    the teleport pool R0*N_seeds... stated exactly: each SEED gets the
+    same per-seed teleport ``R0`` each round (the paper's uniform seed
+    distribution), non-seeds get only propagated mass — so spam islands
+    unreachable from seeds decay to zero, the TrustRank property the
+    unit test pins.
+
+    Scale shape: identical to :func:`pagerank` (bucket-pinned edges, one
+    slim exchange per round)."""
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    if n_docs * max(_MULTS) >= 2 ** 63:
+        raise ValueError("derived graph: n_docs * max multiplier overflows "
+                         "int64 — regenerate with smaller constants")
+    graph_key = f"docgraph:{sf_dir}:{n_docs}:{n_buckets}"
+    refs = {b: _derived_edge_bucket.remote(n_docs, b, n_buckets)
+            for b in range(n_buckets)}
+    ray.wait(list(refs.values()), num_returns=len(refs))
+    nb = np.int64(n_buckets)
+    smod = np.int64(seed_mod)
+
+    def init(t: pa.Table) -> pa.Table:
+        node = t["doc_id"].to_numpy(zero_copy_only=False)
+        seed = (node % smod == 0)
+        return pa.table({
+            "part": pa.array(node % nb),
+            "node": pa.array(node, pa.int64()),
+            "rank": pa.array(np.where(seed, R0, 0).astype(np.int64)),
+        })
+
+    state = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id"])
+             .map_batches(init, batch_format="pyarrow"))
+
+    def contribute(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        rank = t["rank"].to_numpy(zero_copy_only=False)
+        part = t["part"].to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        node_s, rank_s = node[order], rank[order]
+        out_p, out_d, out_c = [], [], []
+        for p in np.unique(part):
+            esrc, edst, edeg, edpart = _edge_arrays(graph_key, int(p),
+                                                    refs)
+            if len(esrc) == 0:
+                continue
+            pos = np.searchsorted(node_s, esrc)
+            pos = np.minimum(pos, len(node_s) - 1)
+            ok = node_s[pos] == esrc
+            if not ok.any():
+                continue
+            dst = edst[ok]
+            contrib = rank_s[pos[ok]] // edeg[ok]
+            dparts = edpart[ok]
+            u, first, inv = np.unique(dst, return_index=True,
+                                      return_inverse=True)
+            acc = np.zeros(len(u), np.int64)
+            np.add.at(acc, inv, contrib)
+            out_p.append(dparts[first].astype(np.int64))
+            out_d.append(u)
+            out_c.append(acc)
+        sent = np.arange(n_buckets, dtype=np.int64)
+        out_p.append(sent)
+        out_d.append(np.zeros(n_buckets, np.int64))
+        out_c.append(np.full(n_buckets, -1, np.int64))  # sentinel flag
+        return pa.table({
+            "dpart": pa.array(np.concatenate(out_p)),
+            "dst": pa.array(np.concatenate(out_d)),
+            "contrib": pa.array(np.concatenate(out_c)),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        p = int(g["dpart"].iloc[0])
+        nodes = np.arange(p, n_docs, n_buckets, dtype=np.int64)
+        s = np.zeros(len(nodes), np.int64)
+        real = g[g["contrib"] >= 0]
+        if len(real):
+            folded = real.groupby("dst", sort=True)["contrib"].sum()
+            keys = folded.index.to_numpy()
+            pos = np.searchsorted(nodes, keys)
+            pos_c = np.minimum(pos, len(nodes) - 1)
+            valid = nodes[pos_c] == keys
+            s[pos_c[valid]] = folded.to_numpy()[valid]
+        seed = (nodes % smod == 0)
+        rank = np.where(seed, R0, 0) + (ALPHA_NUM * s) // ALPHA_DEN
+        return pd.DataFrame({
+            "part": np.full(len(nodes), p, np.int64),
+            "node": nodes,
+            "rank": rank.astype(np.int64),
+        })
+
+    for _ in range(iters):
+        state = (state.map_batches(contribute, batch_format="pyarrow")
+                 .groupby("dpart").map_groups(fold, batch_format="pandas"))
+
+    def project(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["node"],
+            "trust_q": t["rank"],
+            "is_seed": pa.array((node % smod == 0).astype(np.int64)),
+        })
+
+    return state.map_batches(project, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
+def trustrank_reference(sf_dir: str, iters: int = 5,
+                        seed_mod: int = 17) -> pa.Table:
+    """Sequential twin — same integer rule, plain numpy."""
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    src = np.arange(n_docs, dtype=np.int64)
+    deg = 1 + (src % 3)
+    es, ed = [], []
+    for i, (m, a) in enumerate(zip(_MULTS, _OFFS)):
+        sel = src[deg > i]
+        es.append(sel)
+        ed.append((sel * m + a) % n_docs)
+    es, ed = np.concatenate(es), np.concatenate(ed)
+    edeg = 1 + (es % 3)
+    seed = (src % seed_mod == 0)
+    rank = np.where(seed, R0, 0).astype(np.int64)
+    for _ in range(iters):
+        s = np.zeros(n_docs, np.int64)
+        np.add.at(s, ed, rank[es] // edeg)
+        rank = np.where(seed, R0, 0) + (ALPHA_NUM * s) // ALPHA_DEN
+    return pa.table({
+        "doc_id": pa.array(src),
+        "trust_q": pa.array(rank),
+        "is_seed": pa.array(seed.astype(np.int64)),
+    })
+
+
+def trustrank_oracle_sql(iters: int = 5, seed_mod: int = 17) -> str:
+    """Chained-CTE DuckDB statement of the identical seeded iteration."""
+    head = f"""
+WITH mults(i, m, a) AS (VALUES (0, {_MULTS[0]}, {_OFFS[0]}),
+                               (1, {_MULTS[1]}, {_OFFS[1]}),
+                               (2, {_MULTS[2]}, {_OFFS[2]})),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src, (d.doc_id * t.m + t.a) % nn.n AS dst,
+         1 + (d.doc_id % 3) AS outdeg
+  FROM documents d CROSS JOIN nn JOIN mults t ON t.i <= d.doc_id % 3
+),
+r0 AS (SELECT doc_id AS node,
+              CAST(CASE WHEN doc_id % {seed_mod} = 0 THEN {R0}
+                        ELSE 0 END AS BIGINT) AS tr
+       FROM documents)"""
+    body = ""
+    for k in range(1, iters + 1):
+        body += f""",
+r{k} AS (
+  SELECT d.doc_id AS node,
+         CAST(CASE WHEN d.doc_id % {seed_mod} = 0 THEN {R0} ELSE 0 END
+              + ({ALPHA_NUM} * COALESCE(s.c, 0)) // {ALPHA_DEN}
+              AS BIGINT) AS tr
+  FROM documents d LEFT JOIN (
+     SELECT e.dst AS node, CAST(SUM(r.tr // e.outdeg) AS BIGINT) AS c
+     FROM edges e JOIN r{k - 1} r ON r.node = e.src GROUP BY e.dst) s
+  ON s.node = d.doc_id)"""
+    return f"""{head}{body}
+SELECT node AS doc_id, tr AS trust_q,
+       CAST(node % {seed_mod} = 0 AS BIGINT) AS is_seed
+FROM r{iters} ORDER BY doc_id"""

@@ -426,3 +426,32 @@ def test_snapshot_diff_bucket_invariance(ray_session):
     b = (snapshot_diff(SF, n_buckets=16).to_pandas()
          .sort_values("doc_id").reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_trustrank_twin_and_seed_property(ray_session):
+    from pholcus_ray.pipelines.graph import trustrank, trustrank_reference
+
+    eng = (trustrank(SF, iters=5, n_buckets=8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    ref = (trustrank_reference(SF, iters=5).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert eng.equals(ref)
+    seeds = eng[eng["is_seed"] == 1]
+    others = eng[eng["is_seed"] == 0]
+    assert len(seeds) > 0 and len(others) > 0
+    # seeds hold the teleport floor; non-seeds only propagated mass
+    assert (seeds["trust_q"] >= 10 ** 12).all()
+    # trust is seed-sourced: mean seed trust dominates mean non-seed
+    assert seeds["trust_q"].mean() > 2 * max(1, others["trust_q"].mean())
+    # at least some non-seed mass flowed (the graph is well-connected)
+    assert (others["trust_q"] > 0).any()
+
+
+def test_trustrank_bucket_count_invariance(ray_session):
+    from pholcus_ray.pipelines.graph import trustrank
+
+    a = (trustrank(SF, iters=3, n_buckets=4).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (trustrank(SF, iters=3, n_buckets=16).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
