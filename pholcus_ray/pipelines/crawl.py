@@ -1302,8 +1302,8 @@ def politeness_audit(workdir: str, corpus_dir: str) -> pa.Table:
         n_disallowed += int(row["bad_total"])
     n_over = 0
     for (r, h), n in agg.items():
-        cap = max(1, int(rvs / policy.delay(h)))
-        if n > cap:
+        # the engine's own cap rule (Crawl-delay: 0 = uncapped)
+        if n > policy.cap_per_round(h, rvs):
             n_over += 1
     ok = int(n_over == 0 and n_disallowed == 0 and len(agg) > 0)
     return pa.table({

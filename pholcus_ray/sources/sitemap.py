@@ -277,3 +277,28 @@ def sitemap_roundtrip(sf_dir: str) -> pa.Table:
         "freq_sum_mod": pa.array([cfs], pa.int64()),
         "index_listed_ok": pa.array([ok], pa.int64()),
     })
+
+
+def discover_from_robots(robots_parquet: str) -> rd.Dataset:
+    """Frontier bootstrap step 0: scan a corpus's robots bodies for
+    ``Sitemap:`` directives (the sitemaps.org robots-location rule) and
+    emit (host, sitemap_url) rows — the inputs ``read_sitemaps`` /
+    ``seeds_from_sitemaps`` then expand into seeds. Streaming map over
+    the robots table; no state."""
+    from ..state.hostpolicy import robots_sitemaps
+
+    ds = rd.read_parquet(robots_parquet)
+
+    def scan(t: pa.Table) -> pa.Table:
+        hosts, urls = [], []
+        for host, body in zip(t["host"].to_pylist(),
+                              t["body"].to_pylist()):
+            for u in robots_sitemaps(body):
+                hosts.append(host)
+                urls.append(u)
+        return pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "sitemap_url": pa.array(urls, pa.string()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")

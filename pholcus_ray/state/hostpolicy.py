@@ -31,7 +31,9 @@ import pyarrow.parquet as pq
 def parse_robots(body: str) -> tuple[list[str], float | None]:
     """Minimal robots.txt parser: ``User-agent: *`` sections only.
 
-    Returns (disallow_prefixes, crawl_delay_or_None).
+    Returns (disallow_prefixes, crawl_delay_or_None). ``Sitemap:``
+    directives are global per the protocol (not scoped to a user-agent
+    section) — :func:`robots_sitemaps` extracts them.
     """
     disallow: list[str] = []
     delay: float | None = None
@@ -100,3 +102,20 @@ class HostPolicy:
         if d <= 0:  # Crawl-delay: 0 (or a 0 default) = politeness-uncapped
             return 1 << 30
         return max(1, math.floor(round_virtual_sec / d))
+
+
+def robots_sitemaps(body: str) -> list[str]:
+    """The ``Sitemap:`` directives of a robots.txt body — the discovery
+    channel that bootstraps a frontier from sitemaps (sitemaps.org
+    "Sitemap location via robots.txt"). Global directives per the
+    protocol: NOT scoped to any User-agent section, absolute URLs, and
+    the value itself may contain ':' (scheme), so split once only."""
+    out: list[str] = []
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "sitemap" and v.strip():
+            out.append(v.strip())
+    return out

@@ -95,3 +95,50 @@ def test_seeds_from_sitemaps_projection(ray_session, tmp_path):
     assert list(seeds.columns) == ["url", "priority"]
     assert sorted(seeds["url"]) == sorted(urls)
     assert seeds["priority"].between(0, 1000).all()
+
+
+def test_robots_sitemap_directives():
+    from pholcus_ray.state.hostpolicy import parse_robots, robots_sitemaps
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Crawl-delay: 2\n"
+        "Sitemap: http://h.example/sitemap_index.xml\n"
+        "# comment\n"
+        "User-agent: other\n"
+        "Disallow: /other/\n"
+        "Sitemap: https://h.example/alt-sitemap.xml\n"
+    )
+    # sitemap directives are global (found even after a non-* section)
+    assert robots_sitemaps(body) == [
+        "http://h.example/sitemap_index.xml",
+        "https://h.example/alt-sitemap.xml",
+    ]
+    # and invisible to the policy parser (unchanged behavior)
+    dis, delay = parse_robots(body)
+    assert dis == ["/private/"] and delay == 2.0
+    assert robots_sitemaps("User-agent: *\nDisallow: /x/\n") == []
+
+
+def test_discover_from_robots(ray_session, tmp_path):
+    import pyarrow.parquet as pqt
+
+    from pholcus_ray.sources.sitemap import discover_from_robots
+
+    t = pa.table({
+        "host": pa.array(["a.example", "b.example", "c.example"]),
+        "body": pa.array([
+            "User-agent: *\nSitemap: http://a.example/sm.xml\n",
+            "User-agent: *\nDisallow: /\n",
+            "Sitemap: http://c.example/s1.xml\nSitemap: http://c.example/s2.xml\n",
+        ]),
+    })
+    p = str(tmp_path / "robots.parquet")
+    pqt.write_table(t, p)
+    df = discover_from_robots(p).to_pandas().sort_values(
+        ["host", "sitemap_url"]).reset_index(drop=True)
+    assert df["host"].tolist() == ["a.example", "c.example", "c.example"]
+    assert df["sitemap_url"].tolist() == [
+        "http://a.example/sm.xml", "http://c.example/s1.xml",
+        "http://c.example/s2.xml"]
