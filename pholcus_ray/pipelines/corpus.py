@@ -296,6 +296,35 @@ def _ts_sym_checksum(syms: list) -> int:
                .astype(object).sum() % _TS_P61)
 
 
+def _ts_seq_checksums(all_syms: list, seg_lens: np.ndarray) -> list[int]:
+    """:func:`_ts_sym_checksum` of every consecutive segment of ONE
+    concatenated symbol stream, in one vectorized pass.
+
+    Per-call overhead of the scalar helper (~0.5 ms: hash64_array setup +
+    a fresh power table) dominated the capstones' verify stages at
+    thousands of sequences per partition; here the whole partition pays
+    one hash pass, one power table, one mulmod, then per-segment
+    object-int sums (Python-int folds — numpy int64 sums would wrap, see
+    the p61 notes). Bit-identical to calling the scalar helper per
+    segment (pinned by test_corpus_seq_checksums_vector_parity)."""
+    from ..functions.hashing import hash64_array
+    from .textdata import BpeEncoder, _mulmod_p61, _pow_range_p61
+
+    seg_lens = np.asarray(seg_lens, dtype=np.int64)
+    if len(all_syms) == 0:
+        return [0] * len(seg_lens)
+    h = hash64_array(all_syms) % np.uint64(_TS_P61)
+    pows = _pow_range_p61(BpeEncoder._R, int(seg_lens.max()))
+    starts = np.concatenate([[0], np.cumsum(seg_lens)[:-1]])
+    # position within the owning segment -> power index (pows[0] = R^1)
+    idx = np.arange(len(h), dtype=np.int64) - np.repeat(starts, seg_lens)
+    terms = _mulmod_p61(h, pows[idx]).astype(object)
+    out = []
+    for st, ln in zip(starts, seg_lens):
+        out.append(int(terms[st:st + ln].sum() % _TS_P61) if ln else 0)
+    return out
+
+
 def _ts_epoch_order(doc_ids: list[int], seed: int) -> dict[int, int]:
     """Sequential replay of epoch_shuffle's global order: sort by
     (bucket, hx, doc_id) with hx = md5(seed:doc_id) and bucket =
@@ -307,9 +336,29 @@ def _ts_epoch_order(doc_ids: list[int], seed: int) -> dict[int, int]:
     return {i: pos for pos, (_, _, i) in enumerate(keyed)}
 
 
+#: Auto mode runs the driver-side sequential twin only when the corpus
+#: has at most this many documents (gate SF / unit-test scale).  Above
+#: it the twin IS a whole-corpus driver materialization by construction,
+#: so the timed bench loop must not pay it — the distributed read-back
+#: verification (dense offsets, roundtrip counts, checksums recomputed
+#: from the written files by map_batches) runs at EVERY scale.
+_TWIN_MAX_DOCS = 2000
+
+
+def _enc_concurrency() -> int:
+    """Actor count for the BPE-encode pool: the per-word merge loop is
+    the capstones' only Python-heavy stage, so size it to the session
+    (cpus/4, clamped to [2, 8]) instead of a fixed 2 — the block count
+    from _read_documents (~640 docs/block) bounds how many fill up."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    return max(2, min(8, cpus // 4))
+
+
 def tokenized_shards(sf_dir: str, out_dir: str | None = None,
                      rounds: int = 6, seed: int = 0, n_shards: int = 8,
-                     num_parts: int = 16) -> pa.Table:
+                     num_parts: int = 16,
+                     twin: bool | None = None) -> pa.Table:
     """The full tokenizer-product path a pretraining run consumes: learn
     BPE merges on the corpus (:func:`textdata.bpe_merges`), encode every
     document (per-actor merge list + word memo), place each doc at its
@@ -334,7 +383,13 @@ def tokenized_shards(sf_dir: str, out_dir: str | None = None,
     broadcast); each shard is written by the partition that owns it
     (groupby(shard) — shard count scales with the corpus, so partitions
     stay bounded) and the verify pass streams the files back through
-    integer partials. Nothing corpus-sized touches the driver.
+    integer partials. Nothing corpus-sized touches the driver — EXCEPT
+    the optional sequential twin, which by definition replays the whole
+    corpus on the driver.  ``twin=None`` (auto) therefore runs it only
+    when the corpus has ≤ ``_TWIN_MAX_DOCS`` documents (gate SF and unit
+    tests); above that parity_ok is reported as -1 ("twin not evaluated
+    at this scale") while roundtrip_ok — the distributed artifact proof
+    — is enforced everywhere.  Pass ``twin=True``/``False`` to override.
     """
     import json
     import shutil
@@ -376,7 +431,7 @@ def tokenized_shards(sf_dir: str, out_dir: str | None = None,
 
     enc = _read_documents(sf_dir, columns=["doc_id", "text"]) \
         .map_batches(EncRows, fn_constructor_kwargs={"merges_ref": mref},
-                     batch_format="pyarrow", concurrency=2)
+                     batch_format="pyarrow", concurrency=_enc_concurrency())
 
     def tag_order(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -421,11 +476,13 @@ def tokenized_shards(sf_dir: str, out_dir: str | None = None,
     def verify_partial(t: pa.Table) -> pa.Table:
         sh = t["s"].to_numpy(zero_copy_only=False)
         off = t["o"].to_numpy(zero_copy_only=False)
+        docs = t["syms"].to_pylist()
+        lens = np.array([len(d) for d in docs], np.int64)
+        chks = _ts_seq_checksums([s for d in docs for s in d], lens)
         gsum = 0
-        for s, o, syms in zip(sh, off, t["syms"].to_pylist()):
+        for s, o, chk in zip(sh, off, chks):
             pos = int(o) * n_shards + int(s)
-            gsum = (gsum + _ts_sym_checksum(list(syms))
-                    * pow(_TS_R2, pos, _TS_P61)) % _TS_P61
+            gsum = (gsum + chk * pow(_TS_R2, pos, _TS_P61)) % _TS_P61
         rows = {"shard": [], "n": [], "sum_o": [], "max_o": [],
                 "gsum": []}
         for s in np.unique(sh):
@@ -457,22 +514,30 @@ def tokenized_shards(sf_dir: str, out_dir: str | None = None,
                        and len(per_shard) == len(manifest))
 
     # ---- fully sequential twin: merges + encode + order, no Ray ----
-    import pyarrow.parquet as pq
+    # Gate-SF-only by default: the twin replays the whole corpus on the
+    # driver, which is exactly the materialization the distributed path
+    # exists to avoid.  See _TWIN_MAX_DOCS.
+    run_twin = twin if twin is not None else n_back <= _TWIN_MAX_DOCS
+    if run_twin:
+        import pyarrow.parquet as pq
 
-    rt = bpe_reference(sf_dir, rounds)
-    ref_merges = list(zip(rt["left"].to_pylist(), rt["right"].to_pylist()))
-    tdoc = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
-    ref_enc = BpeEncoder(ref_merges)
-    ids = tdoc["doc_id"].to_pylist()
-    pos_of = _ts_epoch_order(ids, seed)
-    gsum_ref = 0
-    for i, text in zip(ids, tdoc["text"].to_pylist()):
-        syms = [s for w in _tokens(text.lower())
-                for s in ref_enc.encode_word(w)]
-        gsum_ref = (gsum_ref + _ts_sym_checksum(syms)
-                    * pow(_TS_R2, pos_of[int(i)], _TS_P61)) % _TS_P61
-    parity_ok = int(gsum_ref == gsum_eng and n_back == len(ids))
+        rt = bpe_reference(sf_dir, rounds)
+        ref_merges = list(zip(rt["left"].to_pylist(),
+                              rt["right"].to_pylist()))
+        tdoc = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        ref_enc = BpeEncoder(ref_merges)
+        ids = tdoc["doc_id"].to_pylist()
+        pos_of = _ts_epoch_order(ids, seed)
+        gsum_ref = 0
+        for i, text in zip(ids, tdoc["text"].to_pylist()):
+            syms = [s for w in _tokens(text.lower())
+                    for s in ref_enc.encode_word(w)]
+            gsum_ref = (gsum_ref + _ts_sym_checksum(syms)
+                        * pow(_TS_R2, pos_of[int(i)], _TS_P61)) % _TS_P61
+        parity_ok = int(gsum_ref == gsum_eng and n_back == len(ids))
+    else:
+        parity_ok = -1
 
     if cleanup:
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -495,7 +560,8 @@ def tokenized_shards_oracle_sql(n_shards: int = 8) -> str:
 
 def packed_token_shards(sf_dir: str, out_dir: str | None = None,
                         seq_len: int = 256, rounds: int = 6, seed: int = 0,
-                        num_parts: int = 16) -> pa.Table:
+                        num_parts: int = 16,
+                        twin: bool | None = None) -> pa.Table:
     """The final pretraining artifact: fixed-length token sequences packed
     ACROSS document boundaries (GPT-style concat-and-chunk over the real
     BPE symbol stream — :func:`textdata.pack_sequences` proves the
@@ -519,7 +585,11 @@ def packed_token_shards(sf_dir: str, out_dir: str | None = None,
     flat-maps to at most (n_syms // seq_len + 2) sequence fragments, and
     fragments meet their sequence in ONE seq_id-bucketed exchange whose
     partitions each assemble a contiguous seq range. Nothing
-    corpus-sized touches the driver.
+    corpus-sized touches the driver — except the optional sequential
+    twin; as in :func:`tokenized_shards`, ``twin=None`` (auto) runs it
+    only at gate SF (≤ ``_TWIN_MAX_DOCS`` docs) and reports
+    parity_ok=-1 above that, while count_ok (the distributed read-back
+    proof) is enforced at every scale.
     """
     import json
     import math
@@ -565,7 +635,7 @@ def packed_token_shards(sf_dir: str, out_dir: str | None = None,
 
     enc = _read_documents(sf_dir, columns=["doc_id", "text"]) \
         .map_batches(EncRows, fn_constructor_kwargs={"merges_ref": mref},
-                     batch_format="pyarrow", concurrency=2)
+                     batch_format="pyarrow", concurrency=_enc_concurrency())
 
     def tag_order(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -642,55 +712,82 @@ def packed_token_shards(sf_dir: str, out_dir: str | None = None,
         p = int(g["spart"].iloc[0])
         path = os.path.join(out_dir, f"pack_{p:05d}.jsonl")
         g = g.sort_values(["seq_id", "off"], kind="mergesort")
-        sids, lens, chks = [], [], []
+        # one flat symbol stream + per-sequence lengths, then one
+        # vectorized checksum pass for the whole partition
+        sid_arr = g["seq_id"].to_numpy()
+        frag_syms = [json.loads(f) for f in g["frag"]]
+        sids, lens, seqs = [], [], []
+        uniq, first = np.unique(sid_arr, return_index=True)
+        bounds = list(first) + [len(sid_arr)]
         with open(path, "w", encoding="utf-8") as fh:
-            for sid, grp in g.groupby("seq_id", sort=True):
-                syms = [s for f in grp["frag"] for s in json.loads(f)]
+            for k, sid in enumerate(uniq):
+                syms = [s for f in frag_syms[bounds[k]:bounds[k + 1]]
+                        for s in f]
                 fh.write('{"seq_id":%d,"syms":%s}\n'
                          % (int(sid), json.dumps(syms,
                                                  separators=(",", ":"))))
                 sids.append(int(sid))
                 lens.append(len(syms))
-                chks.append(_ts_sym_checksum(syms))
-        return pd.DataFrame({"seq_id": sids, "n": lens, "chk": chks})
+                seqs.append(syms)
+        chks = _ts_seq_checksums([s for q in seqs for s in q],
+                                 np.array(lens, np.int64))
+        # fold the verdict HERE: each partition owns seq_ids
+        # {p, p+P, ...}, so it can check its own slice of the dense-id
+        # and length invariants and emit ONE row — a 4095-row manifest
+        # iterated on the driver was the query's hottest stage.
+        expect = list(range(p, n_seqs, num_parts))
+        ids_ok = sids == expect
+        last = total_syms - (n_seqs - 1) * seq_len
+        lens_ok = all(
+            n == (last if sid == n_seqs - 1 else seq_len)
+            for sid, n in zip(sids, lens))
+        gsum = 0
+        for sid, chk in zip(sids, chks):
+            gsum = (gsum + chk * pow(_TS_R2, sid, _TS_P61)) % _TS_P61
+        return pd.DataFrame({
+            "spart": [p], "n_seqs": [len(sids)],
+            "ids_ok": [int(ids_ok)], "lens_ok": [int(lens_ok)],
+            "gsum": [gsum]})
 
     manifest = (rows.groupby("pbucket")
                 .map_groups(frags, batch_format="pandas")
                 .groupby("spart")
                 .map_groups(assemble, batch_format="pandas")
                 .take_all())
-    seen_ids = sorted(int(r["seq_id"]) for r in manifest)
-    lens = {int(r["seq_id"]): int(r["n"]) for r in manifest}
+    n_seqs_written = sum(int(r["n_seqs"]) for r in manifest)
     count_ok = int(
-        len(seen_ids) == n_seqs and seen_ids == list(range(n_seqs))
-        and all(lens[s] == seq_len for s in range(n_seqs - 1))
-        and (n_seqs == 0 or lens[n_seqs - 1]
-             == total_syms - (n_seqs - 1) * seq_len))
+        n_seqs_written == n_seqs
+        and all(int(r["ids_ok"]) and int(r["lens_ok"]) for r in manifest)
+        and len(manifest) == min(num_parts, n_seqs))
     gsum_eng = 0
     for r in manifest:
-        gsum_eng = (gsum_eng + int(r["chk"])
-                    * pow(_TS_R2, int(r["seq_id"]), _TS_P61)) % _TS_P61
+        gsum_eng = (gsum_eng + int(r["gsum"])) % _TS_P61
 
-    # ---- fully sequential twin ----
-    rt = bpe_reference(sf_dir, rounds)
-    ref_enc = BpeEncoder(list(zip(rt["left"].to_pylist(),
-                                  rt["right"].to_pylist())))
-    tdoc = pqt.read_table(os.path.join(sf_dir, "documents.parquet"),
-                          columns=["doc_id", "text"])
-    ids = tdoc["doc_id"].to_pylist()
-    pos_of = _ts_epoch_order(ids, seed)
-    by_pos = sorted(zip((pos_of[int(i)] for i in ids),
-                        tdoc["text"].to_pylist()))
-    stream: list = []
-    for _, text in by_pos:
-        stream.extend(s for w in _tokens(text.lower())
-                      for s in ref_enc.encode_word(w))
-    gsum_ref = 0
-    for s in range((len(stream) + seq_len - 1) // seq_len):
-        chunk = stream[s * seq_len:(s + 1) * seq_len]
-        gsum_ref = (gsum_ref + _ts_sym_checksum(chunk)
-                    * pow(_TS_R2, s, _TS_P61)) % _TS_P61
-    parity_ok = int(gsum_ref == gsum_eng and len(stream) == total_syms)
+    # ---- fully sequential twin (gate-SF-only by default) ----
+    run_twin = twin if twin is not None else n_docs <= _TWIN_MAX_DOCS
+    if run_twin:
+        rt = bpe_reference(sf_dir, rounds)
+        ref_enc = BpeEncoder(list(zip(rt["left"].to_pylist(),
+                                      rt["right"].to_pylist())))
+        tdoc = pqt.read_table(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+        ids = tdoc["doc_id"].to_pylist()
+        pos_of = _ts_epoch_order(ids, seed)
+        by_pos = sorted(zip((pos_of[int(i)] for i in ids),
+                            tdoc["text"].to_pylist()))
+        stream: list = []
+        for _, text in by_pos:
+            stream.extend(s for w in _tokens(text.lower())
+                          for s in ref_enc.encode_word(w))
+        gsum_ref = 0
+        for s in range((len(stream) + seq_len - 1) // seq_len):
+            chunk = stream[s * seq_len:(s + 1) * seq_len]
+            gsum_ref = (gsum_ref + _ts_sym_checksum(chunk)
+                        * pow(_TS_R2, s, _TS_P61)) % _TS_P61
+        parity_ok = int(gsum_ref == gsum_eng
+                        and len(stream) == total_syms)
+    else:
+        parity_ok = -1
 
     if cleanup:
         shutil.rmtree(out_dir, ignore_errors=True)

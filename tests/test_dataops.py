@@ -2895,3 +2895,25 @@ def test_compression_quality_failure_modes(ray_session, tmp_path_factory):
     # ratio arithmetic is the stated integer form
     assert (df["ratio_micro"]
             == df["zlib_bytes"] * 1_000_000 // df["raw_bytes"]).all()
+
+
+def test_corpus_seq_checksums_vector_parity():
+    """The partition-vectorized segment checksum must be bit-identical to
+    the scalar per-sequence fold it replaced (capstone verify stages)."""
+    import random
+
+    from pholcus_ray.pipelines.corpus import (_ts_seq_checksums,
+                                              _ts_sym_checksum)
+
+    rnd = random.Random(7)
+    segs = []
+    for _ in range(40):
+        n = rnd.choice([0, 1, 2, 5, 97, 256])
+        segs.append([rnd.choice(["a", "th", "qu", "xyz", "e"])
+                     for _ in range(n)])
+    flat = [s for seg in segs for s in seg]
+    lens = np.array([len(s) for s in segs], np.int64)
+    got = _ts_seq_checksums(flat, lens)
+    want = [_ts_sym_checksum(s) for s in segs]
+    assert got == want
+    assert _ts_seq_checksums([], np.array([0, 0], np.int64)) == [0, 0]
