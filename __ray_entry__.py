@@ -98,6 +98,12 @@ def _q_crawl_lineage(sf_dir: str):
     return crawl_lineage(_crawl_workdir(sf_dir))
 
 
+def _q_crawl_lineage_check(sf_dir: str):
+    from pholcus_ray.pipelines.crawl import crawl_lineage_check
+
+    return crawl_lineage_check(_crawl_workdir(sf_dir))
+
+
 def _q_crawl_items(sf_dir: str):
     from pholcus_ray.pipelines.crawl import items_table
 
@@ -474,6 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_eval": T.langid_eval,
         "compression_quality": T.compression_quality,
         "crawl_lineage": _q_crawl_lineage,
+        "crawl_lineage_check": _q_crawl_lineage_check,
         "crawl_to_corpus_parity": _q_crawl_to_corpus_parity,
         "politeness_audit": _q_politeness_audit,
         "cuckoo_fpr_check": _q_cuckoo_fpr_check,
@@ -1723,6 +1730,16 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT CAST(0 AS BIGINT) AS n_over_cap,
                    CAST(0 AS BIGINT) AS n_disallowed,
                    CAST(1 AS BIGINT) AS audit_ok
+        """,
+        "crawl_lineage_check": """
+            -- assertion oracle: every round's _COMPLETE.json manifest
+            -- must describe its partitions exactly (counts), chain onto
+            -- the previous round's running totals without a gap, and
+            -- agree with final/summary.json
+            SELECT CAST(1 AS BIGINT) AS has_rounds,
+                   CAST(1 AS BIGINT) AS counts_all_ok,
+                   CAST(1 AS BIGINT) AS chain_all_ok,
+                   CAST(1 AS BIGINT) AS final_ok
         """,
         "crawl_to_corpus_parity": """
             -- assertion oracle: the distributed crawl->corpus chain

@@ -1224,6 +1224,27 @@ def crawl_lineage(workdir: str) -> pa.Table:
         "final_ok", pa.array([final_ok] * t.num_rows, pa.int64()))
 
 
+def crawl_lineage_check(workdir: str) -> pa.Table:
+    """One-row assertion fold of :func:`crawl_lineage` — (has_rounds,
+    counts_all_ok, chain_all_ok, final_ok), each 1 on a healthy run.
+    Gate-oracled as a static SQL assertion (round-4 advice item: the
+    per-round lineage table was rows-only, so a broken manifest chain
+    could only fail the unit test, not CORRECTNESS)."""
+    t = crawl_lineage(workdir)
+    n = t.num_rows
+
+    def allcol(c: str) -> int:
+        return int(n > 0 and
+                   all(v == 1 for v in t[c].to_pylist()))
+
+    return pa.table({
+        "has_rounds": pa.array([int(n > 0)], pa.int64()),
+        "counts_all_ok": pa.array([allcol("counts_ok")], pa.int64()),
+        "chain_all_ok": pa.array([allcol("chain_ok")], pa.int64()),
+        "final_ok": pa.array([allcol("final_ok")], pa.int64()),
+    })
+
+
 def politeness_audit(workdir: str, corpus_dir: str) -> pa.Table:
     """Politeness-compliance audit over the engine's OWN crawl output:
     re-derives every host's robots policy (disallow prefixes +
@@ -1286,8 +1307,7 @@ def politeness_audit(workdir: str, corpus_dir: str) -> pa.Table:
             "round": pa.array(cnt["round"].astype("int64")),
             "host": pa.array(cnt["host"], pa.string()),
             "n": pa.array(cnt["n"].astype("int64")),
-            "bad": pa.array(
-                np.full(len(cnt), 0, np.int64)),
+            # this batch's disallowed count rides on row 0 of the partial
             "bad_total": pa.array(
                 [bad] + [0] * (len(cnt) - 1) if len(cnt) else [],
                 pa.int64()),

@@ -81,7 +81,8 @@ def _urlset_xml(urls, lastmod_us, changefreq, priority_milli) -> bytes:
 
 
 def write_sitemaps(ds: rd.Dataset, out_dir: str,
-                   max_urls: int = _MAX_URLS) -> list[str]:
+                   max_urls: int = _MAX_URLS,
+                   base_url: str | None = None) -> list[str]:
     """Write ``ds`` (columns url:string, lastmod_us:int64,
     changefreq:string, priority_milli:int64) as urlset shards + a
     ``sitemap_index.xml``; returns the shard file names (sorted).
@@ -89,7 +90,13 @@ def write_sitemaps(ds: rd.Dataset, out_dir: str,
     One shard per input batch (split at the spec's 50k-url cap); shard
     names derive from the md5 of the member urls, so a rewrite of the
     same dataset is file-for-file identical (the resumable-output
-    contract every sink in this repo follows)."""
+    contract every sink in this repo follows).
+
+    ``base_url`` (e.g. ``"https://example.com/sitemaps"``) makes the
+    index entries full absolute URLs as sitemaps.org requires of a
+    published sitemapindex; without it the index holds bare shard
+    filenames — self-consistent for the local roundtrip, but an external
+    consumer (or a robots ``Sitemap:`` chain) needs ``base_url``."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write_shard(t: pa.Table) -> pa.Table:
@@ -119,7 +126,8 @@ def write_sitemaps(ds: rd.Dataset, out_dir: str,
     idx = ['<?xml version="1.0" encoding="UTF-8"?>\n'
            f'<sitemapindex xmlns="{_SM_NS}">\n']
     for name in shards:
-        idx.append(f"  <sitemap><loc>{escape(name)}</loc></sitemap>\n")
+        loc = f"{base_url.rstrip('/')}/{name}" if base_url else name
+        idx.append(f"  <sitemap><loc>{escape(loc)}</loc></sitemap>\n")
     idx.append("</sitemapindex>\n")
     with open(os.path.join(out_dir, "sitemap_index.xml"), "w",
               encoding="utf-8") as f:
@@ -165,7 +173,10 @@ def read_sitemaps(src_dir: str) -> rd.Dataset:
     whether the shard appears in ``sitemap_index.xml`` — the
     discovery-integrity bit the roundtrip gate asserts on."""
     with open(os.path.join(src_dir, "sitemap_index.xml"), "rb") as f:
-        listed = {r["sitemap"] for r in parse_sitemap(f.read())}
+        # index entries may be absolute URLs (base_url form) or bare
+        # names; membership is by shard filename either way
+        listed = {r["sitemap"].rsplit("/", 1)[-1]
+                  for r in parse_sitemap(f.read())}
 
     paths = sorted(
         os.path.join(src_dir, n) for n in os.listdir(src_dir)

@@ -141,7 +141,10 @@ class _WriteWarcShard:
             dates = [_iso8601(int(v)) for v in ts.to_pylist()]
         else:
             dates = [_EPOCH_ISO] * len(urls)
-        tag = hashlib.md5(urls[0].encode()).hexdigest()[:12]
+        # hash EVERY member url: naming off urls[0]+count alone would
+        # let two batches with the same head/size silently overwrite one
+        # shard via os.replace (round-4 advice item)
+        tag = hashlib.md5("\x00".join(urls).encode()).hexdigest()[:12]
         ext = ".warc.gz" if self.compress else ".warc"
         name = f"shard-{tag}-{len(urls)}{ext}"
         path = os.path.join(self.out_dir, name)
@@ -365,7 +368,8 @@ def wet_from_warc(warc_dir: str, wet_dir: str,
             refers = _record_id(_payload_digest(payload), url)
             chunks.append(build_conversion_record(url, text, date,
                                                   refers))
-        tag = hashlib.md5(urls[0].encode()).hexdigest()[:12]
+        # all member urls in the name hash, as the response writer above
+        tag = hashlib.md5("\x00".join(urls).encode()).hexdigest()[:12]
         ext = ".warc.wet.gz" if compress else ".warc.wet"
         name = f"shard-{tag}-{len(urls)}{ext}"
         tmp = os.path.join(wet_dir, name + ".tmp")

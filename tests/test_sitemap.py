@@ -142,3 +142,22 @@ def test_discover_from_robots(ray_session, tmp_path):
     assert df["sitemap_url"].tolist() == [
         "http://a.example/sm.xml", "http://c.example/s1.xml",
         "http://c.example/s2.xml"]
+
+
+def test_sitemap_index_absolute_urls(ray_session, tmp_path):
+    """With base_url the sitemapindex <loc> entries are full absolute
+    URLs (the sitemaps.org requirement for a published index); the
+    reader resolves them back to shard files and the roundtrip is
+    unchanged (round-4 advice item)."""
+    urls = [f"http://h.example/p{i}" for i in range(6)]
+    d = str(tmp_path / "sm_abs")
+    write_sitemaps(rd.from_arrow(_rows(urls)), d,
+                   base_url="https://cdn.example.com/sitemaps/")
+    with open(os.path.join(d, "sitemap_index.xml")) as f:
+        idx = f.read()
+    for r in parse_sitemap(idx.encode()):
+        assert r["sitemap"].startswith("https://cdn.example.com/sitemaps/")
+        assert r["sitemap"].endswith(".xml")
+    back = read_sitemaps(d).to_pandas()
+    assert sorted(back["url"]) == sorted(urls)
+    assert (back["index_listed"] == 1).all()
