@@ -235,7 +235,7 @@ def _q_mime_sniff(sf_dir: str):
 
 def _q_mime_sniff_check(sf_dir: str):
     """Gate-visible verdict: every payload's sniffed MIME equals the
-    generator's ground truth (7 distinct types, unknown fallback
+    generator's ground truth (8 distinct types, unknown fallback
     included); the SQL oracle pins both constants."""
     import pyarrow as pa
 
@@ -357,6 +357,66 @@ def _q_multimodal_gif(sf_dir: str):
     return _blocks(synth_gif_table(n)).map_batches(
         DecodeGif, batch_format="pyarrow", batch_size=32, concurrency=2
     ).sort("image_id")
+
+
+def _q_multimodal_jpeg(sf_dir: str):
+    """REAL baseline JPEG decode — from-scratch T.81 (Annex-K tables,
+    Huffman + IDCT + YCbCr, 4:4:4/4:2:0, restart markers)."""
+    from pholcus_ray.stages.multimodal import DecodeJpeg, synth_jpeg_table
+
+    n = 100 if _sf_name(sf_dir) != "sf0.1" else 400
+    return _blocks(synth_jpeg_table(n)).map_batches(
+        DecodeJpeg, batch_format="pyarrow", batch_size=32, concurrency=2
+    ).sort("image_id")
+
+
+def _q_jpeg_roundtrip(sf_dir: str):
+    """Gate-visible verdict over the real JPEG codec: every synthetic
+    payload decodes to the generator's exact geometry through the actor
+    pool; flat blocks at quality 100 roundtrip BIT-EXACTLY (DC-only
+    streams have no quantization loss); and the decoder reads a
+    third-party JPEG (CPython's test_email python.jpg) — proof the bytes
+    are real JFIF, not a private dialect."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    from pholcus_ray.stages.jpegcodec import jpeg_decode, jpeg_encode
+    from pholcus_ray.stages.multimodal import DecodeJpeg, synth_jpeg_table
+
+    n = 60 if _sf_name(sf_dir) != "sf0.1" else 240
+    src = synth_jpeg_table(n).to_pandas().set_index("image_id")
+    dec = (_blocks(synth_jpeg_table(n)).map_batches(
+        DecodeJpeg, batch_format="pyarrow", batch_size=32, concurrency=2)
+        .to_pandas().set_index("image_id"))
+    geometry_ok = int(
+        len(dec) == n
+        and (dec["decoded_width"].values
+             == src.loc[dec.index, "width"].values).all()
+        and (dec["decoded_height"].values
+             == src.loc[dec.index, "height"].values).all()
+        and (dec["decoded_channels"].values
+             == src.loc[dec.index, "channels"].values).all())
+    flat_exact_ok = int(all(
+        (jpeg_decode(jpeg_encode(np.full((8, 16), v, np.uint8),
+                                 quality=100)) == v).all()
+        for v in (0, 7, 128, 200, 255)))
+    try:
+        import test.test_email as _tte
+
+        p = os.path.join(os.path.dirname(_tte.__file__), "data",
+                         "python.jpg")
+        px = jpeg_decode(open(p, "rb").read())
+        thirdparty_ok = int(px.shape == (16, 16, 3))
+    except (OSError, ImportError):
+        thirdparty_ok = 0
+    return pa.table({
+        "n_images": pa.array([n], pa.int64()),
+        "geometry_ok": pa.array([geometry_ok], pa.int64()),
+        "flat_exact_ok": pa.array([flat_exact_ok], pa.int64()),
+        "thirdparty_ok": pa.array([thirdparty_ok], pa.int64()),
+    })
 
 
 def _q_image_phash_dups(sf_dir: str):
@@ -481,6 +541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_quality": T.compression_quality,
         "crawl_lineage": _q_crawl_lineage,
         "crawl_lineage_check": _q_crawl_lineage_check,
+        "jpeg_roundtrip": _q_jpeg_roundtrip,
         "crawl_to_corpus_parity": _q_crawl_to_corpus_parity,
         "politeness_audit": _q_politeness_audit,
         "cuckoo_fpr_check": _q_cuckoo_fpr_check,
@@ -645,6 +706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_bmp": _q_multimodal_bmp,
         "multimodal_png": _q_multimodal_png,
         "multimodal_gif": _q_multimodal_gif,
+        "multimodal_jpeg": _q_multimodal_jpeg,
         "image_phash_dups": _q_image_phash_dups,
         "mime_sniff": _q_mime_sniff,
         "mime_sniff_check": _q_mime_sniff_check,
@@ -1710,9 +1772,9 @@ def _oracle_sql_raw() -> dict[str, str]:
         "random_walks": _random_walks_sql(),
         "mime_sniff_check": """
             -- assertion oracle: magic-byte MIME detection over the mixed
-            -- real-container table (WAV/au/PPM/BMP/PNG/GIF + unknown) must
-            -- classify every payload to the generator's ground truth
-            SELECT CAST(7 AS BIGINT) AS n_mimes,
+            -- real-container table (WAV/au/PPM/BMP/PNG/GIF/JPEG + unknown)
+            -- must classify every payload to the generator's ground truth
+            SELECT CAST(8 AS BIGINT) AS n_mimes,
                    CAST(1 AS BIGINT) AS sniff_ok
         """,
         "cuckoo_fpr_check": """
@@ -1730,6 +1792,16 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT CAST(0 AS BIGINT) AS n_over_cap,
                    CAST(0 AS BIGINT) AS n_disallowed,
                    CAST(1 AS BIGINT) AS audit_ok
+        """,
+        "jpeg_roundtrip": """
+            -- assertion oracle: the from-scratch baseline JPEG codec must
+            -- decode every synthetic payload to the generator's geometry,
+            -- roundtrip flat (DC-only) blocks bit-exactly at quality 100,
+            -- and read a third-party JPEG (CPython test_email data)
+            SELECT CAST(60 AS BIGINT) AS n_images,
+                   CAST(1 AS BIGINT) AS geometry_ok,
+                   CAST(1 AS BIGINT) AS flat_exact_ok,
+                   CAST(1 AS BIGINT) AS thirdparty_ok
         """,
         "crawl_lineage_check": """
             -- assertion oracle: every round's _COMPLETE.json manifest

@@ -6,13 +6,16 @@ columns; decode / feature-extract / resize / frame-sample are actor-pool
 FOR REAL: WAV via the ``wave`` module (DecodeWav), Sun/NeXT .au
 (DecodeAu), binary netpbm (DecodePpm), uncompressed BMP (DecodeBmp),
 PNG (DecodePng — DEFLATE is stdlib zlib, so the full chunk/CRC/filter
-pipeline needs no image lib), and GIF (DecodeGif — from-scratch
+pipeline needs no image lib), GIF (DecodeGif — from-scratch
 variable-width LZW + palette + interlace; it reads CPython's own shipped
-icons) — genuine bytes any external tool would accept. Only codecs whose
-compression needs entropy/transform tables outside the stdlib (jpg/webp,
-mp3/ogg/flac, h264) raise NotImplementedError; the deterministic fake
-backend keeps the Ray-side plumbing — schemas, batch sizing for wide
-binary rows, actor signature, output layout — testable for them too.
+icons), and baseline JPEG (DecodeJpeg — from-scratch T.81: Annex-K
+tables, Huffman + DCT + YCbCr, 4:4:4/4:2:0, restart markers; it reads the
+JPEGs in CPython's test data) — genuine bytes any external tool would
+accept. Only codecs whose compression needs formats beyond that
+(progressive jpeg, webp/VP8, mp3/ogg/flac, h264) raise
+NotImplementedError; the deterministic fake backend keeps the Ray-side
+plumbing — schemas, batch sizing for wide binary rows, actor signature,
+output layout — testable for them too.
 
 Scale notes: binary payloads dominate block size; these stages must run
 with small ``batch_size`` (tens of rows) and the payload column must be
@@ -511,12 +514,13 @@ def synth_ppm_table(n: int, seed: int = 23) -> pa.Table:
 class DecodePpm:
     """Actor-pool stage: REAL PPM/PGM (P6/P5 binary netpbm) decode — pure
     header parse + numpy reshape, no image library. Same output contract
-    as DecodeImage; compressed formats (png/jpg/webp) stay library-gated."""
+    as DecodeImage; progressive-jpeg/webp stay library-gated."""
 
     def __init__(self, backend: str = "ppm"):
         if backend != "ppm":
             raise NotImplementedError(
-                "compressed image codecs (png/jpg/webp) need PIL/cv2, absent "
+                "webp needs PIL/cv2, absent in this environment; PPM/BMP/PNG/"
+                "GIF/baseline-JPEG decode is real "
                 "in this environment; netpbm decode is real")
 
     _CONSUMED = ("payload", "format", "width", "height")
@@ -836,13 +840,13 @@ def synth_png_table(n: int, seed: int = 31) -> pa.Table:
 class DecodePng:
     """Actor-pool stage: REAL PNG decode — chunk walk + CRC verify + zlib
     inflate + all five filter reversals, no image library (DEFLATE is
-    stdlib). Same output contract as DecodePpm/DecodeBmp; jpg/webp (DCT/
-    VP8 entropy codecs) stay honestly library-gated."""
+    stdlib). Same output contract as DecodePpm/DecodeBmp; progressive
+    jpeg / webp (VP8) stay honestly library-gated."""
 
     def __init__(self, backend: str = "png"):
         if backend != "png":
             raise NotImplementedError(
-                "jpg/webp need PIL/cv2, absent in this environment; PNG "
+                "progressive jpeg / webp need PIL/cv2; PNG "
                 "decode is real (stdlib zlib)")
 
     _CONSUMED = ("payload", "format", "width", "height")
@@ -1130,6 +1134,100 @@ class DecodeGif:
         return out
 
 
+# --- REAL baseline JPEG codec (stages/jpegcodec.py) --------------------------
+#
+# The from-scratch T.81 baseline implementation: Annex-K tables, float
+# DCT, Huffman entropy coding, byte stuffing, 4:4:4/4:2:0, DRI/RSTn.
+# Unlike PNG/GIF the roundtrip is lossy by construction, so the synth
+# fixtures store the SOURCE pixels' stats and tests assert bounded error
+# plus bit-exact flat-block (DC-only) cases; the decoder also reads the
+# third-party JPEGs that ship inside CPython's test data.
+
+
+def synth_jpeg_table(n: int, seed: int = 47) -> pa.Table:
+    """Real baseline JPEGs with known geometry: gradient RGB images
+    cycling through 4:4:4 / 4:2:0 / grayscale and restart intervals."""
+    from .jpegcodec import jpeg_encode
+
+    rng = np.random.default_rng(seed)
+    ids, payloads, ws, hs, chans = [], [], [], [], []
+    for i in range(n):
+        w = int(rng.integers(17, 49))
+        h = int(rng.integers(17, 41))
+        kind = i % 3
+        if kind == 2:
+            base = (np.add.outer(np.arange(h) * 3, np.arange(w) * 2)
+                    + int(rng.integers(0, 64))) % 256
+            px = base.astype(np.uint8)
+            payload = jpeg_encode(px, quality=90,
+                                  restart_interval=i % 4)
+            ch = 1
+        else:
+            px = np.zeros((h, w, 3), np.uint8)
+            px[..., 0] = np.linspace(0, 250, w).astype(np.uint8)[None, :]
+            px[..., 1] = np.linspace(0, 250, h).astype(np.uint8)[:, None]
+            px[..., 2] = int(rng.integers(0, 256))
+            payload = jpeg_encode(px, quality=88,
+                                  subsample="444" if kind == 0 else "420",
+                                  restart_interval=i % 3)
+            ch = 3
+        ids.append(i)
+        payloads.append(payload)
+        ws.append(w)
+        hs.append(h)
+        chans.append(ch)
+    return pa.table({
+        "image_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+        "format": pa.array(["jpeg"] * n, pa.string()),
+        "width": pa.array(ws, pa.int32()),
+        "height": pa.array(hs, pa.int32()),
+        "channels": pa.array(chans, pa.int32()),
+    })
+
+
+class DecodeJpeg:
+    """Actor-pool stage: REAL baseline JPEG decode (stages/jpegcodec.py —
+    segment walk, DHT/DQT from the stream, Huffman + IDCT + YCbCr, no
+    image library). Same output contract as DecodePng; progressive JPEG
+    and webp (VP8) remain honestly library-gated."""
+
+    def __init__(self, backend: str = "jpeg"):
+        if backend != "jpeg":
+            raise NotImplementedError(
+                "progressive jpeg / webp need PIL/cv2, absent in this "
+                "environment; baseline JPEG decode is real (from-scratch "
+                "T.81)")
+
+    _CONSUMED = ("payload", "format", "width", "height", "channels")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from .jpegcodec import jpeg_decode
+
+        payloads = t["payload"].to_pylist()
+        ws, hs, chans, means = [], [], [], []
+        for p in payloads:
+            px = jpeg_decode(p)
+            ch = 1 if px.ndim == 2 else px.shape[2]
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+            chans.append(ch)
+            means.append(round(float(px.mean()) if px.size else 0.0, 4))
+        out = t.drop_columns(
+            [c for c in self._CONSUMED if c in t.column_names])
+        for name, arr in (
+            ("decoded_format", pa.array(["jpeg"] * len(ws), pa.string())),
+            ("decoded_width", pa.array(ws, pa.int32())),
+            ("decoded_height", pa.array(hs, pa.int32())),
+            ("decoded_channels", pa.array(chans, pa.int32())),
+            ("mean_intensity", pa.array(means, pa.float64())),
+            ("content_hash", pa.array(
+                hash64_array([p.hex() for p in payloads]), pa.uint64())),
+        ):
+            out = out.append_column(name, arr)
+        return out
+
+
 # --- perceptual-hash image dedup ---------------------------------------------
 #
 # The image half of the near-dup family: dHash (difference hash) over
@@ -1311,6 +1409,7 @@ _MAGIC = [
     (b"\x89PNG\r\n\x1a\n", 0, b"", "image/png"),
     (b"GIF87a", 0, b"", "image/gif"),
     (b"GIF89a", 0, b"", "image/gif"),
+    (b"\xFF\xD8\xFF", 0, b"", "image/jpeg"),   # SOI + first marker
 ]
 
 
@@ -1349,9 +1448,9 @@ class MimeSniff:
 def synth_mixed_table(n_per: int, seed: int = 43) -> pa.Table:
     """A mixed-container payload table with known ground truth: n_per REAL
     payloads of each container this module decodes (WAV/au/PPM/BMP/PNG/
-    GIF — the same generators the decode stages are tested on) plus n_per
-    unknown blobs whose first bytes are guaranteed to collide with no
-    magic (0xFF fill)."""
+    GIF/JPEG — the same generators the decode stages are tested on) plus
+    n_per unknown blobs whose first bytes collide with no magic (0xFE
+    fill — 0xFF would match the JPEG SOI prefix)."""
     rng = np.random.default_rng(seed)
     parts = [
         (synth_wav_table(n_per), "audio/wav"),
@@ -1360,6 +1459,7 @@ def synth_mixed_table(n_per: int, seed: int = 43) -> pa.Table:
         (synth_bmp_table(n_per), "image/bmp"),
         (synth_png_table(n_per), "image/png"),
         (synth_gif_table(n_per), "image/gif"),
+        (synth_jpeg_table(n_per), "image/jpeg"),
     ]
     ids, payloads, truth = [], [], []
     nxt = 0
@@ -1370,7 +1470,7 @@ def synth_mixed_table(n_per: int, seed: int = 43) -> pa.Table:
             truth.append(mime)
             nxt += 1
     for _ in range(n_per):
-        blob = b"\xff" * 16 + rng.integers(0, 256, size=64,
+        blob = b"\xfe" * 16 + rng.integers(0, 256, size=64,
                                            dtype=np.uint8).tobytes()
         ids.append(nxt)
         payloads.append(blob)

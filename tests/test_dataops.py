@@ -2917,3 +2917,93 @@ def test_corpus_seq_checksums_vector_parity():
     want = [_ts_sym_checksum(s) for s in segs]
     assert got == want
     assert _ts_seq_checksums([], np.array([0, 0], np.int64)) == [0, 0]
+
+
+# --- baseline JPEG codec (stages/jpegcodec.py) ------------------------------
+
+
+def test_jpeg_flat_blocks_bit_exact():
+    """Flat blocks are DC-only streams; at quality 100 the DC quantizer
+    is 1 so the roundtrip is bit-exact (the codec's hand-checkable
+    anchor case, like the PNG hand-computed pixels)."""
+    from pholcus_ray.stages.jpegcodec import jpeg_decode, jpeg_encode
+
+    for v in (0, 1, 7, 127, 128, 200, 255):
+        img = np.full((16, 24), v, np.uint8)
+        out = jpeg_decode(jpeg_encode(img, quality=100))
+        assert out.shape == (16, 24) and (out == v).all(), v
+    # flat RGB through the YCbCr transform, both subsampling layouts
+    for ss in ("444", "420"):
+        img = np.zeros((16, 16, 3), np.uint8)
+        img[:] = (90, 160, 30)
+        out = jpeg_decode(jpeg_encode(img, quality=100, subsample=ss))
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 1, ss
+
+
+def test_jpeg_roundtrip_bounded_error_and_restarts():
+    """Smooth content roundtrips within a small bound at high quality;
+    restart intervals (DRI/RSTn) change the stream layout but not the
+    decode; byte stuffing is exercised by construction."""
+    from pholcus_ray.stages.jpegcodec import jpeg_decode, jpeg_encode
+
+    g = np.zeros((48, 64, 3), np.uint8)
+    g[..., 0] = np.linspace(0, 250, 64).astype(np.uint8)[None, :]
+    g[..., 1] = np.linspace(0, 250, 48).astype(np.uint8)[:, None]
+    g[..., 2] = 77
+    base = None
+    for ri in (0, 1, 3):
+        out = jpeg_decode(jpeg_encode(g, 90, "444", restart_interval=ri))
+        err = np.abs(out.astype(int) - g.astype(int))
+        assert err.max() <= 8 and err.mean() < 2
+        if base is None:
+            base = out
+        else:  # restart layout must not change decoded pixels
+            assert (out == base).all()
+    out = jpeg_decode(jpeg_encode(g, 90, "420"))
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 12
+
+
+def test_jpeg_decoder_reads_third_party_file_and_guards():
+    """The decoder reads a JPEG this repo did not produce (CPython's
+    test_email fixture) and refuses non-baseline streams honestly."""
+    import os
+
+    import pytest as _pytest
+
+    import test.test_email as _tte
+    from pholcus_ray.stages.jpegcodec import jpeg_decode
+
+    p = os.path.join(os.path.dirname(_tte.__file__), "data", "python.jpg")
+    px = jpeg_decode(open(p, "rb").read())
+    assert px.shape == (16, 16, 3) and px.dtype == np.uint8
+    with _pytest.raises(ValueError):
+        jpeg_decode(b"\x89PNG not a jpeg")
+    # progressive SOF2 refused with the stated scope error
+    import struct
+
+    fake = (b"\xFF\xD8\xFF\xC2" + struct.pack(">H", 11)
+            + struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
+    with _pytest.raises(NotImplementedError):
+        jpeg_decode(fake)
+
+
+def test_jpeg_stage_and_sniff(ray_session):
+    """DecodeJpeg actor pool decodes the synth table to its generator
+    geometry; sniff_mime routes JPEG payloads by the SOI magic."""
+    from pholcus_ray.stages.multimodal import (DecodeJpeg, sniff_mime,
+                                               synth_jpeg_table)
+
+    t = synth_jpeg_table(12)
+    assert all(sniff_mime(p) == "image/jpeg"
+               for p in t["payload"].to_pylist())
+    import ray.data as rd
+
+    out = (rd.from_arrow(t).repartition(3)
+           .map_batches(DecodeJpeg, batch_format="pyarrow", batch_size=4,
+                        concurrency=2)
+           .to_pandas().sort_values("image_id").reset_index(drop=True))
+    src = t.to_pandas()
+    assert (out["decoded_width"].values == src["width"].values).all()
+    assert (out["decoded_height"].values == src["height"].values).all()
+    assert (out["decoded_channels"].values == src["channels"].values).all()
+    assert (out["decoded_format"] == "jpeg").all()
