@@ -542,6 +542,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_lineage": _q_crawl_lineage,
         "crawl_lineage_check": _q_crawl_lineage_check,
         "jpeg_roundtrip": _q_jpeg_roundtrip,
+        "chunk_passages": T.chunk_passages,
+        "ccnet_buckets": T.ccnet_buckets,
         "crawl_to_corpus_parity": _q_crawl_to_corpus_parity,
         "politeness_audit": _q_politeness_audit,
         "cuckoo_fpr_check": _q_cuckoo_fpr_check,
@@ -1001,6 +1003,18 @@ def _bloom_fpr_check_sql() -> str:
     from pholcus_ray.pipelines.textdata import bloom_fpr_check_oracle_sql
 
     return bloom_fpr_check_oracle_sql()
+
+
+def _chunk_passages_sql() -> str:
+    from pholcus_ray.pipelines.textdata import chunk_passages_oracle_sql
+
+    return chunk_passages_oracle_sql()
+
+
+def _ccnet_buckets_sql() -> str:
+    from pholcus_ray.pipelines.textdata import ccnet_buckets_oracle_sql
+
+    return ccnet_buckets_oracle_sql()
 
 
 def _lm_perplexity_sql() -> str:
@@ -1844,6 +1858,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "lm_coverage": _lm_coverage_sql(),
         "dsir_importance": _dsir_importance_sql(),
         "lm_perplexity": _lm_perplexity_sql(),
+        "chunk_passages": _chunk_passages_sql(),
+        "ccnet_buckets": _ccnet_buckets_sql(),
         "gopher_repetition": _gopher_repetition_sql(),
         "gopher_quality": _gopher_quality_sql(),
         "logreg_parity": _logreg_parity_sql(),

@@ -7358,6 +7358,219 @@ def lm_perplexity_oracle_sql(target_lang: str = "en", b_pair: int = 16384,
     """
 
 
+def chunk_passages(sf_dir: str, window: int = 64,
+                   stride: int = 48) -> rd.Dataset:
+    """Overlapping passage chunking — the retrieval/embedding prep step
+    (RAG indexing, embedding-model training): each document's token
+    stream becomes windows of ``window`` tokens advancing by ``stride``
+    (overlap = window - stride), the last window covering the tail.
+
+    Chunk-count rule (stated identically in SQL): n_chunks = 1 +
+    max(0, floor((n - window + stride - 1) / stride)) for n > 0 tokens;
+    chunk k starts at k*stride and holds min(window, n - k*stride)
+    tokens. Empty documents emit nothing.
+
+    Scale shape: one shuffle-free ``map_batches`` flat-map — each doc's
+    chunks are emitted by whatever block holds it; output is chunk rows
+    whose text payload is bounded by ``window`` tokens (safe block
+    growth ~ n/stride per doc). Returns (doc_id, chunk_id, n_tokens,
+    chunk_text)."""
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+    w, s = int(window), int(stride)
+    if w <= 0 or s <= 0:
+        raise ValueError("window and stride must be positive")
+
+    def chunks(t: pa.Table) -> pa.Table:
+        ids, ks, ns, texts = [], [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist()):
+            toks = _tokens(text)
+            n = len(toks)
+            if n == 0:
+                continue
+            n_chunks = 1 + max(0, (n - w + s - 1) // s)
+            for k in range(n_chunks):
+                st = k * s
+                ids.append(doc_id)
+                ks.append(k)
+                ns.append(min(w, n - st))
+                texts.append(" ".join(toks[st:st + w]))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "chunk_id": pa.array(ks, pa.int64()),
+            "n_tokens": pa.array(ns, pa.int64()),
+            "chunk_text": pa.array(texts, pa.string()),
+        })
+
+    return docs.map_batches(chunks, batch_format="pyarrow")
+
+
+def chunk_passages_oracle_sql(window: int = 64, stride: int = 48) -> str:
+    """Exact DuckDB replay: same tokenization (regexp split on \\s+ after
+    trim), same chunk-count floor rule, same single-space rejoin."""
+    w, s = int(window), int(stride)
+    return f"""
+      WITH tok AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(text), '\\s+')
+                    END AS toks
+        FROM documents
+      ),
+      g AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               1 + GREATEST(0, (len(toks) - {w} + {s} - 1) // {s})
+                   AS n_chunks
+        FROM tok WHERE len(toks) > 0
+      ),
+      ks AS (
+        SELECT doc_id, toks, n,
+               unnest(range(n_chunks)) AS k
+        FROM g
+      )
+      SELECT doc_id,
+             CAST(k AS BIGINT) AS chunk_id,
+             CAST(LEAST({w}, n - k * {s}) AS BIGINT) AS n_tokens,
+             array_to_string(
+               toks[CAST(k * {s} + 1 AS INTEGER)
+                    :CAST(LEAST(k * {s} + {w}, n) AS INTEGER)],
+               ' ') AS chunk_text
+      FROM ks
+      ORDER BY doc_id, chunk_id
+    """
+
+
+def ccnet_buckets(sf_dir: str, target_lang: str = "en",
+                  n_tiles: int = 3, num_parts: int = 32,
+                  n_vbuckets: int = 256,
+                  vbucket_step: int = 50_000) -> rd.Dataset:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): within
+    each language, rank documents by LM perplexity (:func:`lm_perplexity`
+    mean_nll, already integer-quantized) and cut into ``n_tiles`` equal
+    tiles — tile 1 = most-fluent "head" a curriculum samples first.
+    Returns (doc_id, lang, mean_nll, ppl_bucket) with ppl_bucket the
+    exact SQL NTILE value (ties broken by doc_id).
+
+    Scale shape — exact global per-lang ranks WITHOUT a global sort,
+    the epoch_shuffle histogram-CDF route on VALUE space: the perplexity
+    rows meet lang in a doc_id-bucketed union-tag join; exchange 1 is a
+    tiny per-(lang, value-range) COUNT (langs x ``n_vbuckets`` rows to
+    the driver, corpus-independent); exchange 2 groups rows by that
+    range, each partition sorts only its slice locally and adds the
+    broadcast base rank. NTILE then needs only the per-lang totals the
+    first exchange already produced."""
+    ppl = lm_perplexity(sf_dir, target_lang=target_lang) \
+        .select_columns(["doc_id", "mean_nll"])
+    langs = _read_documents(sf_dir, columns=["doc_id", "lang"])
+    nb = np.int64(num_parts)
+
+    def tag_ppl(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array((did % nb).astype(np.int32)),
+            "kind": pa.array(np.zeros(len(did), np.int8)),
+            "doc_id": t["doc_id"],
+            "mean_nll": t["mean_nll"],
+            "lang": pa.array([""] * len(did), pa.string()),
+        })
+
+    def tag_lang(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array((did % nb).astype(np.int32)),
+            "kind": pa.array(np.ones(len(did), np.int8)),
+            "doc_id": t["doc_id"],
+            "mean_nll": pa.array(np.zeros(len(did), np.float64)),
+            "lang": t["lang"],
+        })
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["kind"] == 0][["doc_id", "mean_nll"]]
+        l = g[g["kind"] == 1][["doc_id", "lang"]]
+        m = p.merge(l, on="doc_id", how="inner")
+        # quantized micro-units are exact ints; range bucket for the CDF
+        m["nll_micro"] = np.round(m["mean_nll"].values * 1e6).astype(
+            np.int64)
+        m["vbucket"] = np.minimum(
+            np.maximum(m["nll_micro"].values, 0) // vbucket_step,
+            n_vbuckets - 1).astype(np.int32)
+        return m[["doc_id", "lang", "mean_nll", "nll_micro", "vbucket"]]
+
+    rows = (ppl.map_batches(tag_ppl, batch_format="pyarrow")
+            .union(langs.map_batches(tag_lang, batch_format="pyarrow"))
+            .groupby("part").map_groups(join, batch_format="pandas")
+            .materialize())
+
+    def vcounts(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t["lang"].to_pylist(),
+            "vbucket": t["vbucket"].to_numpy(zero_copy_only=False),
+        })
+        c = (df.groupby(["lang", "vbucket"], sort=False).size()
+             .reset_index(name="c"))
+        return pa.table({
+            "lang": pa.array(c["lang"], pa.string()),
+            "vbucket": pa.array(c["vbucket"].astype("int32")),
+            "c": pa.array(c["c"].astype("int64")),
+        })
+
+    counts: dict[str, dict[int, int]] = {}
+    for r in (rows.map_batches(vcounts, batch_format="pyarrow")
+              .groupby(["lang", "vbucket"])
+              .aggregate(Sum("c", alias_name="c")).take_all()):
+        counts.setdefault(r["lang"], {})[int(r["vbucket"])] = int(r["c"])
+    base: dict[str, dict[int, int]] = {}
+    totals: dict[str, int] = {}
+    for lang, bc in counts.items():
+        acc = 0
+        base[lang] = {}
+        for b in sorted(bc):
+            base[lang][b] = acc
+            acc += bc[b]
+        totals[lang] = acc
+    base_ref = ray.put((base, totals))
+
+    def rank_tile(g: pd.DataFrame) -> pd.DataFrame:
+        bases, tots = ray.get(base_ref)
+        lang = g["lang"].iloc[0]
+        b0 = bases[lang][int(g["vbucket"].iloc[0])]
+        n = tots[lang]
+        g = g.sort_values(["nll_micro", "doc_id"], kind="mergesort")
+        pos = b0 + np.arange(len(g), dtype=np.int64)
+        # NTILE(n_tiles): first (n % tiles) tiles get one extra row
+        basen, rem = n // n_tiles, n % n_tiles
+        sizes = np.array([basen + (1 if i < rem else 0)
+                          for i in range(n_tiles)], np.int64)
+        cuts = np.cumsum(sizes)
+        tile = 1 + np.searchsorted(cuts, pos, side="right")
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64").values,
+            "lang": g["lang"].values,
+            "mean_nll": g["mean_nll"].values,
+            "ppl_bucket": tile.astype(np.int64),
+        })
+
+    return (rows.groupby(["lang", "vbucket"])
+            .map_groups(rank_tile, batch_format="pandas")
+            .sort("doc_id"))
+
+
+def ccnet_buckets_oracle_sql(target_lang: str = "en",
+                             n_tiles: int = 3) -> str:
+    """NTILE over the exact lm_perplexity oracle — same quantized
+    mean_nll, same (mean_nll, doc_id) order, same tile sizes."""
+    inner = lm_perplexity_oracle_sql(target_lang=target_lang)
+    return f"""
+      WITH pplq AS ({inner})
+      SELECT p.doc_id, d.lang, p.mean_nll,
+             CAST(NTILE({n_tiles}) OVER (
+                 PARTITION BY d.lang
+                 ORDER BY p.mean_nll, p.doc_id) AS BIGINT) AS ppl_bucket
+      FROM pplq p JOIN documents d USING (doc_id)
+      ORDER BY p.doc_id
+    """
+
+
 def dup_keep_best(sf_dir: str, threshold: float = 0.7, n: int = 3,
                   num_parts: int = 32) -> rd.Dataset:
     """Representative selection for near-dup clusters: per connected

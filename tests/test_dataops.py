@@ -70,7 +70,8 @@ def ducksf():
      "bloom_fpr_check", "score_calibration", "scc_certificate",
      "wordpiece_parity", "wordpiece_encode_parity", "nn_descent_recall",
      "kmv_overlap", "cdx_index_parity", "mime_sniff_check",
-     "random_walks"],
+     "random_walks", "jpeg_roundtrip", "crawl_lineage_check",
+     "chunk_passages", "ccnet_buckets"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
