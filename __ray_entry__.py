@@ -523,6 +523,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # long-stable relational family sits at the back (round-3 judge
     # item #5). Coverage is unchanged — only the ordering moved.
     return {
+        # ---- round-5 gate prefix (judge item #7): the NEW round-5
+        # entries plus the highest-regression-risk families — the two
+        # shard capstones (twin now gate-SF-only), the operators whose
+        # semantics changed this round (fused hits, unsorted
+        # random_walks), the tokenizer parities, and the dedup/LSH
+        # chain — so a driver gate sampling a prefix covers them all.
+        "jpeg_roundtrip": _q_jpeg_roundtrip,
+        "crawl_lineage_check": _q_crawl_lineage_check,
+        "chunk_passages": T.chunk_passages,
+        "ccnet_buckets": T.ccnet_buckets,
+        "mime_sniff_check": _q_mime_sniff_check,
+        "tokenized_shards": _q_tokenized_shards,
+        "packed_token_shards": _q_packed_token_shards,
+        "hits": G.hits,
+        "random_walks": G.random_walks,
+        "bpe_parity": T.bpe_parity,
+        "bpe_encode_parity": T.bpe_encode_parity,
+        "wordpiece_parity": T.wordpiece_parity,
+        "unigram_parity": T.unigram_parity,
+        "dedup_minhash_lsh": T.dedup_minhash_lsh,
+        "ngram_jaccard_exact": T.ngram_jaccard_exact,
+        "dup_clusters": T.dup_clusters,
+        "dup_keep_best": T.dup_keep_best,
+        "exact_substring_dedup": T.exact_substring_dedup,
+        "minhash_lsh_recall": T.minhash_lsh_recall,
+        "simhash_banding_complete": T.simhash_banding_complete,
         # iterative graph analysis (bucket-pinned edges, integer fixed
         # point, fully SQL-oracled via chained per-iteration CTEs)
         "pagerank": G.pagerank,
@@ -540,10 +566,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_eval": T.langid_eval,
         "compression_quality": T.compression_quality,
         "crawl_lineage": _q_crawl_lineage,
-        "crawl_lineage_check": _q_crawl_lineage_check,
-        "jpeg_roundtrip": _q_jpeg_roundtrip,
-        "chunk_passages": T.chunk_passages,
-        "ccnet_buckets": T.ccnet_buckets,
         "crawl_to_corpus_parity": _q_crawl_to_corpus_parity,
         "politeness_audit": _q_politeness_audit,
         "cuckoo_fpr_check": _q_cuckoo_fpr_check,
@@ -553,12 +575,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_ablation": T.quality_ablation,
         "snapshot_diff": G.snapshot_diff,
         "ngram_novelty": T.ngram_novelty,
-        "hits": G.hits,
         "bfs_distance": G.bfs_distance,
         "scc_certificate": G.scc_certificate,
         "kcore_peel": G.kcore_peel,
         "minlabel_components": G.minlabel_components,
-        "random_walks": G.random_walks,
         "triangle_count": G.triangle_count,
         "link_degree_stats": G.link_degree_stats,
         "pagerank_weighted_sample": G.pagerank_weighted_sample,
@@ -578,8 +598,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # probabilistic + iterative family (round-2 judge item #6):
         # constant-schema verdict rows the oracle pins, so a silent
         # recall regression fails CORRECTNESS
-        "minhash_lsh_recall": T.minhash_lsh_recall,
-        "simhash_banding_complete": T.simhash_banding_complete,
         "ann_ivf_recall": S.ann_ivf_recall,
         "nn_descent_recall": S.nn_descent_recall,
         "pq_recall": S.pq_recall,
@@ -588,14 +606,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logreg_train": T.logreg_train,
         "logreg_parity": T.logreg_parity,
         "pca_parity": S.pca_parity,
-        "bpe_parity": T.bpe_parity,
-        "wordpiece_parity": T.wordpiece_parity,
         "wordpiece_encode_parity": T.wordpiece_encode_parity,
-        "unigram_parity": T.unigram_parity,
         "unigram_encode_parity": T.unigram_encode_parity,
         "unigram_lm": T.unigram_lm,
         "unigram_encode": T.unigram_encode,
-        "bpe_encode_parity": T.bpe_encode_parity,
         # inference / tokenizer / training-order operators
         "model_score": T.model_score,
         "score_calibration": T.score_calibration,
@@ -613,28 +627,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": T.gopher_quality,
         # dedup / near-dup family
         "dedup_exact": T.dedup_exact,
-        "dedup_minhash_lsh": T.dedup_minhash_lsh,
         "simhash_docs": T.simhash_docs,
         "simhash_near_dups": T.simhash_near_dups,
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
-        "ngram_jaccard_exact": T.ngram_jaccard_exact,
         "ngram_containment": T.ngram_containment,
         "word_jaccard_exact": T.word_jaccard_exact,
-        "dup_clusters": T.dup_clusters,
-        "dup_keep_best": T.dup_keep_best,
         "dedup_against": T.dedup_against,
         "bloom_fpr_check": T.bloom_fpr_check,
         "line_dedup": T.line_dedup,
         "within_doc_dedup": T.within_doc_dedup,
         "substring_dups": T.substring_dups,
         "winnowing_fp": T.winnowing_fp,
-        "exact_substring_dedup": T.exact_substring_dedup,
         # capstone composition: quality gate -> exact dedup -> near-dup
         # removal -> split, one SQL oracle over the whole chain
         "training_corpus_summary": _q_training_corpus,
         "corpus_v2_summary": _q_corpus_v2,
-        "tokenized_shards": _q_tokenized_shards,
-        "packed_token_shards": _q_packed_token_shards,
         # similarity search
         "ann_topk": S.ann_topk,
         "ann_filtered": S.ann_filtered,
@@ -711,7 +718,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_jpeg": _q_multimodal_jpeg,
         "image_phash_dups": _q_image_phash_dups,
         "mime_sniff": _q_mime_sniff,
-        "mime_sniff_check": _q_mime_sniff_check,
         # relational operator breadth (SQL-oracled, stable since round 1)
         "q1_pricing": R.q1_pricing,
         "top_orders": R.top_orders,
