@@ -201,6 +201,13 @@ _BENCH_QUERIES = [
     # round-4: forward-backward SCC certificates (bounded-round directed
     # min-label in both directions over the pinned hits edge buckets)
     "scc_certificate",
+    # round-5: overlapping passage chunking (shuffle-free flat-map),
+    # CCNet per-language perplexity tiles (histogram-CDF exact NTILE),
+    # and the from-scratch baseline JPEG codec (encode+decode through
+    # the actor pool with geometry/flat-exact/third-party verdicts)
+    "chunk_passages",
+    "ccnet_buckets",
+    "jpeg_roundtrip",
 ]
 
 
