@@ -533,6 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_lineage_check": _q_crawl_lineage_check,
         "chunk_passages": T.chunk_passages,
         "ccnet_buckets": T.ccnet_buckets,
+        "kn_lm_score": T.kn_lm_score,
         "mime_sniff_check": _q_mime_sniff_check,
         "tokenized_shards": _q_tokenized_shards,
         "packed_token_shards": _q_packed_token_shards,
@@ -1015,6 +1016,12 @@ def _chunk_passages_sql() -> str:
     from pholcus_ray.pipelines.textdata import chunk_passages_oracle_sql
 
     return chunk_passages_oracle_sql()
+
+
+def _kn_lm_score_sql() -> str:
+    from pholcus_ray.pipelines.textdata import kn_lm_score_oracle_sql
+
+    return kn_lm_score_oracle_sql()
 
 
 def _ccnet_buckets_sql() -> str:
@@ -1866,6 +1873,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "lm_perplexity": _lm_perplexity_sql(),
         "chunk_passages": _chunk_passages_sql(),
         "ccnet_buckets": _ccnet_buckets_sql(),
+        "kn_lm_score": _kn_lm_score_sql(),
         "gopher_repetition": _gopher_repetition_sql(),
         "gopher_quality": _gopher_quality_sql(),
         "logreg_parity": _logreg_parity_sql(),

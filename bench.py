@@ -208,6 +208,9 @@ _BENCH_QUERIES = [
     "chunk_passages",
     "ccnet_buckets",
     "jpeg_roundtrip",
+    # round-5: interpolated Kneser-Ney bigram LM scoring (raw bigram
+    # types, d=3/4 rational, separable integer log quantization)
+    "kn_lm_score",
 ]
 
 

@@ -7358,6 +7358,215 @@ def lm_perplexity_oracle_sql(target_lang: str = "en", b_pair: int = 16384,
     """
 
 
+def kn_lm_score(sf_dir: str, num_parts: int = 32) -> rd.Dataset:
+    """Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 4.4) — the PROPER n-gram LM behind serious
+    fluency filters, upgrading :func:`lm_perplexity`'s add-one hashed
+    model with absolute discounting and continuation probability:
+
+        P(b|a) = max(c(a,b) - d, 0)/c(a·)
+                 + (d·N1+(a·)/c(a·)) · N1+(·b)/T,   d = 3/4
+
+    where N1+(a·)/N1+(·b) count distinct followers/predecessors and T is
+    the total bigram-type count. With d = 3/4 the probability is the
+    exact RATIONAL [max(4c-3,0)·T + 3·N1+(a·)·N1+(·b)] / (4·c(a·)·T), so
+    the per-instance nll is SEPARABLE integer-quantized nano-units —
+    ln(denominator) once per context a, ln(numerator) once per bigram
+    type (int->double conversion then libm ln, identical in DuckDB) —
+    and a doc's score is an order-free int64 sum. Returns (doc_id,
+    n_transitions, nll_nano, mean_nll) per document.
+
+    Scale shape — raw (not hashed) bigram types, all exchanges bounded
+    by vocabulary not corpus: (1) transition rows partition by hash(a)
+    so c(a,b), c(a·), N1+(a·) finish in one partition; (2) re-key by
+    hash(b) attaches N1+(·b); T is one driver count; (3) the quantized
+    model meets doc transitions in a bigram-hashed partitioned join and
+    folds per doc. int64 headroom: 4·c(a·)·T needs c(a·)·T < 2^61 —
+    holds to ~10^9-token corpora per context; beyond that the product
+    goes through Python bigints on the engine side and HUGEINT in SQL.
+    """
+    import math
+
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+    nP = np.uint64(num_parts)
+
+    def trans_rows(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        d_ids, aa, bb, ks = [], [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist()):
+            toks = _tokens(text)
+            if len(toks) < 2:
+                # presence row so 0-transition docs still emit output
+                d_ids.append(doc_id); aa.append(""); bb.append("")
+                ks.append(0)
+                continue
+            cnt = Counter(zip(toks, toks[1:]))
+            for (a, b), k in cnt.items():
+                d_ids.append(doc_id); aa.append(a); bb.append(b)
+                ks.append(k)
+        return pa.table({
+            "doc_id": pa.array(d_ids, pa.int64()),
+            "a": pa.array(aa, pa.string()),
+            "b": pa.array(bb, pa.string()),
+            "k": pa.array(ks, pa.int64()),
+        })
+
+    rows = docs.map_batches(trans_rows,
+                            batch_format="pyarrow").materialize()
+
+    def key_a(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pac
+
+        t = t.filter(pac.greater(t["k"], 0))
+        return t.append_column(
+            "part", pa.array((hash64_array(t["a"].to_pylist())
+                              % nP).astype(np.int32)
+                             if t.num_rows else np.empty(0, np.int32)))
+
+    def fold_a(g: pd.DataFrame) -> pd.DataFrame:
+        bi = (g.groupby(["a", "b"], sort=False)["k"].sum()
+              .reset_index(name="c"))
+        wa = bi.groupby("a", sort=False).agg(
+            cw=("c", "sum"), n1f=("c", "size")).reset_index()
+        m = bi.merge(wa, on="a")
+        m["part"] = (hash64_array(m["b"].tolist()) % nP).astype(np.int32) \
+            if len(m) else np.empty(0, np.int32)
+        return m[["part", "a", "b", "c", "cw", "n1f"]]
+
+    def fold_b(g: pd.DataFrame) -> pd.DataFrame:
+        n1p = g.groupby("b", sort=False).size().rename("n1p")
+        g = g.merge(n1p, on="b")
+        return g[["a", "b", "c", "cw", "n1f", "n1p"]]
+
+    model = (rows.map_batches(key_a, batch_format="pyarrow")
+             .groupby("part").map_groups(fold_a, batch_format="pandas")
+             .groupby("part").map_groups(fold_b, batch_format="pandas")
+             .materialize())
+    T = model.count()
+
+    def quantize(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False)
+        cw = t["cw"].to_numpy(zero_copy_only=False)
+        n1f = t["n1f"].to_numpy(zero_copy_only=False)
+        n1p = t["n1p"].to_numpy(zero_copy_only=False)
+        # separable quantization: each ln computed from the exact int,
+        # floor-quantized once — DuckDB replays the identical doubles
+        q = np.array([
+            math.floor(math.log(float(4 * int(w) * T)) * 1e9 + 0.5)
+            - math.floor(math.log(float(
+                max(4 * int(cc) - 3, 0) * T + 3 * int(f) * int(p)))
+                * 1e9 + 0.5)
+            for cc, w, f, p in zip(c, cw, n1f, n1p)], np.int64)
+        ab = [a + "\x00" + b for a, b in zip(t["a"].to_pylist(),
+                                             t["b"].to_pylist())]
+        return pa.table({
+            "part": pa.array((hash64_array(ab) % nP).astype(np.int32)
+                             if ab else np.empty(0, np.int32)),
+            "kind": pa.array(np.zeros(t.num_rows, np.int8)),
+            "doc_id": pa.array(np.full(t.num_rows, -1, np.int64)),
+            "a": t["a"], "b": t["b"],
+            "k": pa.array(np.zeros(t.num_rows, np.int64)),
+            "q": pa.array(q),
+        })
+
+    def key_doc(t: pa.Table) -> pa.Table:
+        ab = [a + "\x00" + b for a, b in zip(t["a"].to_pylist(),
+                                             t["b"].to_pylist())]
+        return pa.table({
+            "part": pa.array((hash64_array(ab) % nP).astype(np.int32)
+                             if ab else np.empty(0, np.int32)),
+            "kind": pa.array(np.ones(t.num_rows, np.int8)),
+            "doc_id": t["doc_id"],
+            "a": t["a"], "b": t["b"],
+            "k": t["k"],
+            "q": pa.array(np.zeros(t.num_rows, np.int64)),
+        })
+
+    def join_score(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[g["kind"] == 0][["a", "b", "q"]]
+        d = g[g["kind"] == 1][["doc_id", "a", "b", "k"]]
+        j = d.merge(m, on=["a", "b"], how="left")
+        # presence rows ("","") have no model entry: q -> 0, k = 0
+        j["q"] = j["q"].fillna(0).astype(np.int64)
+        out = pd.DataFrame({
+            "doc_id": j["doc_id"].astype("int64"),
+            "n": j["k"].astype("int64"),
+            "w": (j["k"] * j["q"]).astype("int64"),
+        }).groupby("doc_id", sort=False).sum().reset_index()
+        out["dpart"] = (out["doc_id"].values % int(nP)).astype(np.int32)
+        return out
+
+    def doc_fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.drop(columns=["dpart"])
+               .groupby("doc_id", sort=False).sum().reset_index())
+        n = out["n"].to_numpy()
+        w = out["w"].to_numpy()
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].astype("int64"),
+            "n_transitions": n.astype(np.int64),
+            "nll_nano": w.astype(np.int64),
+            "mean_nll": np.where(
+                n > 0,
+                np.floor(w / np.maximum(n, 1) / 1000.0 + 0.5) / 1e6,
+                0.0),
+        })
+
+    return (model.map_batches(quantize, batch_format="pyarrow")
+            .union(rows.map_batches(key_doc, batch_format="pyarrow"))
+            .groupby("part").map_groups(join_score, batch_format="pandas")
+            .groupby("dpart").map_groups(doc_fold, batch_format="pandas")
+            .sort("doc_id"))
+
+
+def kn_lm_score_oracle_sql() -> str:
+    """Exact DuckDB replay of :func:`kn_lm_score`: same bigram types,
+    same d=3/4 rational, same separable int->double ln quantization."""
+    return """
+      WITH tok AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(text), '\\s+')
+                    END AS toks
+        FROM documents
+      ),
+      trans AS (
+        SELECT doc_id,
+               toks[CAST(i AS INTEGER)] AS a,
+               toks[CAST(i AS INTEGER) + 1] AS b
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM tok)
+      ),
+      bi AS (SELECT a, b, COUNT(*) AS c FROM trans GROUP BY a, b),
+      wa AS (SELECT a, SUM(c) AS cw, COUNT(*) AS n1f FROM bi GROUP BY a),
+      wb AS (SELECT b, COUNT(*) AS n1p FROM bi GROUP BY b),
+      tt AS (SELECT COUNT(*) AS t FROM bi),
+      lq AS (
+        SELECT bi.a, bi.b,
+               CAST(FLOOR(ln(CAST(4 * wa.cw * tt.t AS DOUBLE))
+                          * 1000000000 + 0.5) AS BIGINT)
+             - CAST(FLOOR(ln(CAST(GREATEST(4 * bi.c - 3, 0) * tt.t
+                                  + 3 * wa.n1f * wb.n1p AS DOUBLE))
+                          * 1000000000 + 0.5) AS BIGINT) AS q
+        FROM bi JOIN wa USING (a) JOIN wb USING (b) CROSS JOIN tt
+      ),
+      docw AS (
+        SELECT t.doc_id, COUNT(*) AS n, SUM(lq.q) AS w
+        FROM trans t JOIN lq ON t.a = lq.a AND t.b = lq.b
+        GROUP BY t.doc_id
+      )
+      SELECT d.doc_id,
+             CAST(COALESCE(dw.n, 0) AS BIGINT) AS n_transitions,
+             CAST(COALESCE(dw.w, 0) AS BIGINT) AS nll_nano,
+             COALESCE(FLOOR(dw.w / greatest(dw.n, 1) / 1000.0 + 0.5)
+                      / 1000000.0, 0.0) AS mean_nll
+      FROM documents d LEFT JOIN docw dw USING (doc_id)
+      ORDER BY d.doc_id
+    """
+
+
 def chunk_passages(sf_dir: str, window: int = 64,
                    stride: int = 48) -> rd.Dataset:
     """Overlapping passage chunking — the retrieval/embedding prep step
