@@ -1255,6 +1255,53 @@ def _derived_kv_bucket(n_docs: int, bucket: int, n_buckets: int,
     })
 
 
+@ray.remote
+def _derived_kv2_bucket(n_docs: int, bucket: int, n_buckets: int,
+                        reverse: bool) -> pa.Table:
+    """1∪2-hop edge bucket of the derived graph with hop weights — the
+    round-fusion edge set for the min-plus/min-label fixed points: one
+    relaxation round over {(u,v,1)} ∪ {(u,w,2): u→v→w}, deduped to the
+    min weight per (key, oth), equals TWO rounds over the plain edges
+    (min-semiring path algebra: (I⊕A)² = I⊕A⊕A²), so iters/2 exchanges
+    produce bit-identical final states and the SQL oracles stand
+    unchanged. Self-loops are dropped (identity contributions). Max
+    out-degree 3 → ≤ 12 rows/node: the bucket roughly 4x the 1-hop one,
+    bought once per process against halving every per-round barrier."""
+    src = np.arange(n_docs, dtype=np.int64)
+    deg = 1 + (src % 3)
+    ss, dd = [], []
+    for i, (m, a) in enumerate(zip(_MULTS, _OFFS)):
+        sel = src[deg > i]
+        ss.append(sel)
+        dd.append((sel * m + a) % n_docs)
+    s1 = np.concatenate(ss)
+    d1 = np.concatenate(dd)
+    s2l, d2l = [], []
+    for j, (m, a) in enumerate(zip(_MULTS, _OFFS)):
+        ok = d1 % 3 >= j
+        s2l.append(s1[ok])
+        d2l.append(((d1[ok] * m) + a) % n_docs)
+    s = np.concatenate([s1] + s2l)
+    d = np.concatenate([d1] + d2l)
+    w = np.concatenate([np.ones(len(s1), np.int64)]
+                       + [np.full(len(x), 2, np.int64) for x in s2l])
+    key, oth = (d, s) if reverse else (s, d)
+    keep = (key % n_buckets == bucket) & (key != oth)
+    key, oth, w = key[keep], oth[keep], w[keep]
+    # min-weight dedup per (key, oth): lexsort puts w=1 first
+    o = np.lexsort((w, oth, key))
+    key, oth, w = key[o], oth[o], w[o]
+    first = np.ones(len(key), bool)
+    first[1:] = (key[1:] != key[:-1]) | (oth[1:] != oth[:-1])
+    key, oth, w = key[first], oth[first], w[first]
+    return pa.table({
+        "key": pa.array(key, pa.int64()),
+        "oth": pa.array(oth, pa.int64()),
+        "opart": pa.array(oth % n_buckets, pa.int64()),
+        "w": pa.array(w, pa.int64()),
+    })
+
+
 _KV_CACHE: dict[tuple[str, int], tuple] = {}
 
 
@@ -1273,6 +1320,25 @@ def _kv_arrays(graph_key: str, bucket: int, refs: dict) -> tuple:
     with _EDGE_LOCK:
         _KV_CACHE[ck] = tri
     return tri
+
+
+def _kv2_arrays(graph_key: str, bucket: int, refs: dict) -> tuple:
+    """(key, oth, opart, w) of a pinned weighted 1∪2-hop bucket."""
+    ck = (graph_key, bucket)
+    with _EDGE_LOCK:
+        hit = _KV_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    t = ray.get(refs[bucket])
+    quad = (
+        t["key"].to_numpy(zero_copy_only=False),
+        t["oth"].to_numpy(zero_copy_only=False),
+        t["opart"].to_numpy(zero_copy_only=False),
+        t["w"].to_numpy(zero_copy_only=False),
+    )
+    with _EDGE_LOCK:
+        _KV_CACHE[ck] = quad
+    return quad
 
 
 def _hits_step(values: rd.Dataset, refs_f: dict, refs_r: dict,
@@ -1503,13 +1569,26 @@ def bfs_distance(sf_dir: str, iters: int = 8, n_buckets: int = 16,
                  seed_mod: int = 97) -> rd.Dataset:
     """Hop distance from the seed set over the derived doc graph — fully
     SQL-oracled (chained per-round LEAST CTEs). Returns (doc_id, dist_q),
-    -1 = unreached within ``iters`` hops."""
+    -1 = unreached within ``iters`` hops.
+
+    Round fusion: relaxation runs over the weighted 1∪2-hop edge set
+    (:func:`_derived_kv2_bucket`), so ``iters`` plain hops take
+    ``iters//2`` exchanges (+1 plain round when odd) — bit-identical
+    final distances ((I⊕A)² = I⊕A⊕A² in min-plus), so the per-round
+    LEAST-CTE oracle stands unchanged; only the barrier count halves."""
     n_docs = pq.ParquetFile(
         os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    key2 = f"bfs2F:{sf_dir}:{n_docs}:{n_buckets}"
+    refs2 = {b: _derived_kv2_bucket.remote(n_docs, b, n_buckets, False)
+             for b in range(n_buckets)}
     key_f = f"hitsF:{sf_dir}:{n_docs}:{n_buckets}"
-    refs_f = {b: _derived_kv_bucket.remote(n_docs, b, n_buckets, False)
-              for b in range(n_buckets)}
-    ray.wait(list(refs_f.values()), num_returns=n_buckets)
+    refs_f = {}
+    if iters % 2:
+        refs_f = {b: _derived_kv_bucket.remote(n_docs, b, n_buckets,
+                                               False)
+                  for b in range(n_buckets)}
+    ray.wait(list(refs2.values()) + list(refs_f.values()),
+             num_returns=n_buckets + len(refs_f))
 
     def bucket_nodes(p: int) -> np.ndarray:
         return np.arange(p, n_docs, n_buckets, dtype=np.int64)
@@ -1525,41 +1604,50 @@ def bfs_distance(sf_dir: str, iters: int = 8, n_buckets: int = 16,
             "dist": pa.array(dist),
         })
 
-    def contribute(t: pa.Table) -> pa.Table:
-        node = t["node"].to_numpy(zero_copy_only=False)
-        dist = t["dist"].to_numpy(zero_copy_only=False)
-        part = t["part"].to_numpy(zero_copy_only=False)
-        order = np.argsort(node, kind="stable")
-        node_s, dist_s, part_s = node[order], dist[order], part[order]
-        out_p, out_n, out_c = [], [], []
-        for p in np.unique(part_s):
-            ekey, eoth, eopart = _kv_arrays(key_f, int(p), refs_f)
-            if len(ekey) == 0:
-                continue
-            pos = np.searchsorted(node_s, ekey)
-            pos = np.minimum(pos, len(node_s) - 1)
-            ok = node_s[pos] == ekey
-            if not ok.any():
-                continue
-            cand = dist_s[pos[ok]] + 1          # INF+1 still >= INF: safe
-            oth, oparts = eoth[ok], eopart[ok]
-            u, first, inv = np.unique(oth, return_index=True,
-                                      return_inverse=True)
-            acc = np.full(len(u), _BFS_INF + 1, np.int64)
-            np.minimum.at(acc, inv, cand)       # per-batch min-combiner
-            out_p.append(oparts[first])
-            out_n.append(u)
-            out_c.append(acc)
-        cp = np.concatenate(out_p) if out_p else np.empty(0, np.int64)
-        cn = np.concatenate(out_n) if out_n else np.empty(0, np.int64)
-        cc = np.concatenate(out_c) if out_c else np.empty(0, np.int64)
-        # pass-through: each node's own current distance (so the fold can
-        # take the min against incoming relaxations)
-        return pa.table({
-            "dpart": pa.array(np.concatenate([cp, part_s])),
-            "dst": pa.array(np.concatenate([cn, node_s])),
-            "cand": pa.array(np.concatenate([cc, dist_s])),
-        })
+    def make_contribute(gkey: str, refs: dict, fused: bool):
+        def contribute(t: pa.Table) -> pa.Table:
+            node = t["node"].to_numpy(zero_copy_only=False)
+            dist = t["dist"].to_numpy(zero_copy_only=False)
+            part = t["part"].to_numpy(zero_copy_only=False)
+            order = np.argsort(node, kind="stable")
+            node_s, dist_s, part_s = node[order], dist[order], part[order]
+            out_p, out_n, out_c = [], [], []
+            for p in np.unique(part_s):
+                if fused:
+                    ekey, eoth, eopart, ew = _kv2_arrays(gkey, int(p),
+                                                         refs)
+                else:
+                    ekey, eoth, eopart = _kv_arrays(gkey, int(p), refs)
+                    ew = None
+                if len(ekey) == 0:
+                    continue
+                pos = np.searchsorted(node_s, ekey)
+                pos = np.minimum(pos, len(node_s) - 1)
+                ok = node_s[pos] == ekey
+                if not ok.any():
+                    continue
+                hop = ew[ok] if ew is not None else 1
+                cand = dist_s[pos[ok]] + hop    # INF+w still >= INF: safe
+                oth, oparts = eoth[ok], eopart[ok]
+                u, first, inv = np.unique(oth, return_index=True,
+                                          return_inverse=True)
+                acc = np.full(len(u), _BFS_INF + 2, np.int64)
+                np.minimum.at(acc, inv, cand)   # per-batch min-combiner
+                out_p.append(oparts[first])
+                out_n.append(u)
+                out_c.append(acc)
+            cp = np.concatenate(out_p) if out_p else np.empty(0, np.int64)
+            cn = np.concatenate(out_n) if out_n else np.empty(0, np.int64)
+            cc = np.concatenate(out_c) if out_c else np.empty(0, np.int64)
+            # pass-through: each node's own current distance (so the fold
+            # can take the min against incoming relaxations)
+            return pa.table({
+                "dpart": pa.array(np.concatenate([cp, part_s])),
+                "dst": pa.array(np.concatenate([cn, node_s])),
+                "cand": pa.array(np.concatenate([cc, dist_s])),
+            })
+
+        return contribute
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
@@ -1575,7 +1663,7 @@ def bfs_distance(sf_dir: str, iters: int = 8, n_buckets: int = 16,
         pos_c = np.minimum(pos, len(nodes) - 1)
         valid = nodes[pos_c] == keys            # dangling targets drop
         np.minimum.at(d, pos_c[valid], folded.to_numpy()[valid])
-        d = np.minimum(d, _BFS_INF)             # clamp INF+1 back to INF
+        d = np.minimum(d, _BFS_INF)             # clamp INF+w back to INF
         return pd.DataFrame({
             "part": np.full(len(nodes), p, np.int64),
             "node": nodes,
@@ -1587,9 +1675,12 @@ def bfs_distance(sf_dir: str, iters: int = 8, n_buckets: int = 16,
                         columns=["doc_id"])
         .map_batches(init, batch_format="pyarrow")
     )
-    for _ in range(iters):
+    rounds = ([(key2, refs2, True)] * (iters // 2)
+              + [(key_f, refs_f, False)] * (iters % 2))
+    for gkey, refs, fused in rounds:
         values = (
-            values.map_batches(contribute, batch_format="pyarrow")
+            values.map_batches(make_contribute(gkey, refs, fused),
+                               batch_format="pyarrow")
             .groupby("dpart")
             .map_groups(fold, batch_format="pandas")
         )
@@ -1879,17 +1970,33 @@ def scc_certificate(sf_dir: str, iters: int = 8,
     fwd pulls along reverse-keyed buckets (label at dst flows to src),
     bwd along forward-keyed ones; per round one slim 4-int-column
     exchange, per-batch min-combining before the shuffle, groupby-min
-    fold per coarse bucket. No driver state, int64 end to end."""
+    fold per coarse bucket. No driver state, int64 end to end.
+
+    Round fusion (same identity as :func:`bfs_distance`): min-label
+    propagation over the 1∪2-hop buckets makes one exchange equal two
+    plain rounds, so ``iters`` hops cost ``iters//2`` barriers (+1 plain
+    when odd) with a bit-identical fixed point — oracle unchanged."""
     n_docs = pq.ParquetFile(
         os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
-    key_f = f"hitsF:{sf_dir}:{n_docs}:{n_buckets}"
-    key_r = f"hitsR:{sf_dir}:{n_docs}:{n_buckets}"
-    refs_f = {b: _derived_kv_bucket.remote(n_docs, b, n_buckets, False)
+    key_f = f"scc2F:{sf_dir}:{n_docs}:{n_buckets}"
+    key_r = f"scc2R:{sf_dir}:{n_docs}:{n_buckets}"
+    refs_f = {b: _derived_kv2_bucket.remote(n_docs, b, n_buckets, False)
               for b in range(n_buckets)}
-    refs_r = {b: _derived_kv_bucket.remote(n_docs, b, n_buckets, True)
+    refs_r = {b: _derived_kv2_bucket.remote(n_docs, b, n_buckets, True)
               for b in range(n_buckets)}
-    ray.wait(list(refs_f.values()) + list(refs_r.values()),
-             num_returns=2 * n_buckets)
+    key_f1 = f"hitsF:{sf_dir}:{n_docs}:{n_buckets}"
+    key_r1 = f"hitsR:{sf_dir}:{n_docs}:{n_buckets}"
+    refs_f1, refs_r1 = {}, {}
+    if iters % 2:
+        refs_f1 = {b: _derived_kv_bucket.remote(n_docs, b, n_buckets,
+                                                False)
+                   for b in range(n_buckets)}
+        refs_r1 = {b: _derived_kv_bucket.remote(n_docs, b, n_buckets,
+                                                True)
+                   for b in range(n_buckets)}
+    ray.wait(list(refs_f.values()) + list(refs_r.values())
+             + list(refs_f1.values()) + list(refs_r1.values()),
+             num_returns=2 * n_buckets + len(refs_f1) + len(refs_r1))
     nb = np.int64(n_buckets)
 
     def init(t: pa.Table) -> pa.Table:
@@ -1901,12 +2008,18 @@ def scc_certificate(sf_dir: str, iters: int = 8,
             "blab": pa.array(node, pa.int64()),
         })
 
-    def _pull(node_s, lab_s, graph_key, refs):
+    def _pull(node_s, lab_s, graph_key, refs, fused=True):
         """Per-batch min-combined contributions of ``lab`` along the
-        key→oth direction of the pinned buckets; returns (bpart, b, m)."""
+        key→oth direction of the pinned buckets; returns (bpart, b, m).
+        Weights of the fused 1∪2-hop buckets are irrelevant to min-label
+        propagation and ignored."""
         out_p, out_n, out_m = [], [], []
         for p in np.unique(node_s % nb):
-            ekey, eoth, eopart = _kv_arrays(graph_key, int(p), refs)
+            if fused:
+                ekey, eoth, eopart, _w = _kv2_arrays(graph_key, int(p),
+                                                     refs)
+            else:
+                ekey, eoth, eopart = _kv_arrays(graph_key, int(p), refs)
             if len(ekey) == 0:
                 continue
             pos = np.searchsorted(node_s, ekey)
@@ -1930,24 +2043,27 @@ def scc_certificate(sf_dir: str, iters: int = 8,
         return (np.concatenate(out_p), np.concatenate(out_n),
                 np.concatenate(out_m))
 
-    def propagate(t: pa.Table) -> pa.Table:
-        node = t["node"].to_numpy(zero_copy_only=False)
-        flab = t["flab"].to_numpy(zero_copy_only=False)
-        blab = t["blab"].to_numpy(zero_copy_only=False)
-        part = t["part"].to_numpy(zero_copy_only=False)
-        order = np.argsort(node, kind="stable")
-        node_s = node[order]
-        flab_s, blab_s, part_s = flab[order], blab[order], part[order]
-        fp, fn, fm = _pull(node_s, flab_s, key_r, refs_r)  # dst lab → src
-        bp, bn, bm = _pull(node_s, blab_s, key_f, refs_f)  # src lab → dst
-        sent_f = np.full(len(bn), _I64MAX, np.int64)
-        sent_b = np.full(len(fn), _I64MAX, np.int64)
-        return pa.table({
-            "bpart": pa.array(np.concatenate([part_s, fp, bp])),
-            "b": pa.array(np.concatenate([node_s, fn, bn])),
-            "fm": pa.array(np.concatenate([flab_s, fm, sent_f])),
-            "bm": pa.array(np.concatenate([blab_s, sent_b, bm])),
-        })
+    def make_propagate(kf, rf, kr, rr, fused):
+        def propagate(t: pa.Table) -> pa.Table:
+            node = t["node"].to_numpy(zero_copy_only=False)
+            flab = t["flab"].to_numpy(zero_copy_only=False)
+            blab = t["blab"].to_numpy(zero_copy_only=False)
+            part = t["part"].to_numpy(zero_copy_only=False)
+            order = np.argsort(node, kind="stable")
+            node_s = node[order]
+            flab_s, blab_s, part_s = flab[order], blab[order], part[order]
+            fp, fn, fm = _pull(node_s, flab_s, kr, rr, fused)  # dst→src
+            bp, bn, bm = _pull(node_s, blab_s, kf, rf, fused)  # src→dst
+            sent_f = np.full(len(bn), _I64MAX, np.int64)
+            sent_b = np.full(len(fn), _I64MAX, np.int64)
+            return pa.table({
+                "bpart": pa.array(np.concatenate([part_s, fp, bp])),
+                "b": pa.array(np.concatenate([node_s, fn, bn])),
+                "fm": pa.array(np.concatenate([flab_s, fm, sent_f])),
+                "bm": pa.array(np.concatenate([blab_s, sent_b, bm])),
+            })
+
+        return propagate
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
@@ -1968,10 +2084,15 @@ def scc_certificate(sf_dir: str, iters: int = 8,
     values = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                               columns=["doc_id"])
               .map_batches(init, batch_format="pyarrow"))
-    for _ in range(iters):
-        values = (values.map_batches(propagate, batch_format="pyarrow")
-                  .groupby("bpart")
-                  .map_groups(fold, batch_format="pandas"))
+    rounds = ([(key_f, refs_f, key_r, refs_r, True)] * (iters // 2)
+              + [(key_f1, refs_f1, key_r1, refs_r1, False)]
+              * (iters % 2))
+    for kf, rf, kr, rr, fused in rounds:
+        values = (values.map_batches(
+            make_propagate(kf, rf, kr, rr, fused),
+            batch_format="pyarrow")
+            .groupby("bpart")
+            .map_groups(fold, batch_format="pandas"))
 
     def project(t: pa.Table) -> pa.Table:
         node = t["node"].to_numpy(zero_copy_only=False)
