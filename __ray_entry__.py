@@ -235,7 +235,7 @@ def _q_mime_sniff(sf_dir: str):
 
 def _q_mime_sniff_check(sf_dir: str):
     """Gate-visible verdict: every payload's sniffed MIME equals the
-    generator's ground truth (8 distinct types, unknown fallback
+    generator's ground truth (9 distinct types, unknown fallback
     included); the SQL oracle pins both constants."""
     import pyarrow as pa
 
@@ -419,6 +419,57 @@ def _q_jpeg_roundtrip(sf_dir: str):
     })
 
 
+def _q_multimodal_flac(sf_dir: str):
+    """REAL FLAC decode — from-scratch spec (fixed/LPC subframes, Rice
+    partitions, CRC-8/CRC-16/MD5 verified)."""
+    from pholcus_ray.stages.multimodal import DecodeFlac, synth_flac_table
+
+    n = 60 if _sf_name(sf_dir) != "sf0.1" else 240
+    return _blocks(synth_flac_table(n)).map_batches(
+        DecodeFlac, batch_format="pyarrow", batch_size=16, concurrency=2
+    ).sort("audio_id")
+
+
+def _q_flac_roundtrip(sf_dir: str):
+    """Gate-visible verdict for the lossless codec: every synthetic
+    payload decodes through the actor pool to the generator's exact
+    geometry AND the decoded samples are BIT-EXACT equal to the source
+    signal (FLAC is lossless — a stronger contract than the JPEG
+    codec's bounded error), with CRCs and the STREAMINFO MD5 verified
+    on every frame."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pholcus_ray.stages.flaccodec import flac_decode, flac_encode
+    from pholcus_ray.stages.multimodal import (DecodeFlac,
+                                               synth_flac_table)
+
+    n = 40 if _sf_name(sf_dir) != "sf0.1" else 160
+    src = synth_flac_table(n).to_pandas().set_index("audio_id")
+    dec = (_blocks(synth_flac_table(n)).map_batches(
+        DecodeFlac, batch_format="pyarrow", batch_size=16, concurrency=2)
+        .to_pandas().set_index("audio_id"))
+    geometry_ok = int(
+        len(dec) == n
+        and (dec["decoded_rate"].values
+             == src.loc[dec.index, "sample_rate"].values).all()
+        and (dec["decoded_samples"].values
+             == src.loc[dec.index, "n_samples"].values).all()
+        and (dec["decoded_channels"].values
+             == src.loc[dec.index, "channels"].values).all())
+    # driver-side bit-exactness spot check on a deterministic signal
+    rng = np.random.default_rng(11)
+    sig = (2000 * np.sin(np.arange(7001) / 9)
+           + rng.normal(0, 100, 7001)).astype(np.int16)
+    back, sr = flac_decode(flac_encode(sig, 22050, block_size=777))
+    lossless_ok = int(sr == 22050 and (back[:, 0] == sig).all())
+    return pa.table({
+        "n_clips": pa.array([n], pa.int64()),
+        "geometry_ok": pa.array([geometry_ok], pa.int64()),
+        "lossless_ok": pa.array([lossless_ok], pa.int64()),
+    })
+
+
 def _q_image_phash_dups(sf_dir: str):
     """Image near-dup detection: real PNG decode -> dHash -> Hamming
     banding, with gate-visible completeness + planted-recovery verdicts."""
@@ -530,6 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # random_walks), the tokenizer parities, and the dedup/LSH
         # chain — so a driver gate sampling a prefix covers them all.
         "jpeg_roundtrip": _q_jpeg_roundtrip,
+        "flac_roundtrip": _q_flac_roundtrip,
         "crawl_lineage_check": _q_crawl_lineage_check,
         "chunk_passages": T.chunk_passages,
         "ccnet_buckets": T.ccnet_buckets,
@@ -717,6 +769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_png": _q_multimodal_png,
         "multimodal_gif": _q_multimodal_gif,
         "multimodal_jpeg": _q_multimodal_jpeg,
+        "multimodal_flac": _q_multimodal_flac,
         "image_phash_dups": _q_image_phash_dups,
         "mime_sniff": _q_mime_sniff,
         # relational operator breadth (SQL-oracled, stable since round 1)
@@ -1799,9 +1852,9 @@ def _oracle_sql_raw() -> dict[str, str]:
         "random_walks": _random_walks_sql(),
         "mime_sniff_check": """
             -- assertion oracle: magic-byte MIME detection over the mixed
-            -- real-container table (WAV/au/PPM/BMP/PNG/GIF/JPEG + unknown)
-            -- must classify every payload to the generator's ground truth
-            SELECT CAST(8 AS BIGINT) AS n_mimes,
+            -- real-container table (WAV/au/PPM/BMP/PNG/GIF/JPEG/FLAC +
+            -- unknown) must classify every payload to ground truth
+            SELECT CAST(9 AS BIGINT) AS n_mimes,
                    CAST(1 AS BIGINT) AS sniff_ok
         """,
         "cuckoo_fpr_check": """
@@ -1819,6 +1872,14 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT CAST(0 AS BIGINT) AS n_over_cap,
                    CAST(0 AS BIGINT) AS n_disallowed,
                    CAST(1 AS BIGINT) AS audit_ok
+        """,
+        "flac_roundtrip": """
+            -- assertion oracle: the from-scratch lossless FLAC codec must
+            -- decode every payload to the generator's geometry and
+            -- roundtrip samples BIT-EXACTLY (CRC-8/CRC-16/MD5 verified)
+            SELECT CAST(40 AS BIGINT) AS n_clips,
+                   CAST(1 AS BIGINT) AS geometry_ok,
+                   CAST(1 AS BIGINT) AS lossless_ok
         """,
         "jpeg_roundtrip": """
             -- assertion oracle: the from-scratch baseline JPEG codec must

@@ -211,6 +211,9 @@ _BENCH_QUERIES = [
     # round-5: interpolated Kneser-Ney bigram LM scoring (raw bigram
     # types, d=3/4 rational, separable integer log quantization)
     "kn_lm_score",
+    # round-5: from-scratch lossless FLAC codec (fixed/LPC prediction +
+    # Rice residuals, CRC/MD5 verified, bit-exact roundtrip verdict)
+    "flac_roundtrip",
 ]
 
 

@@ -1228,6 +1228,89 @@ class DecodeJpeg:
         return out
 
 
+# --- REAL FLAC codec (stages/flaccodec.py) -----------------------------------
+#
+# Lossless compressed audio, spec-derived like PNG/GIF/JPEG: fixed/LPC
+# prediction + Rice residuals, CRC-8/CRC-16/MD5 verified. Because FLAC
+# is lossless the roundtrip contract is BIT-EXACT sample equality.
+
+
+def synth_flac_table(n: int, seed: int = 53) -> pa.Table:
+    """Real FLAC payloads with known geometry: mono/stereo int16 tones +
+    noise at mixed rates and block sizes."""
+    from .flaccodec import flac_encode
+
+    rng = np.random.default_rng(seed)
+    ids, payloads, srs, nss, chs = [], [], [], [], []
+    for i in range(n):
+        sr = [8000, 16000, 44100][i % 3]
+        ns = int(rng.integers(600, 5000))
+        t = np.arange(ns)
+        base = (2500 * np.sin(t / (4 + i % 7))
+                + rng.normal(0, 150, ns)).astype(np.int16)
+        if i % 2:
+            sig = np.stack([base, (base // 2).astype(np.int16)], axis=1)
+            ch = 2
+        else:
+            sig = base
+            ch = 1
+        payloads.append(flac_encode(sig, sr,
+                                    block_size=[512, 1024, 4096][i % 3]))
+        ids.append(i)
+        srs.append(sr)
+        nss.append(ns)
+        chs.append(ch)
+    return pa.table({
+        "audio_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+        "sample_rate": pa.array(srs, pa.int32()),
+        "n_samples": pa.array(nss, pa.int32()),
+        "channels": pa.array(chs, pa.int32()),
+    })
+
+
+class DecodeFlac:
+    """Actor-pool stage: REAL FLAC decode (stages/flaccodec.py — frame
+    sync, fixed/LPC subframes, Rice partitions, CRC + MD5 verify). Same
+    feature contract as DecodeWav; mp3/ogg (psychoacoustic entropy
+    codecs) stay honestly library-gated."""
+
+    def __init__(self, backend: str = "flac"):
+        if backend != "flac":
+            raise NotImplementedError(
+                "mp3/ogg need external codecs, absent in this "
+                "environment; FLAC decode is real (from-scratch spec)")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from .flaccodec import flac_decode
+
+        payloads = t["payload"].to_pylist()
+        srs, nss, chs, rmss = [], [], [], []
+        for p in payloads:
+            sig, sr = flac_decode(p)
+            srs.append(sr)
+            nss.append(sig.shape[0])
+            chs.append(sig.shape[1])
+            v = sig.astype(np.float64)
+            rmss.append(round(float(np.sqrt((v * v).mean()))
+                        if sig.size else 0.0, 4))
+        out = t.drop_columns(
+            [c for c in ("payload", "sample_rate", "n_samples",
+                         "channels") if c in t.column_names])
+        for name, arr in (
+            ("decoded_format", pa.array(["flac"] * len(srs),
+                                        pa.string())),
+            ("decoded_rate", pa.array(srs, pa.int32())),
+            ("decoded_samples", pa.array(nss, pa.int32())),
+            ("decoded_channels", pa.array(chs, pa.int32())),
+            ("rms", pa.array(rmss, pa.float64())),
+            ("content_hash", pa.array(
+                hash64_array([p.hex() for p in payloads]), pa.uint64())),
+        ):
+            out = out.append_column(name, arr)
+        return out
+
+
 # --- perceptual-hash image dedup ---------------------------------------------
 #
 # The image half of the near-dup family: dHash (difference hash) over
@@ -1410,6 +1493,7 @@ _MAGIC = [
     (b"GIF87a", 0, b"", "image/gif"),
     (b"GIF89a", 0, b"", "image/gif"),
     (b"\xFF\xD8\xFF", 0, b"", "image/jpeg"),   # SOI + first marker
+    (b"fLaC", 0, b"", "audio/flac"),
 ]
 
 
@@ -1448,9 +1532,9 @@ class MimeSniff:
 def synth_mixed_table(n_per: int, seed: int = 43) -> pa.Table:
     """A mixed-container payload table with known ground truth: n_per REAL
     payloads of each container this module decodes (WAV/au/PPM/BMP/PNG/
-    GIF/JPEG — the same generators the decode stages are tested on) plus
-    n_per unknown blobs whose first bytes collide with no magic (0xFE
-    fill — 0xFF would match the JPEG SOI prefix)."""
+    GIF/JPEG/FLAC — the same generators the decode stages are tested on)
+    plus n_per unknown blobs whose first bytes collide with no magic
+    (0xFE fill — 0xFF would match the JPEG SOI prefix)."""
     rng = np.random.default_rng(seed)
     parts = [
         (synth_wav_table(n_per), "audio/wav"),
@@ -1460,6 +1544,7 @@ def synth_mixed_table(n_per: int, seed: int = 43) -> pa.Table:
         (synth_png_table(n_per), "image/png"),
         (synth_gif_table(n_per), "image/gif"),
         (synth_jpeg_table(n_per), "image/jpeg"),
+        (synth_flac_table(n_per), "audio/flac"),
     ]
     ids, payloads, truth = [], [], []
     nxt = 0

@@ -71,7 +71,7 @@ def ducksf():
      "wordpiece_parity", "wordpiece_encode_parity", "nn_descent_recall",
      "kmv_overlap", "cdx_index_parity", "mime_sniff_check",
      "random_walks", "jpeg_roundtrip", "crawl_lineage_check",
-     "chunk_passages", "ccnet_buckets", "kn_lm_score"],
+     "chunk_passages", "ccnet_buckets", "kn_lm_score", "flac_roundtrip"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
@@ -3008,3 +3008,183 @@ def test_jpeg_stage_and_sniff(ray_session):
     assert (out["decoded_height"].values == src["height"].values).all()
     assert (out["decoded_channels"].values == src["channels"].values).all()
     assert (out["decoded_format"] == "jpeg").all()
+
+
+# --- FLAC codec (stages/flaccodec.py) ---------------------------------------
+
+
+def test_flac_lossless_roundtrip_all_shapes():
+    """FLAC is lossless: every roundtrip is BIT-EXACT — mono/stereo,
+    partial final blocks, constant and noise extremes; CRC-8/CRC-16 and
+    the STREAMINFO MD5 are verified on the way back."""
+    from pholcus_ray.stages.flaccodec import flac_decode, flac_encode
+
+    rng = np.random.default_rng(5)
+    t = np.arange(7001)
+    tone = (2500 * np.sin(t / 9)
+            + rng.normal(0, 120, len(t))).astype(np.int16)
+    for sig, sr, bsz in (
+        (tone, 8000, 4096),
+        (tone, 22050, 777),                       # partial last block
+        (np.stack([tone, (tone // 3).astype(np.int16)], axis=1),
+         44100, 1000),
+        (np.full(300, -7, np.int16), 16000, 4096),   # constant
+        (rng.integers(-32768, 32767, 53, dtype=np.int16), 8000, 16),
+    ):
+        back, got_sr = flac_decode(flac_encode(sig, sr, block_size=bsz))
+        src = sig[:, None] if sig.ndim == 1 else sig
+        assert got_sr == sr
+        assert back.shape == src.shape and (back == src).all()
+
+
+def test_flac_crc_and_md5_tamper_detected():
+    """Flipping one payload byte fails a CRC (or the stream MD5) loudly."""
+    import pytest as _pytest
+
+    from pholcus_ray.stages.flaccodec import flac_decode, flac_encode
+
+    sig = (1000 * np.sin(np.arange(2000) / 7)).astype(np.int16)
+    enc = bytearray(flac_encode(sig, 8000))
+    enc[len(enc) // 2] ^= 0x40
+    with _pytest.raises(ValueError):
+        flac_decode(bytes(enc))
+    assert (flac_decode(bytes(flac_encode(sig, 8000)))[0][:, 0]
+            == sig).all()
+
+
+def _flac_frame_header(bs, nch, w):
+    import struct
+
+    from pholcus_ray.stages.flaccodec import (_SYNC, _crc8,
+                                              _utf8_number)
+
+    w.write(_SYNC, 14)
+    w.write(0, 2)
+    w.write(0b0111, 4)   # 16-bit block size at end
+    w.write(0, 4)        # rate from STREAMINFO
+    w.write(nch - 1, 4)
+    w.write(0b100, 3)    # 16 bps
+    w.write(0, 1)
+    w.align()
+    head = w.bytes() + _utf8_number(0) + struct.pack(">H", bs - 1)
+    return head + bytes([_crc8(head)])
+
+
+def test_flac_decoder_paths_lpc_escape_wasted_midside():
+    """Hand-built streams exercise the decoder paths our encoder never
+    emits: an LPC subframe, an escape-coded Rice partition, wasted
+    bits, and mid/side stereo — each decoded to hand-computed samples."""
+    import struct
+
+    from pholcus_ray.stages.flaccodec import (_BitWriter, _crc16,
+                                              flac_decode, flac_encode)
+
+    def stream_for(frame_body_bits, bs, nch, n_total):
+        # STREAMINFO via the real encoder, then replace the frame
+        base = flac_encode(np.zeros(max(n_total, 1), np.int16), 8000)
+        streaminfo_end = 4 + 4 + 34
+        w = _BitWriter()
+        head = _flac_frame_header(bs, nch, w)
+        frame = head + frame_body_bits
+        frame += struct.pack(">H", _crc16(frame))
+        return base[:streaminfo_end] + frame
+
+    # --- LPC order 1, coef 2, shift 1: x[i] = res[i-1] + (2*x[i-1])>>1
+    w = _BitWriter()
+    w.write(0, 1)
+    w.write(0b100000, 6)       # LPC, order 1
+    w.write(0, 1)              # no wasted bits
+    w.write(5, 16)             # warmup x[0] = 5
+    w.write(3, 4)              # precision-1 = 3 -> 4-bit coefs
+    w.write(1, 5)              # shift = 1
+    w.write(2, 4)              # coef = 2
+    w.write(0, 2)              # rice method 0
+    w.write(0, 4)              # partition order 0
+    w.write(0, 4)              # rice param 0
+    for v in (1, -1, 0):       # residuals, zigzag: 2, 1, 0
+        u = (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
+        w.unary(u)
+    w.align()
+    sig, _ = flac_decode(stream_for(w.bytes(), 4, 1, 4), verify=False)
+    # x[i] = res + x[i-1]: [5, 1+5, -1+6, 0+5]
+    assert sig[:, 0].tolist() == [5, 6, 5, 5]
+
+    # --- escape partition: raw 6-bit residuals
+    w = _BitWriter()
+    w.write(0, 1)
+    w.write(0b001000, 6)       # FIXED order 0
+    w.write(0, 1)
+    w.write(0, 2)              # method 0
+    w.write(0, 4)              # one partition
+    w.write(0xF, 4)            # escape
+    w.write(6, 5)              # 6 raw bits per residual
+    for v in (31, -32, 7):
+        w.write(v & 0x3F, 6)
+    w.align()
+    sig, _ = flac_decode(stream_for(w.bytes(), 3, 1, 3), verify=False)
+    assert sig[:, 0].tolist() == [31, -32, 7]
+
+    # --- wasted bits: stored >>1, reconstructed <<1
+    w = _BitWriter()
+    w.write(0, 1)
+    w.write(0b001000, 6)       # FIXED order 0
+    w.write(1, 1)              # wasted-bits flag
+    w.unary(0)                 # unary 0 -> 1 wasted bit
+    w.write(0, 2)
+    w.write(0, 4)
+    w.write(0, 4)
+    for v in (3, -2):          # stored halves -> samples 6, -4
+        u = (v << 1) if v >= 0 else ((-v) << 1) - 1
+        w.unary(u)
+    w.align()
+    sig, _ = flac_decode(stream_for(w.bytes(), 2, 1, 2), verify=False)
+    assert sig[:, 0].tolist() == [6, -4]
+
+    # --- mid/side: l=[10, 4], r=[6, 8] -> mid=[8, 6], side=[4, -4]
+    w = _BitWriter()
+    from pholcus_ray.stages.flaccodec import _SYNC, _crc8, _utf8_number
+    w.write(_SYNC, 14)
+    w.write(0, 2)
+    w.write(0b0111, 4)
+    w.write(0, 4)
+    w.write(0b1010, 4)         # mid/side
+    w.write(0b100, 3)
+    w.write(0, 1)
+    w.align()
+    head = w.bytes() + _utf8_number(0) + struct.pack(">H", 1)
+    head += bytes([_crc8(head)])
+    w = _BitWriter()
+    for vals, bits in (((8, 6), 16), ((4, -4), 17)):  # mid, then side
+        w.write(0, 1)
+        w.write(0b000001, 6)   # VERBATIM
+        w.write(0, 1)
+        for v in vals:
+            w.write(v & ((1 << bits) - 1), bits)
+    w.align()
+    body = w.bytes()
+    base = flac_encode(np.zeros((2, 2), np.int16), 8000)
+    frame = head + body
+    frame += struct.pack(">H", _crc16(frame))
+    sig, _ = flac_decode(base[:42] + frame, verify=False)
+    assert sig.tolist() == [[10, 6], [4, 8]]
+
+
+def test_flac_stage_and_sniff(ray_session):
+    """DecodeFlac actor pool decodes the synth table to its generator
+    geometry; sniff_mime routes FLAC payloads by the fLaC magic."""
+    from pholcus_ray.stages.multimodal import (DecodeFlac, sniff_mime,
+                                               synth_flac_table)
+
+    t = synth_flac_table(10)
+    assert all(sniff_mime(p) == "audio/flac"
+               for p in t["payload"].to_pylist())
+    import ray.data as rd
+
+    out = (rd.from_arrow(t).repartition(3)
+           .map_batches(DecodeFlac, batch_format="pyarrow", batch_size=4,
+                        concurrency=2)
+           .to_pandas().sort_values("audio_id").reset_index(drop=True))
+    src = t.to_pandas()
+    assert (out["decoded_rate"].values == src["sample_rate"].values).all()
+    assert (out["decoded_samples"].values == src["n_samples"].values).all()
+    assert (out["decoded_channels"].values == src["channels"].values).all()
