@@ -470,6 +470,32 @@ def _q_flac_roundtrip(sf_dir: str):
     })
 
 
+def _q_media_ingest(sf_dir: str):
+    """The mixed-media ingest capstone: magic-byte router fanning the
+    payload column out to all EIGHT real decoder pools (WAV/au/PPM/BMP/
+    PNG/GIF/JPEG/FLAC), slim feature rows unioned after decode. Verdict
+    rows per mime: every known container decodes (ok) with positive
+    content units; unknown blobs pass through ok=0."""
+    import pyarrow as pa
+
+    from pholcus_ray.stages.multimodal import (media_ingest,
+                                               synth_mixed_table)
+
+    n = 30 if _sf_name(sf_dir) != "sf0.1" else 120
+    src = synth_mixed_table(n).select(["item_id", "payload"])
+    out = media_ingest(_blocks(src)).to_pandas()
+    g = (out.groupby("mime", sort=True)
+         .agg(n=("item_id", "size"), n_ok=("ok", "sum"),
+              min_units=("units", "min"))
+         .reset_index())
+    return pa.table({
+        "mime": pa.array(g["mime"], pa.string()),
+        "n": pa.array(g["n"].astype("int64")),
+        "n_ok": pa.array(g["n_ok"].astype("int64")),
+        "units_pos": pa.array((g["min_units"] > 0).astype("int64")),
+    })
+
+
 def _q_image_phash_dups(sf_dir: str):
     """Image near-dup detection: real PNG decode -> dHash -> Hamming
     banding, with gate-visible completeness + planted-recovery verdicts."""
@@ -582,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # chain — so a driver gate sampling a prefix covers them all.
         "jpeg_roundtrip": _q_jpeg_roundtrip,
         "flac_roundtrip": _q_flac_roundtrip,
+        "media_ingest": _q_media_ingest,
         "crawl_lineage_check": _q_crawl_lineage_check,
         "chunk_passages": T.chunk_passages,
         "ccnet_buckets": T.ccnet_buckets,
@@ -1872,6 +1899,23 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT CAST(0 AS BIGINT) AS n_over_cap,
                    CAST(0 AS BIGINT) AS n_disallowed,
                    CAST(1 AS BIGINT) AS audit_ok
+        """,
+        "media_ingest": """
+            -- assertion oracle: the sniff-routed 8-codec ingest capstone
+            -- decodes every known container (30 per mime at gate SF) with
+            -- positive content units; unknown blobs pass through ok=0
+            SELECT * FROM (VALUES
+              ('application/octet-stream', CAST(30 AS BIGINT),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+              ('audio/basic', 30, 30, 1),
+              ('audio/flac', 30, 30, 1),
+              ('audio/wav', 30, 30, 1),
+              ('image/bmp', 30, 30, 1),
+              ('image/gif', 30, 30, 1),
+              ('image/jpeg', 30, 30, 1),
+              ('image/png', 30, 30, 1),
+              ('image/x-portable-pixmap', 30, 30, 1)
+            ) AS t(mime, n, n_ok, units_pos)
         """,
         "flac_roundtrip": """
             -- assertion oracle: the from-scratch lossless FLAC codec must

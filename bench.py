@@ -214,6 +214,9 @@ _BENCH_QUERIES = [
     # round-5: from-scratch lossless FLAC codec (fixed/LPC prediction +
     # Rice residuals, CRC/MD5 verified, bit-exact roundtrip verdict)
     "flac_roundtrip",
+    # round-5: the mixed-media ingest capstone (sniff router -> all 8
+    # real decoder pools -> unioned slim feature rows)
+    "media_ingest",
 ]
 
 

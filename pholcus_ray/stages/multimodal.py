@@ -1529,6 +1529,149 @@ class MimeSniff:
         })
 
 
+def media_ingest(ds, concurrency: int = 2, batch_size: int = 16):
+    """The full mixed-media ingest pipeline as ONE composition: sniff
+    every payload's container by magic bytes, route each slice to ITS
+    real decoder pool (WAV / au / PPM / BMP / PNG / GIF / JPEG / FLAC —
+    the per-container actor-pool stages above), and emit one uniform
+    feature row per item: (item_id, mime, ok, units) where ``units`` is
+    the decoded content size in the container's natural unit (pixels
+    for images, samples x channels for audio) and unknown containers
+    pass through with ok=0.
+
+    Scale shape: the router touches ≤16 bytes per payload; each decoder
+    branch is a ``filter`` + actor-pool ``map_batches`` over only its
+    slice (payloads never cross a shuffle — the branches are unioned
+    AFTER decode, when rows are slim feature tuples). This is exactly
+    how a 100 TB crawl's media column fans out to per-codec pools.
+
+    ``ds`` is a Dataset with (item_id, payload) columns."""
+    import ray.data as rd
+
+    def _sniff(t: pa.Table) -> pa.Table:
+        pl = t["payload"]
+        if isinstance(pl, pa.ChunkedArray):
+            pl = pl.combine_chunks()
+        heads = pc.binary_slice(pl, 0, 16).to_pylist()
+        return t.append_column(
+            "mime", pa.array([sniff_mime(h) for h in heads],
+                             pa.string()))
+
+    sniffed = ds.map_batches(_sniff, batch_format="pyarrow").materialize()
+
+    def decoded_units(mime: str, decode_cls):
+        def branch(t: pa.Table) -> pa.Table:
+            u = decode_cls()(t.select(["item_id", "payload"]))
+            if "decoded_width" in u.column_names:
+                units = pc.multiply(
+                    u["decoded_width"].cast(pa.int64()),
+                    u["decoded_height"].cast(pa.int64()))
+            else:
+                units = pc.multiply(
+                    u["decoded_samples"].cast(pa.int64()),
+                    u["decoded_channels"].cast(pa.int64()))
+            n = u.num_rows
+            return pa.table({
+                "item_id": u["item_id"],
+                "mime": pa.array([mime] * n, pa.string()),
+                "ok": pa.array(np.ones(n, np.int64)),
+                "units": units,
+            })
+
+        return branch
+
+    branches = []
+    routes = [
+        ("image/x-portable-pixmap", DecodePpm),
+        ("image/bmp", DecodeBmp),
+        ("image/png", DecodePng),
+        ("image/jpeg", DecodeJpeg),
+        ("audio/flac", DecodeFlac),
+    ]
+    for mime, cls in routes:
+        part = sniffed.filter(
+            lambda row, _m=mime: row["mime"] == _m)
+        branches.append(part.map_batches(
+            decoded_units(mime, cls), batch_format="pyarrow",
+            batch_size=batch_size, concurrency=concurrency))
+
+    def gif_units(t: pa.Table) -> pa.Table:
+        ids = t["item_id"].to_pylist()
+        units = []
+        for p in t["payload"].to_pylist():
+            px, _ncol, _il = gif_decode(p)
+            units.append(px.shape[0] * px.shape[1])
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "mime": pa.array(["image/gif"] * len(ids), pa.string()),
+            "ok": pa.array(np.ones(len(ids), np.int64)),
+            "units": pa.array(units, pa.int64()),
+        })
+
+    branches.append(
+        sniffed.filter(lambda row: row["mime"] == "image/gif")
+        .map_batches(gif_units, batch_format="pyarrow",
+                     batch_size=batch_size, concurrency=concurrency))
+
+    def audio_units(mime, parser):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["item_id"].to_pylist()
+            units = []
+            for p in t["payload"].to_pylist():
+                units.append(parser(p))
+            return pa.table({
+                "item_id": pa.array(ids, pa.int64()),
+                "mime": pa.array([mime] * len(ids), pa.string()),
+                "ok": pa.array(np.ones(len(ids), np.int64)),
+                "units": pa.array(units, pa.int64()),
+            })
+
+        return f
+
+    def _wav_units(p: bytes) -> int:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(p)) as wf:
+            return wf.getnframes() * wf.getnchannels()
+
+    def _au_units(p: bytes) -> int:
+        import struct as _s
+
+        _magic, off, size = _s.unpack(">III", p[:12])
+        return size  # one byte per mu-law sample
+
+    branches.append(
+        sniffed.filter(lambda row: row["mime"] == "audio/wav")
+        .map_batches(audio_units("audio/wav", _wav_units),
+                     batch_format="pyarrow", batch_size=batch_size,
+                     concurrency=concurrency))
+    branches.append(
+        sniffed.filter(lambda row: row["mime"] == "audio/basic")
+        .map_batches(audio_units("audio/basic", _au_units),
+                     batch_format="pyarrow", batch_size=batch_size,
+                     concurrency=concurrency))
+
+    def unknown(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "item_id": t["item_id"],
+            "mime": t["mime"],
+            "ok": pa.array(np.zeros(n, np.int64)),
+            "units": pa.array(np.zeros(n, np.int64)),
+        })
+
+    branches.append(
+        sniffed.filter(
+            lambda row: row["mime"] == "application/octet-stream")
+        .map_batches(unknown, batch_format="pyarrow"))
+
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.union(b)
+    return out
+
+
 def synth_mixed_table(n_per: int, seed: int = 43) -> pa.Table:
     """A mixed-container payload table with known ground truth: n_per REAL
     payloads of each container this module decodes (WAV/au/PPM/BMP/PNG/

@@ -71,7 +71,8 @@ def ducksf():
      "wordpiece_parity", "wordpiece_encode_parity", "nn_descent_recall",
      "kmv_overlap", "cdx_index_parity", "mime_sniff_check",
      "random_walks", "jpeg_roundtrip", "crawl_lineage_check",
-     "chunk_passages", "ccnet_buckets", "kn_lm_score", "flac_roundtrip"],
+     "chunk_passages", "ccnet_buckets", "kn_lm_score", "flac_roundtrip",
+     "media_ingest"],
 )
 def test_sql_oracled_query(ray_session, ducksf, name):
     import __ray_entry__ as E
