@@ -345,14 +345,8 @@ def _ts_epoch_order(doc_ids: list[int], seed: int) -> dict[int, int]:
 _TWIN_MAX_DOCS = 2000
 
 
-def _enc_concurrency() -> int:
-    """Actor count for the BPE-encode pool: the per-word merge loop is
-    the capstones' only Python-heavy stage, so size it to the session
-    (cpus/4, clamped to [2, 8]) instead of a fixed 2 — the block count
-    from _read_documents (~640 docs/block) bounds how many fill up."""
-    cpus = int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
-    return max(2, min(8, cpus // 4))
+# capstone encode pools share the tokenizer-apply sizing rule
+from .textdata import _encode_concurrency as _enc_concurrency  # noqa: E402
 
 
 def tokenized_shards(sf_dir: str, out_dir: str | None = None,

@@ -1578,7 +1578,7 @@ def bfs_distance(sf_dir: str, iters: int = 8, n_buckets: int = 16,
     LEAST-CTE oracle stands unchanged; only the barrier count halves."""
     n_docs = pq.ParquetFile(
         os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
-    key2 = f"bfs2F:{sf_dir}:{n_docs}:{n_buckets}"
+    key2 = f"kv2F:{sf_dir}:{n_docs}:{n_buckets}"
     refs2 = {b: _derived_kv2_bucket.remote(n_docs, b, n_buckets, False)
              for b in range(n_buckets)}
     key_f = f"hitsF:{sf_dir}:{n_docs}:{n_buckets}"
@@ -1978,8 +1978,8 @@ def scc_certificate(sf_dir: str, iters: int = 8,
     when odd) with a bit-identical fixed point — oracle unchanged."""
     n_docs = pq.ParquetFile(
         os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
-    key_f = f"scc2F:{sf_dir}:{n_docs}:{n_buckets}"
-    key_r = f"scc2R:{sf_dir}:{n_docs}:{n_buckets}"
+    key_f = f"kv2F:{sf_dir}:{n_docs}:{n_buckets}"
+    key_r = f"kv2R:{sf_dir}:{n_docs}:{n_buckets}"
     refs_f = {b: _derived_kv2_bucket.remote(n_docs, b, n_buckets, False)
               for b in range(n_buckets)}
     refs_r = {b: _derived_kv2_bucket.remote(n_docs, b, n_buckets, True)

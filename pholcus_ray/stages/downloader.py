@@ -151,6 +151,35 @@ def _multipart_encode(post_data: str) -> tuple[str, bytes]:
 REDIRECT_POLICY_STATUS = 598
 
 
+def _make_bounded_redirects():
+    import urllib.error
+    import urllib.request
+
+    class _BoundedRedirects(urllib.request.HTTPRedirectHandler):
+        """param.go:130-144 as an opener handler: refuse with 598 when
+        the chain reaches the cap (len(via) >= times). One instance per
+        request (the _chain counter is per-chain state)."""
+
+        def __init__(self, times: int):
+            self._times = times
+            self._chain = 0
+
+        def redirect_request(self, req, fp, code, msg, headers, newurl):
+            self._chain += 1  # == len(via) at this decision point
+            t = self._times
+            if t < 0 or (t > 0 and self._chain >= t):
+                raise urllib.error.HTTPError(
+                    req.full_url, REDIRECT_POLICY_STATUS,
+                    "redirect policy", headers, fp)
+            return super().redirect_request(req, fp, code, msg,
+                                            headers, newurl)
+
+    return _BoundedRedirects
+
+
+_BoundedRedirects = _make_bounded_redirects()
+
+
 class HttpDownloader:
     """Real-wire engine (Surf semantics, surfer/surf.go:52-196).
 
@@ -204,36 +233,24 @@ class HttpDownloader:
         self.proxy_pool = proxy_pool
         self.pool_size = max(1, int(pool_size))
         self._executor = None
-        if self.pool_size > 1:
+
+    def _get_executor(self):
+        """Built LAZILY on first use: HttpDownloader instances ship to
+        Ray fetch actors via cloudpickle (FetchParse's
+        fn_constructor_kwargs), and a live ThreadPoolExecutor is not
+        picklable — each actor builds its own pool on first batch."""
+        if self._executor is None and self.pool_size > 1:
             from concurrent.futures import ThreadPoolExecutor
 
             self._executor = ThreadPoolExecutor(
                 max_workers=self.pool_size,
                 thread_name_prefix="pholcus-fetch")
+        return self._executor
 
-    def _redirect_handler_cls(self):
-        import urllib.error
-        import urllib.request
-
-        times = self.redirect_times
-
-        class _BoundedRedirects(urllib.request.HTTPRedirectHandler):
-            """param.go:130-144 as an opener handler: refuse with 598
-            when the chain reaches the cap (len(via) >= times)."""
-
-            _chain = 0
-
-            def redirect_request(self, req, fp, code, msg, headers,
-                                 newurl):
-                self._chain += 1  # == len(via) at this decision point
-                if times < 0 or (times > 0 and self._chain >= times):
-                    raise urllib.error.HTTPError(
-                        req.full_url, REDIRECT_POLICY_STATUS,
-                        "redirect policy", headers, fp)
-                return super().redirect_request(req, fp, code, msg,
-                                                headers, newurl)
-
-        return _BoundedRedirects
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_executor"] = None  # rebuilt lazily on the actor side
+        return state
 
     def _via_dns(self, url: str) -> tuple[str, str | None, str | None,
                                           bool, str | None]:
@@ -283,17 +300,24 @@ class HttpDownloader:
             url, data=body, headers=headers,
             method="POST" if method.startswith("POST") else method,
         )
-        handlers: list = [self._redirect_handler_cls()()]
+        handlers: list = [_BoundedRedirects(self.redirect_times)]
         if proxy is not None:
+            # accept both the pool docstring's "http://host:port" form
+            # and a bare "host:port"; route BOTH schemes through it
+            # (the reference's transport.Proxy applies to all schemes)
+            purl = proxy if "://" in proxy else f"http://{proxy}"
             handlers.append(urllib.request.ProxyHandler(
-                {"http": f"http://{proxy}"}))
+                {"http": purl, "https": purl}))
         opener = urllib.request.build_opener(*handlers)
         try:
             with opener.open(req, timeout=self.timeout) as resp:
                 data = b"" if method == "HEAD" else resp.read()
                 try:
-                    data = _decode_content(
-                        data, resp.headers.get("Content-Encoding", ""))
+                    # a HEAD mirror of GET headers has no body to decode
+                    if data:
+                        data = _decode_content(
+                            data,
+                            resp.headers.get("Content-Encoding", ""))
                 except Exception:
                     # corrupt encoded stream: the reference errors the
                     # download (surf.go:62-71 Unwrap) -> failed attempt
@@ -388,9 +412,10 @@ class HttpDownloader:
                 if cookies is not None:
                     set_cookies[i] = sc
 
-        if self._executor is not None and n > 1:
+        executor = self._get_executor()
+        if executor is not None and n > 1:
             # N in-flight per actor; each thread writes disjoint indices
-            list(self._executor.map(work, range(n)))
+            list(executor.map(work, range(n)))
         else:
             for i in range(n):
                 work(i)

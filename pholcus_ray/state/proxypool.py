@@ -20,6 +20,7 @@ Usage shape in a production fetch stage::
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 
 
@@ -36,13 +37,23 @@ class ProxyPool:
     max_failures: int = 3              # evict after this many dead fetches
     _proxies: dict[str, _ProxyState] = field(default_factory=dict)
     _bindings: dict[str, tuple[str, float]] = field(default_factory=dict)
+    # HttpDownloader's pool_size>1 path calls proxy_for/observe/
+    # report_failure from fetch threads concurrently — same reason
+    # DnsCache takes a lock
+    _lock: threading.Lock = field(default_factory=threading.Lock,
+                                  repr=False, compare=False)
 
     # --- inventory -----------------------------------------------------
 
     def add(self, addr: str) -> None:
-        self._proxies.setdefault(addr, _ProxyState(addr))
+        with self._lock:
+            self._proxies.setdefault(addr, _ProxyState(addr))
 
     def remove(self, addr: str) -> None:
+        with self._lock:
+            self._remove_locked(addr)
+
+    def _remove_locked(self, addr: str) -> None:
         self._proxies.pop(addr, None)
         for host, (bound, _t) in list(self._bindings.items()):
             if bound == addr:
@@ -51,6 +62,10 @@ class ProxyPool:
     def proxies(self) -> list[str]:
         """Latency order (unknown latencies last; ties by address for
         determinism) — the reference's post-ping sort."""
+        with self._lock:
+            return self._proxies_locked()
+
+    def _proxies_locked(self) -> list[str]:
         return [
             p.addr
             for p in sorted(self._proxies.values(),
@@ -61,19 +76,21 @@ class ProxyPool:
 
     def observe(self, addr: str, latency_sec: float) -> None:
         """Record a measured latency (ping pass / live fetch RTT)."""
-        st = self._proxies.get(addr)
-        if st is not None:
-            st.latency_sec = float(latency_sec)
-            st.failures = 0
+        with self._lock:
+            st = self._proxies.get(addr)
+            if st is not None:
+                st.latency_sec = float(latency_sec)
+                st.failures = 0
 
     def report_failure(self, addr: str) -> None:
         """Dead-fetch accounting; eviction after max_failures."""
-        st = self._proxies.get(addr)
-        if st is None:
-            return
-        st.failures += 1
-        if st.failures >= self.max_failures:
-            self.remove(addr)
+        with self._lock:
+            st = self._proxies.get(addr)
+            if st is None:
+                return
+            st.failures += 1
+            if st.failures >= self.max_failures:
+                self._remove_locked(addr)
 
     # --- per-host binding ----------------------------------------------
 
@@ -81,13 +98,15 @@ class ProxyPool:
         """The proxy a fetch to ``host`` should use at virtual time
         ``now_sec``: sticky within the rotation interval, re-bound to the
         currently-fastest proxy when the interval elapses."""
-        bound = self._bindings.get(host)
-        if bound is not None:
-            addr, at = bound
-            if addr in self._proxies and now_sec - at < self.rotation_sec:
-                return addr
-        order = self.proxies()
-        if not order:
-            return None
-        self._bindings[host] = (order[0], now_sec)
-        return order[0]
+        with self._lock:
+            bound = self._bindings.get(host)
+            if bound is not None:
+                addr, at = bound
+                if addr in self._proxies \
+                        and now_sec - at < self.rotation_sec:
+                    return addr
+            order = self._proxies_locked()
+            if not order:
+                return None
+            self._bindings[host] = (order[0], now_sec)
+            return order[0]

@@ -354,6 +354,15 @@ class _WireHandler(BaseHTTPRequestHandler):
                 + b"\n" + body)
         self._send(echo, ctype="text/plain")
 
+    def do_HEAD(self):
+        # mirror the GET headers (including Content-Encoding) with no
+        # body -- the server shape the HEAD-decode regression test needs
+        self.send_response(200)
+        if self.path == "/gzip":
+            self.send_header("Content-Encoding", "gzip")
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
     def log_message(self, *a):
         pass
 
@@ -495,3 +504,70 @@ def test_serial_default_unchanged(wire_server):
     dl.fetch_batch(urls, [""] * 3, keys, ["GET"] * 3, [""] * 3,
                    np.zeros(3, np.int32), 1, None, None, False)
     assert _WireHandler.max_in_flight == 1
+
+
+def test_pool_downloader_survives_pickling(wire_server):
+    """HttpDownloader ships to Ray fetch actors via cloudpickle; the
+    thread pool must be lazy so a pool_size>1 instance pickles, and the
+    revived instance must still multiplex (review finding: an eager
+    ThreadPoolExecutor in __init__ made the real crawl path crash)."""
+    import ray.cloudpickle as cp
+
+    dl = HttpDownloader(retry_pause=0.0, pool_size=4)
+    # force-build the executor, then pickle the LIVE instance
+    urls = [wire_server + "/gzip"] * 2
+    keys = dedup_key_array(urls, ["GET"] * 2, ["page"] * 2)
+    dl.fetch_batch(urls, [""] * 2, keys, ["GET"] * 2, [""] * 2,
+                   np.zeros(2, np.int32), 1, None, None, False)
+    revived = cp.loads(cp.dumps(dl))
+    _WireHandler.in_flight = 0
+    _WireHandler.max_in_flight = 0
+    urls = [wire_server + "/slow"] * 4
+    keys = dedup_key_array(urls, ["GET"] * 4, ["page"] * 4)
+    st, _, bodies, _ = revived.fetch_batch(
+        urls, [""] * 4, keys, ["GET"] * 4, [""] * 4,
+        np.zeros(4, np.int32), 1, None, None, False)
+    assert (st == 200).all() and _WireHandler.max_in_flight > 1
+
+
+def test_head_with_content_encoding_not_a_failure(wire_server):
+    """A HEAD answered with Content-Encoding headers (servers mirror GET
+    headers) must return its status, not a bogus 599 from decoding the
+    empty body."""
+    dl = HttpDownloader(retry_pause=0.0)
+    url = wire_server + "/gzip"
+    keys = dedup_key_array([url], ["HEAD"], ["page"])
+    st, att, bodies, _ = dl.fetch_batch(
+        [url], [""], keys, ["HEAD"], [""], np.zeros(1, np.int32), 2,
+        None, None, False)
+    assert st[0] == 200 and att[0] == 1 and bodies[0] == b""
+
+
+def test_proxy_accepts_scheme_prefixed_addresses(wire_server):
+    """The ProxyPool docstring's own address form ("http://host:port")
+    must route correctly (review finding: unconditional http:// prefix
+    built http://http://...)."""
+    from pholcus_ray.state.proxypool import ProxyPool
+
+    seen = []
+
+    class _P(BaseHTTPRequestHandler):
+        def do_GET(self):
+            seen.append(self.path)
+            body = b"via-proxy2"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _P)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    pool = ProxyPool()
+    pool.add(f"http://127.0.0.1:{srv.server_address[1]}")
+    dl = HttpDownloader(retry_pause=0.0, proxy_pool=pool)
+    st, _, body = _one(dl, wire_server + "/gzip")
+    assert st == 200 and body == b"via-proxy2" and seen
+    srv.shutdown()
